@@ -1,0 +1,140 @@
+"""Deterministic synthetic pages corpus (FIXTURES.md §1).
+
+Each document is generated from ``numpy.random.default_rng(42 + i)`` only —
+no global state — so the corpus is identical no matter how generation is
+partitioned. ``build_pages_df`` generates the corpus DISTRIBUTED
+(``spark.range(n).mapInPandas``): at bench scale nothing funnels through the
+driver.
+
+Skew injection (FIXTURES.md): every 97th doc has 50× pages (exercises the
+length-bucketed salted repartition, SURVEY.md §7.1 step 7); every 501st doc
+is corrupt (exercises the error path, reference pdfminer.py:130-135).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from edspdf_spark.kernel.payload import encode_run
+from edspdf_spark.schemas import PAGES_SCHEMA
+
+_EPOCH = _dt.datetime(2024, 1, 1)
+_LANGS = ["en", "en", "fr", "de", "en"]
+_FONTS = [
+    "Helvetica",
+    "Helvetica-Bold",
+    "Times-Italic",
+    "Times-BoldItalic",
+    "Courier",
+]
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo"
+).split()
+
+PAGE_W, PAGE_H = 612.0, 792.0
+
+
+def _gen_line_text(rng: np.random.Generator) -> str:
+    words = rng.choice(_WORDS, size=int(rng.integers(2, 9)))
+    text = " ".join(words)
+    r = rng.random()
+    if r < 0.03:  # leading whitespace — must fold away
+        text = "  " + text
+    elif r < 0.05:  # inner double space / tab — must collapse
+        mid = len(text) // 2
+        text = text[:mid] + ("\t " if r < 0.04 else "  ") + text[mid:]
+    return text
+
+
+def gen_doc(i: int) -> dict:
+    rng = np.random.default_rng(42 + i)
+    url = f"https://synth.test/{i:08d}"
+    warc_ts = _EPOCH + _dt.timedelta(seconds=int(i) * 137)
+    lang = _LANGS[i % len(_LANGS)]
+
+    if i % 501 == 500:
+        return {
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": b"CORRUPT\n",
+            "text": "",
+            "lang": lang,
+        }
+
+    n_pages = int(rng.integers(1, 5))
+    if i % 97 == 96:
+        n_pages *= 50  # skewed giant document
+
+    out_lines: list[str] = []
+    plain_parts: list[str] = []
+    for page_num in range(n_pages):
+        out_lines.append(f"PAGE {page_num} {PAGE_W} {PAGE_H}")
+        n_lines = int(rng.integers(5, 41))
+        # Draw line geometry top-to-bottom, then emit in shuffled order so
+        # the reading-order sort in the extractor is actually exercised.
+        lines = []
+        y_top = PAGE_H - 40.0
+        for _ in range(n_lines):
+            h = float(rng.uniform(9.0, 14.0))
+            gap = float(rng.choice([2.0, 3.0, 14.0, 40.0], p=[0.55, 0.25, 0.12, 0.08]))
+            y1 = y_top
+            y0 = y1 - h
+            x0 = float(rng.uniform(30.0, 90.0))
+            x1 = x0 + float(rng.uniform(150.0, PAGE_W - x0 - 20.0))
+            y_top = y0 - gap
+            text = _gen_line_text(rng)
+            if rng.random() < 0.10:  # out of bounds — must be dropped
+                x1 = PAGE_W + float(rng.uniform(1.0, 50.0))
+            if rng.random() < 0.20:  # multi-style run
+                cut = max(1, len(text) // 2)
+                f1, f2 = rng.choice(_FONTS, size=2)
+                upright1 = bool(rng.random() > 0.1)
+                runs = [
+                    encode_run(str(f1), upright1, text[:cut]),
+                    encode_run(str(f2), True, text[cut:]),
+                ]
+            else:
+                f = str(rng.choice(_FONTS))
+                runs = [encode_run(f, True, text)]
+            lines.append(f"LINE {x0:.4f} {y0:.4f} {x1:.4f} {y1:.4f} " + "|".join(runs))
+            plain_parts.append(text)
+        order = rng.permutation(len(lines))
+        out_lines.extend(lines[j] for j in order)
+
+    payload = "\n".join(out_lines) + "\n"
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": payload.encode("utf-8"),
+        "text": " ".join(plain_parts),
+        "lang": lang,
+    }
+
+
+def gen_docs_pandas(indices) -> pd.DataFrame:
+    rows = [gen_doc(int(i)) for i in indices]
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )
+
+
+def build_pages_df(spark, n: int, partitions: int | None = None):
+    """Distributed deterministic corpus of n pages as a Spark DataFrame."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_docs_pandas(pdf["id"].to_numpy())
+
+    rng_df = spark.range(n, numPartitions=partitions)
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def write_corpus(spark, path: str, n: int, partitions: int | None = None) -> None:
+    build_pages_df(spark, n, partitions).write.mode("overwrite").parquet(path)

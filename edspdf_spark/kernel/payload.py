@@ -1,0 +1,169 @@
+"""Deterministic synthetic layout-payload format + document extraction kernel.
+
+pdfminer is not installable in this sandbox (SURVEY.md §5), so the engine
+parses a self-describing, line-oriented layout format (FIXTURES.md §1) that
+stands in for PDF bytes while exercising every extractor semantic of the
+reference (``edspdf/pipes/extractors/pdfminer.py:117-194``):
+
+* coordinate normalization ``x/w`` and the y-flip ``y0 = 1 - y1/h``
+  (pdfminer.py:167-170) — payload coordinates are absolute with origin
+  BOTTOM-left, like PDF;
+* empty lines skipped after the style fold (pdfminer.py:161-162);
+* out-of-bounds boxes dropped after normalization (pdfminer.py:178-182);
+* per-page reading-order sort via the fuzzy comparator
+  (pdfminer.py:176-184, structures.py:189-226);
+* parse failure → ``error=True`` and zero boxes (pdfminer.py:130-135).
+
+Format (UTF-8 text)::
+
+    PAGE <page_num> <width> <height>
+    LINE <x0> <y0> <x1> <y1> <run>[|<run>...]      # absolute page coords
+      run := <fontname>,<upright:0|1>,<text-urlencoded>
+    CORRUPT                                        # anywhere: doc is corrupt
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import quote, unquote
+
+from edspdf_spark.kernel.reading_order import sort_reading_order
+from edspdf_spark.kernel.style import fold_line_chars
+
+
+class PayloadError(ValueError):
+    """Raised when a payload cannot be parsed (≙ pdfminer PDFException)."""
+
+
+def encode_run(fontname: str, upright: bool, text: str) -> str:
+    return f"{fontname},{1 if upright else 0},{quote(text)}"
+
+
+def parse_payload(data: bytes):
+    """Parse payload bytes → (pages, lines).
+
+    pages : list of (page_num, width, height)
+    lines : list of (page_num, x0, y0, x1, y1, runs) with
+            runs = list of (fontname, upright, text)
+
+    Raises PayloadError on any malformed content (the extractor catches it
+    and emits the error sentinel, like the reference's ``raise_on_error``
+    handling).
+    """
+    try:
+        content = data.decode("utf-8")
+    except Exception as exc:  # undecodable bytes == corrupt document
+        raise PayloadError("undecodable payload") from exc
+
+    pages: List[Tuple[int, float, float]] = []
+    lines: List[Tuple[int, float, float, float, float, list]] = []
+    current_page: Optional[int] = None
+
+    for raw_line in content.split("\n"):
+        stripped = raw_line.strip()
+        if not stripped:
+            continue
+        tok = stripped.split(" ", 1)[0]
+        if tok == "CORRUPT":
+            raise PayloadError("corrupt marker")
+        if tok == "PAGE":
+            parts = stripped.split()
+            if len(parts) != 4:
+                raise PayloadError(f"bad PAGE line: {stripped!r}")
+            page_num = int(parts[1])
+            pages.append((page_num, float(parts[2]), float(parts[3])))
+            current_page = page_num
+        elif tok == "LINE":
+            if current_page is None:
+                raise PayloadError("LINE before PAGE")
+            parts = stripped.split(" ", 5)
+            if len(parts) != 6:
+                raise PayloadError(f"bad LINE line: {stripped!r}")
+            x0, y0, x1, y1 = (float(p) for p in parts[1:5])
+            runs = []
+            for run in parts[5].split("|"):
+                fields = run.split(",", 2)
+                if len(fields) != 3:
+                    raise PayloadError(f"bad run: {run!r}")
+                runs.append((fields[0], fields[1] == "1", unquote(fields[2])))
+            lines.append((current_page, x0, y0, x1, y1, runs))
+        else:
+            raise PayloadError(f"unknown directive: {tok!r}")
+
+    return pages, lines
+
+
+def extract_doc(
+    html: Optional[bytes],
+    extract_style: bool = True,
+) -> Tuple[List[dict], List[Tuple[int, float, float]], bool]:
+    """Extract one document → (bloc dicts, pages, error).
+
+    Bloc dicts carry normalized float64 coords, reading-order ``bloc_ord``
+    per page, folded text and style runs — the relational image of the
+    reference's ``doc.content_boxes`` after ``PdfMinerExtractor.__call__``.
+    """
+    if html is None:
+        return [], [], True
+    try:
+        pages, lines = parse_payload(bytes(html))
+    except PayloadError:
+        return [], [], True
+
+    by_page: Dict[int, list] = {p[0]: [] for p in pages}
+    page_dims = {p[0]: (p[1], p[2]) for p in pages}
+    for page_num, x0, y0, x1, y1, runs in lines:
+        if page_num not in page_dims:
+            return [], [], True
+        by_page[page_num].append((x0, y0, x1, y1, runs))
+
+    blocs: List[dict] = []
+    # Reference iterates pages in layout order and, per page, filters
+    # out-of-bounds boxes then sorts by the fuzzy comparator
+    # (pdfminer.py:140-184).
+    for page_num, _w, _h in pages:
+        w, h = page_dims[page_num]
+        page_boxes = []
+        for x0, y0, x1, y1, runs in by_page[page_num]:
+            chars = [
+                (ch, fontname, upright)
+                for fontname, upright, text in runs
+                for ch in text
+            ]
+            text, props = fold_line_chars(chars)
+            if len(text) == 0:
+                continue
+            nx0 = x0 / w
+            nx1 = x1 / w
+            ny0 = 1 - y1 / h
+            ny1 = 1 - y0 / h
+            page_boxes.append((page_num, nx0, ny0, nx1, ny1, text, props))
+
+        in_bounds = [
+            b for b in page_boxes if b[1] >= 0 and b[2] >= 0 and b[3] <= 1 and b[4] <= 1
+        ]
+        for ord_, b in enumerate(sort_reading_order(in_bounds)):
+            blocs.append(
+                {
+                    "page_num": b[0],
+                    "bloc_ord": ord_,
+                    "x0": b[1],
+                    "y0": b[2],
+                    "x1": b[3],
+                    "y1": b[4],
+                    "text": b[5],
+                    "props": [
+                        {
+                            "italic": s[0],
+                            "bold": s[1],
+                            "begin": s[2],
+                            "end": s[3],
+                            "fontname": s[4],
+                        }
+                        for s in b[6]
+                    ]
+                    if extract_style
+                    else [],
+                }
+            )
+    return blocs, pages, False

@@ -1,0 +1,35 @@
+from edspdf_spark.operators.extract import extract_blocs
+from edspdf_spark.operators.classify import (
+    align_labels,
+    classify_mask,
+    simple_mask_classifier,
+    classify_dummy,
+    classify_random,
+    masks_df,
+)
+from edspdf_spark.operators.aggregate import aggregate_simple, aggregate_markdown
+from edspdf_spark.operators.align import (
+    align_bioul,
+    align_composite,
+    partition_lines,
+)
+from edspdf_spark.operators.merge import merge_boxes
+from edspdf_spark.operators.features import with_layout_features, FEATURE_COLS
+
+__all__ = [
+    "extract_blocs",
+    "align_labels",
+    "classify_mask",
+    "simple_mask_classifier",
+    "classify_dummy",
+    "classify_random",
+    "masks_df",
+    "aggregate_simple",
+    "aggregate_markdown",
+    "align_bioul",
+    "align_composite",
+    "partition_lines",
+    "merge_boxes",
+    "with_layout_features",
+    "FEATURE_COLS",
+]

@@ -1,0 +1,266 @@
+"""Kernel unit tests — exact reference semantics, no Spark needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from edspdf_spark.kernel.aggregate import aggregate_doc
+from edspdf_spark.kernel.overlap import align_labels_kernel
+from edspdf_spark.kernel.payload import PayloadError, extract_doc, parse_payload
+from edspdf_spark.kernel.reading_order import reading_order_lt, sort_reading_order
+from edspdf_spark.kernel.style import fold_line_chars
+
+
+def chars(text, fontname="Helvetica", upright=True):
+    return [(c, fontname, upright) for c in text]
+
+
+class TestStyleFold:
+    def test_plain(self):
+        text, styles = fold_line_chars(chars("hello world"))
+        assert text == "hello world"
+        assert styles == [(False, False, 0, 11, "Helvetica")]
+
+    def test_leading_spaces_dropped(self):
+        # pdfminer.py:209-214 — no leading spaces; a leading space opens a
+        # zero-width (None, None, None) run inherited from "no last char"
+        text, styles = fold_line_chars(chars("  hello"))
+        assert text == "hello"
+        assert styles[0] == (None, None, 0, 0, None)
+        assert styles[1] == (False, False, 0, 5, "Helvetica")
+
+    def test_double_space_collapsed(self):
+        text, styles = fold_line_chars(chars("a  b"))
+        assert text == "a b"
+
+    def test_tab_newline_to_space(self):
+        text, _ = fold_line_chars(chars("a\tb\nc"))
+        assert text == "a b c"
+
+    def test_rstrip(self):
+        text, styles = fold_line_chars(chars("abc   "))
+        assert text == "abc"
+        # trailing spaces never advance the run end (pdfminer.py:244-246)
+        assert styles == [(False, False, 0, 3, "Helvetica")]
+
+    def test_bold_italic_from_fontname(self):
+        text, styles = fold_line_chars(chars("x", fontname="Times-BoldItalic"))
+        assert styles == [(True, True, 0, 1, "Times-BoldItalic")]
+
+    def test_not_upright_is_italic(self):
+        _, styles = fold_line_chars(chars("x", upright=False))
+        assert styles[0][0] is True and styles[0][1] is False
+
+    def test_style_change_opens_run(self):
+        cs = chars("ab", "Helvetica") + chars("cd", "Helvetica-Bold")
+        text, styles = fold_line_chars(cs)
+        assert text == "abcd"
+        assert styles == [
+            (False, False, 0, 2, "Helvetica"),
+            (False, True, 2, 4, "Helvetica-Bold"),
+        ]
+
+    def test_space_inherits_previous_style(self):
+        # the space between runs belongs to the FIRST style
+        cs = chars("a ", "Helvetica") + chars("b", "Helvetica-Bold")
+        text, styles = fold_line_chars(cs)
+        assert text == "a b"
+        # the run end never advances over a space (pdfminer.py:244-246), so
+        # the first run is [0, 1) and the space at index 1 is uncovered
+        assert styles == [
+            (False, False, 0, 1, "Helvetica"),
+            (False, True, 2, 3, "Helvetica-Bold"),
+        ]
+
+
+class TestReadingOrder:
+    def b(self, page, x0, y0, x1, y1):
+        return (page, x0, y0, x1, y1)
+
+    def test_page_order_first(self):
+        assert reading_order_lt(self.b(0, 0.9, 0.9, 1, 1), self.b(1, 0, 0, 0.1, 0.1))
+
+    def test_vertical_before_horizontal(self):
+        top = self.b(0, 0.5, 0.1, 0.9, 0.2)
+        bottom = self.b(0, 0.1, 0.5, 0.4, 0.6)
+        assert reading_order_lt(top, bottom)
+        assert not reading_order_lt(bottom, top)
+
+    def test_same_row_left_to_right(self):
+        left = self.b(0, 0.1, 0.1, 0.3, 0.2)
+        right = self.b(0, 0.5, 0.1, 0.7, 0.2)
+        assert reading_order_lt(left, right)
+        assert not reading_order_lt(right, left)
+
+    def test_sort_full_page(self):
+        rows = [
+            self.b(0, 0.5, 0.5, 0.9, 0.6),  # row 2 right
+            self.b(0, 0.1, 0.1, 0.5, 0.2),  # row 1 left
+            self.b(0, 0.1, 0.5, 0.4, 0.6),  # row 2 left
+            self.b(0, 0.6, 0.1, 0.9, 0.2),  # row 1 right
+        ]
+        s = sort_reading_order(rows)
+        assert s == [rows[1], rows[3], rows[2], rows[0]]
+
+
+class TestPayload:
+    def test_roundtrip(self):
+        payload = (
+            "PAGE 0 612 792\n"
+            "LINE 30 700 200 712 Helvetica,1,hello%20world\n"
+            "LINE 30 650 200 662 Times-Italic,1,second|Helvetica-Bold,1,%20line\n"
+        ).encode()
+        blocs, pages, error = extract_doc(payload)
+        assert not error
+        assert pages == [(0, 612.0, 792.0)]
+        assert [b["text"] for b in blocs] == ["hello world", "second line"]
+        b0 = blocs[0]
+        assert b0["x0"] == pytest.approx(30 / 612)
+        assert b0["y0"] == pytest.approx(1 - 712 / 792)
+        assert b0["y1"] == pytest.approx(1 - 700 / 792)
+        # style runs: the space between the two runs of line 2 inherits the
+        # italic style of the first run
+        p = blocs[1]["props"]
+        assert p[0]["italic"] is True and p[0]["fontname"] == "Times-Italic"
+        assert p[0]["begin"] == 0 and p[0]["end"] == 6
+        assert p[1]["bold"] is True and p[1]["begin"] == 7 and p[1]["end"] == 11
+
+    def test_corrupt(self):
+        blocs, pages, error = extract_doc(b"CORRUPT\n")
+        assert error and blocs == [] and pages == []
+
+    def test_bad_bytes(self):
+        blocs, _, error = extract_doc(b"\xff\xfe\x00garbage")
+        assert error
+
+    def test_out_of_bounds_dropped(self):
+        payload = (
+            "PAGE 0 100 100\nLINE 10 10 120 20 F,1,out\nLINE 10 30 90 40 F,1,in\n"
+        ).encode()
+        blocs, _, error = extract_doc(payload)
+        assert [b["text"] for b in blocs] == ["in"]
+
+    def test_empty_line_skipped(self):
+        payload = ("PAGE 0 100 100\nLINE 10 10 90 20 F,1,%20%20\n").encode()
+        blocs, _, error = extract_doc(payload)
+        assert blocs == [] and not error
+
+    def test_reading_order_applied(self):
+        payload = (
+            "PAGE 0 100 100\n"
+            "LINE 10 10 90 20 F,1,bottom\n"  # y0=10 → normalized y near 0.8
+            "LINE 10 80 90 90 F,1,top\n"
+        ).encode()
+        blocs, _, _ = extract_doc(payload)
+        assert [b["text"] for b in blocs] == ["top", "bottom"]
+        assert [b["bloc_ord"] for b in blocs] == [0, 1]
+
+
+class TestOverlapKernel:
+    def test_reference_mask_case(self):
+        # reference tests/pipes/classifiers/test_mask.py:37-46
+        dst = np.array(
+            [
+                [0.1, 0.9, 0.1, 0.2],
+                [0.1, 0.4, 0.6, 0.7],
+                [0.1, 0.9, 0.6, 0.7],
+            ]
+        )
+        # masks: body(0,0.5,0.5,1) + pollution(±1e4); threshold 0.4
+        src = np.array([[0.0, 0.5, 0.5, 1.0], [-1e4, 1e4, -1e4, 1e4]])
+        idx = align_labels_kernel(src, dst, threshold=0.4)
+        labels = np.array(["body", "pollution", None], dtype=object)[idx]
+        assert list(labels) == ["pollution", "body", "body"]
+
+    def test_reference_multi_mask_case(self):
+        # test_mask.py:49-58 — threshold 0.9 makes the wide bloc pollution
+        dst = np.array(
+            [
+                [0.1, 0.9, 0.1, 0.2],
+                [0.1, 0.4, 0.6, 0.7],
+                [0.1, 0.9, 0.6, 0.7],
+            ]
+        )
+        src = np.array([[0.0, 0.5, 0.5, 1.0], [-1e4, 1e4, -1e4, 1e4]])
+        idx = align_labels_kernel(src, dst, threshold=0.9)
+        labels = np.array(["body", "pollution", None], dtype=object)[idx]
+        assert list(labels) == ["pollution", "body", "pollution"]
+
+    def test_zero_area_dst_goes_first_src(self):
+        dst = np.array([[0.5, 0.5, 0.5, 0.5]])
+        src = np.array([[0.0, 1.0, 0.0, 1.0], [0.2, 0.8, 0.2, 0.8]])
+        idx = align_labels_kernel(src, dst, threshold=0.5)
+        assert idx[0] == 0  # all-zero scores → np.argmax picks index 0
+
+
+class TestAggregateKernel:
+    def line(self, page, x0, y0, x1, y1, text, label="body", props=()):
+        return (page, x0, y0, x1, y1, text, list(props), label)
+
+    def test_reference_no_style_case(self):
+        # reference tests/pipes/aggregators/test_simple.py:8-61
+        lines = [
+            self.line(0, 0.1, 0.1, 0.5, 0.2, "Begin"),
+            self.line(0, 0.6, 0.1, 0.7, 0.2, "and"),
+            self.line(0, 0.8, 0.1, 0.9, 0.2, "end."),
+            self.line(1, 0.8, 0.1, 0.9, 0.2, "New page"),
+        ]
+        out = aggregate_doc(lines)
+        assert out["body"][0] == "Begin and end.\n\nNew page"
+
+    def test_newline_and_paragraph_thresholds(self):
+        # heights 0.1; dy=0.05 → ratio 0.5 > 0.2 → newline;
+        # dy=0.2 → ratio 2.0 > 1.5 → paragraph
+        lines = [
+            self.line(0, 0.1, 0.1, 0.9, 0.2, "a"),
+            self.line(0, 0.1, 0.15, 0.9, 0.25, "b"),
+            self.line(0, 0.1, 0.35, 0.9, 0.45, "c"),
+        ]
+        out = aggregate_doc(lines)
+        assert out["body"][0] == "a\nb\n\nc"
+
+    def test_same_line_space(self):
+        lines = [
+            self.line(0, 0.1, 0.1, 0.3, 0.2, "a"),
+            self.line(0, 0.4, 0.1, 0.6, 0.2, "b"),
+        ]
+        assert aggregate_doc(lines)["body"][0] == "a b"
+
+    def test_span_rebasing(self):
+        props_a = [(False, True, 0, 1, "F-Bold")]
+        props_b = [(True, False, 0, 1, "F-Italic")]
+        lines = [
+            self.line(0, 0.1, 0.1, 0.3, 0.2, "a", props=props_a),
+            self.line(0, 0.4, 0.1, 0.6, 0.2, "b", props=props_b),
+        ]
+        text, styles = aggregate_doc(lines)["body"]
+        assert text == "a b"
+        assert styles[0] == (False, True, 0, 1, "F-Bold")
+        assert styles[1] == (True, False, 2, 3, "F-Italic")
+        assert styles[0][2] == 0  # first span always begins at 0
+
+    def test_label_map_fanout_and_empty_groups(self):
+        lines = [self.line(0, 0.1, 0.1, 0.9, 0.2, "t", label="title")]
+        out = aggregate_doc(lines, label_map={"text": ["title"], "header": ["h"]})
+        assert out["text"][0] == "t"
+        assert out["header"] == ("", [])  # empty mapped group still emitted
+        assert "title" not in out  # consumed by the map
+
+    def test_unlabeled_and_empty_dropped(self):
+        lines = [
+            self.line(0, 0.1, 0.1, 0.9, 0.2, "keep"),
+            self.line(0, 0.1, 0.3, 0.9, 0.4, "", label="body"),
+            self.line(0, 0.1, 0.5, 0.9, 0.6, "drop", label=None),
+        ]
+        out = aggregate_doc(lines)
+        assert out["body"][0] == "keep"
+
+    def test_sort_key(self):
+        # sort=True orders by (label, page, y1 // row_height, x0)
+        lines = [
+            self.line(0, 0.5, 0.1, 0.9, 0.2, "right"),
+            self.line(0, 0.1, 0.1, 0.4, 0.2, "left"),
+        ]
+        out = aggregate_doc(lines, sort=True)
+        assert out["body"][0].startswith("left")
