@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extract → classify → aggregate pipeline
+on a pages table deterministically derived from the sf0.001 ``documents``
+table. ``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +12,438 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → pages → extract → mask-classify → aggregate."""
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.operators import aggregate_simple, classify_mask, extract_blocs
+
+    pages = pages_from_documents(spark, SF0001)
+    blocs = extract_blocs(pages)
+    labeled = classify_mask(blocs, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1)
+    return aggregate_simple(labeled)
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_token_stats(spark, sf_dir):
+    from edspdf_spark.functions.text import with_token_stats
+
+    return with_token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "mean_token_len", "n_word_pieces"
+    )
+
+
+_TOKEN_STATS_ORACLE = r"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+  CASE WHEN trim(text) = '' THEN 0.0
+       ELSE CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                         t -> length(t))) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) END AS mean_token_len,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_word_pieces
+FROM documents
+"""
+
+
+def _q_quality(spark, sf_dir):
+    from edspdf_spark.functions.text import with_quality
+
+    return with_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "doc_len", "punct_ratio", "digit_ratio", "space_ratio", "stopword_ratio"
+    )
+
+
+_QUALITY_ORACLE = r"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS doc_len,
+  (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}<>-]', '', 'g')))
+    / (CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END) AS punct_ratio,
+  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+    / (CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END) AS digit_ratio,
+  (length(text) - length(replace(text, ' ', '')))
+    / (CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END) AS space_ratio,
+  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w IN ('the','and','of','to','is'))) AS DOUBLE)
+    / (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 OR trim(text) = ''
+       THEN 1.0 ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END)
+    AS stopword_ratio
+FROM documents
+"""
+
+
+def _q_lang_guess(spark, sf_dir):
+    from edspdf_spark.functions.text import with_lang_guess
+
+    return with_lang_guess(_docs(spark, sf_dir)).select("doc_id", "lang", "lang_guess")
+
+
+_LANG_GUESS_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('der','die','und','ist','das'))) AS score_de,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('the','and','of','to','is'))) AS score_en,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('el','los','las','es','una'))) AS score_es,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('le','la','les','et','est'))) AS score_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+       WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+       WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM s
+"""
+
+
+def _q_fingerprint(spark, sf_dir):
+    from edspdf_spark.functions.text import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+_FINGERPRINT_ORACLE = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from edspdf_spark.functions.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _q_dedup_normalized(spark, sf_dir):
+    from edspdf_spark.functions.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir), normalized=True)
+
+
+_DEDUP_NORM_ORACLE = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def _minhash_poly_sql(k: int = 5) -> str:
+    h = "0"
+    for j in range(1, k + 1):
+        h = f"(({h}) * 31 + ascii(substr(s, {j}, 1))) % 2147483647"
+    return h
+
+
+def _q_minhash(spark, sf_dir):
+    from edspdf_spark.functions.dedup import minhash_signatures
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 5)
+    return minhash_signatures(docs, k=5, n_hashes=8)
+
+
+def _minhash_oracle() -> str:
+    from edspdf_spark.functions.dedup import MINHASH_PARAMS
+
+    poly = _minhash_poly_sql(5)
+    cols = ", ".join(
+        f"list_min(list_transform(sh_hashes, h -> (CAST({a} AS BIGINT) * h + {b}) % 2147483647)) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:8])
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents WHERE length(text) >= 5
+),
+sh AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(CASE WHEN length(t) - 4 <= 0 THEN [t]
+        ELSE list_transform(generate_series(1, length(t) - 4), i -> substr(t, i, 5)) END),
+      s -> {poly}) AS sh_hashes
+  FROM norm
+)
+SELECT doc_id, {cols} FROM sh
+"""
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from edspdf_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 5)
+    sig = minhash_signatures(docs, k=5, n_hashes=8)
+    return lsh_candidate_pairs(sig, rows_per_band=2, n_hashes=8)
+
+
+def _lsh_pairs_oracle() -> str:
+    inner = _minhash_oracle()
+    return f"""
+WITH sig AS ({inner}),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from edspdf_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(docs, k=3)
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN length(t) - 2 <= 0 THEN [t]
+         ELSE list_transform(generate_series(1, length(t) - 2), i -> substr(t, i, 3)) END
+  )) AS s
+  FROM docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+def _q_simhash(spark, sf_dir):
+    from edspdf_spark.functions.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-5: expression-based (element_at sums in the
+    same left-assoc order as the SQL oracle) for bit-identical ranking."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+
+    dot = F.lit(0.0)
+    nc = F.lit(0.0)
+    nq = F.lit(0.0)
+    for j in range(dim):
+        ce = F.element_at(F.col("embedding"), j + 1).cast("double")
+        qe = F.element_at(F.col("q_emb"), j + 1).cast("double")
+        dot = dot + ce * qe
+        nc = nc + ce * ce
+        nq = nq + qe * qe
+    cos = dot / (F.sqrt(nc) * F.sqrt(nq))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id")
+    )
+
+
+def _ann_cosine_oracle(dim: int = 64) -> str:
+    dot = " + ".join(f"CAST(c.embedding[{j}] AS DOUBLE) * CAST(q.embedding[{j}] AS DOUBLE)" for j in range(1, dim + 1))
+    nc = " + ".join(f"CAST(c.embedding[{j}] AS DOUBLE) * CAST(c.embedding[{j}] AS DOUBLE)" for j in range(1, dim + 1))
+    nq = " + ".join(f"CAST(q.embedding[{j}] AS DOUBLE) * CAST(q.embedding[{j}] AS DOUBLE)" for j in range(1, dim + 1))
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 31 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    ({dot}) / (sqrt({nc}) * sqrt({nq})) AS cos
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
+# --- generic relational coverage -------------------------------------------
+
+def _q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_topk_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+    )
+
+
+_TOPK_JOIN_ORACLE = """
+SELECT o_orderkey, o_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _q_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 1000).cast("long")).over(w).alias("run_milli"),
+    )
+
+
+_RUNNING_SUM_ORACLE = """
+SELECT event_id, user_id,
+  SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_milli
+FROM events
+"""
+
+
+def _q_anti_join(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from edspdf_spark import entry_queries as eq
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # pipeline operator family (SURVEY.md §2.2-2.4)
+        "mask_argmax": eq.q_mask_argmax,
+        "layout_features": eq.q_layout_features,
+        "bioul_tags": eq.q_bioul_tags,
+        "group_concat_separators": eq.q_group_concat_separators,
+        "label_factorize": eq.q_label_factorize,
+        "merged_bbox": eq.q_merged_bbox,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "quality_signals": _q_quality,
+        "lang_guess": _q_lang_guess,
+        "doc_fingerprint": _q_fingerprint,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
+        "minhash_signatures": _q_minhash,
+        "lsh_candidate_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        # similarity
+        "ann_cosine_topk": _q_ann_cosine,
+        # generic relational
+        "pricing_summary": _q_pricing_summary,
+        "topk_join": _q_topk_join,
+        "running_sum": _q_running_sum,
+        "anti_join": _q_anti_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from edspdf_spark import entry_queries as eq
+
+    return {
+        "mask_argmax": eq.mask_argmax_oracle(),
+        "layout_features": eq.LAYOUT_FEATURES_ORACLE,
+        "bioul_tags": eq.BIOUL_ORACLE,
+        "group_concat_separators": eq.GROUP_CONCAT_ORACLE,
+        "label_factorize": eq.LABEL_FACTORIZE_ORACLE,
+        "merged_bbox": eq.MERGED_BBOX_ORACLE,
+        "token_stats": _TOKEN_STATS_ORACLE,
+        "quality_signals": _QUALITY_ORACLE,
+        "lang_guess": _LANG_GUESS_ORACLE,
+        "doc_fingerprint": _FINGERPRINT_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_normalized": _DEDUP_NORM_ORACLE,
+        "minhash_signatures": _minhash_oracle(),
+        "lsh_candidate_pairs": _lsh_pairs_oracle(),
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        # simhash: xxhash64-based — not SQL-portable; rows-only check
+        "ann_cosine_topk": _ann_cosine_oracle(),
+        "pricing_summary": _PRICING_ORACLE,
+        "topk_join": _TOPK_JOIN_ORACLE,
+        "running_sum": _RUNNING_SUM_ORACLE,
+        "anti_join": _ANTI_JOIN_ORACLE,
+    }

@@ -1,0 +1,146 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline: end-to-end extract → classify → aggregate docs/sec on a pages
+corpus (BASELINE.md metric), plus per-query wall seconds for the heavy
+operator families. SF dir and core count come from the driver environment:
+
+    SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    (default 32)
+
+Each query materializes fully via the noop sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edspdf_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "4000"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_pipeline_documents(spark, sf_dir):
+    """Flagship: documents-derived pages through the full pipeline."""
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.operators import aggregate_simple, classify_mask, extract_blocs
+
+    pages = pages_from_documents(spark, sf_dir)
+    blocs = extract_blocs(pages)
+    labeled = classify_mask(blocs, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1)
+    materialize(aggregate_simple(labeled))
+
+
+def bench_pipeline_synthetic(spark, corpus_path):
+    """Synthetic skewed corpus (pre-written parquet) through the pipeline,
+    with the length-bucketed salted repartition in front."""
+    from edspdf_spark.operators import aggregate_simple, classify_mask, extract_blocs
+    from edspdf_spark.skew import repartition_pages
+
+    pages = spark.read.parquet(corpus_path)
+    pages = repartition_pages(pages, CPUS * 4)
+    blocs = extract_blocs(pages)
+    labeled = classify_mask(blocs, [("body", 0.2, 0.3, 0.9, 0.6)], threshold=0.1)
+    materialize(aggregate_simple(labeled))
+
+
+def bench_mask_argmax(spark, sf_dir):
+    from edspdf_spark import entry_queries as eq
+
+    materialize(eq.q_mask_argmax(spark, sf_dir))
+
+
+def bench_minhash_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length("text") >= 5
+    )
+    sig = minhash_signatures(docs, k=5, n_hashes=8)
+    materialize(lsh_candidate_pairs(sig, rows_per_band=2, n_hashes=8))
+
+
+def bench_ann(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    materialize(cosine_topk(emb, q, k=10))
+
+
+def bench_pricing(spark, sf_dir):
+    import __spark_entry__ as e
+
+    materialize(e._q_pricing_summary(spark, sf_dir))
+
+
+def main():
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="edspdf-bench",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # pre-generate the synthetic corpus outside the timed section
+    corpus_path = f"/tmp/edspdf_bench_corpus_{SYNTH_DOCS}"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        from edspdf_spark.fixtures import write_corpus
+
+        write_corpus(spark, corpus_path, SYNTH_DOCS, partitions=CPUS * 2)
+
+    n_documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    queries = {
+        "pipeline_documents": lambda: bench_pipeline_documents(spark, SF_DIR),
+        "pipeline_synthetic_skewed": lambda: bench_pipeline_synthetic(
+            spark, corpus_path
+        ),
+        "mask_argmax": lambda: bench_mask_argmax(spark, SF_DIR),
+        "minhash_lsh": lambda: bench_minhash_lsh(spark, SF_DIR),
+        "ann_cosine_topk": lambda: bench_ann(spark, SF_DIR),
+        "pricing_summary": lambda: bench_pricing(spark, SF_DIR),
+    }
+
+    timings = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total_docs = n_documents + SYNTH_DOCS
+    pipeline_secs = timings["pipeline_documents"] + timings["pipeline_synthetic_skewed"]
+    docs_per_sec = round(total_docs / pipeline_secs, 2) if pipeline_secs else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_docs_per_sec_extract_classify_aggregate",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "docs": total_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each query exercises one operator family from SURVEY.md §2 over the driver's
+testdata tables, with an ANSI-SQL oracle producing identical values (column
+names aligned, deterministic arithmetic only — float expressions use the
+same operation order in both engines).
+
+The synthetic "blocs" used by the spatial-operator queries are derived from
+lineitem with exact integer→double arithmetic so Spark and DuckDB compute
+bit-identical coordinates:
+
+    url      = l_orderkey
+    page_num = l_linenumber % 3
+    bloc_ord = l_linenumber
+    x0 = (l_partkey % 40) / 100.0          x1 = x0 + 0.3 + (l_suppkey % 7) / 20.0
+    y0 = (l_partkey % 53) / 80.0           y1 = y0 + 0.012 + (l_suppkey % 11) / 400.0
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from edspdf_spark.schemas import BLOC_SCHEMA
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# synthetic blocs from lineitem (shared by the spatial queries)
+# ---------------------------------------------------------------------------
+
+# NOTES for engine portability:
+# * STRING is accepted by both Spark SQL and DuckDB (alias of VARCHAR);
+# * numerators are CAST AS DOUBLE because Spark parses bare `100.0` as
+#   DECIMAL while DuckDB parses it as DOUBLE — double/decimal → double in
+#   both, with bit-identical results;
+# * (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+#   lineitem, so bloc_ord packs (linenumber, partkey, suppkey) — verified
+#   unique — to keep every window/order deterministic across engines.
+_BLOC_SQL_EXPRS = {
+    "url": "CAST(l_orderkey AS STRING)",
+    "page_num": "CAST(l_linenumber % 3 AS INT)",
+    "bloc_ord": "CAST(l_linenumber * 1000000 + l_partkey * 100 + l_suppkey AS INT)",
+    "x0": "CAST(l_partkey % 40 AS DOUBLE) / 100.0",
+    "x1": "CAST(l_partkey % 40 AS DOUBLE) / 100.0 + 0.3 + CAST(l_suppkey % 7 AS DOUBLE) / 20.0",
+    "y0": "CAST(l_partkey % 53 AS DOUBLE) / 80.0",
+    "y1": "CAST(l_partkey % 53 AS DOUBLE) / 80.0 + 0.012 + CAST(l_suppkey % 11 AS DOUBLE) / 400.0",
+}
+
+BLOCS_FROM_LINEITEM_SQL = (
+    "SELECT "
+    + ", ".join(f"{expr} AS {name}" for name, expr in _BLOC_SQL_EXPRS.items())
+    + ", CAST(NULL AS STRING) AS text, NULL AS props,"
+    " CAST(NULL AS STRING) AS label, FALSE AS error FROM lineitem"
+)
+
+
+def blocs_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    df = li.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in _BLOC_SQL_EXPRS.items()],
+        "CAST(NULL AS STRING) AS text",
+        "CAST(array() AS array<struct<italic:boolean,bold:boolean,begin:int,end:int,fontname:string>>) AS props",
+        "CAST(NULL AS STRING) AS label",
+        "CAST(FALSE AS BOOLEAN) AS error",
+    )
+    return df
+
+
+# masks used by the mask-argmax query (same literals in Spark and SQL)
+Q_MASKS = [
+    ("header", 0.0, 0.0, 1.0, 0.15),
+    ("body", 0.05, 0.2, 0.95, 0.85),
+    ("footer", 0.0, 0.9, 1.0, 1.0),
+]
+Q_THRESHOLD = 0.1
+
+
+def mask_sql_rows() -> str:
+    """VALUES list replicating classify_mask's full catch-all stack:
+    user masks (rank=insertion), pollution ±1e4 (rank=n), align catch-all
+    ±1e5 with NULL label (rank=n+1)."""
+    rows = [
+        f"('{label}', {x0}, {y0}, {x1}, {y1}, {rank})"
+        for rank, (label, x0, y0, x1, y1) in enumerate(Q_MASKS)
+    ]
+    n = len(Q_MASKS)
+    rows.append(f"('pollution', -10000.0, -10000.0, 10000.0, 10000.0, {n})")
+    rows.append(f"(CAST(NULL AS STRING), -100000.0, -100000.0, 100000.0, 100000.0, {n + 1})")
+    return ", ".join(rows)
+
+
+def q_mask_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/A1 — broadcast overlap join + window argmax via the REAL operator."""
+    from edspdf_spark.operators.classify import classify_mask
+
+    blocs = blocs_from_lineitem(spark, sf_dir)
+    out = classify_mask(blocs, Q_MASKS, threshold=Q_THRESHOLD)
+    return out.select(
+        "url", "page_num", "bloc_ord", F.col("label").alias("mask_label")
+    )
+
+
+MASK_ARGMAX_ORACLE = f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL}),
+masks(m_label, m_x0, m_y0, m_x1, m_y1, m_rank) AS (VALUES {{mask_rows}}),
+scored AS (
+  SELECT b.url, b.page_num, b.bloc_ord, m.m_label, m.m_rank,
+    CASE WHEN
+      (GREATEST(LEAST(m.m_x1, b.x1) - GREATEST(m.m_x0, b.x0), 0)
+       * GREATEST(LEAST(m.m_y1, b.y1) - GREATEST(m.m_y0, b.y0), 0))
+      / (CASE WHEN (b.x1-b.x0)*(b.y1-b.y0) = 0 THEN 1.0 ELSE (b.x1-b.x0)*(b.y1-b.y0) END)
+      < {Q_THRESHOLD} THEN 0.0
+    ELSE
+      (GREATEST(LEAST(m.m_x1, b.x1) - GREATEST(m.m_x0, b.x0), 0)
+       * GREATEST(LEAST(m.m_y1, b.y1) - GREATEST(m.m_y0, b.y0), 0))
+      / (CASE WHEN (m.m_x1-m.m_x0)*(m.m_y1-m.m_y0) = 0 THEN 1.0 ELSE (m.m_x1-m.m_x0)*(m.m_y1-m.m_y0) END)
+    END AS score
+  FROM blocs b CROSS JOIN masks m
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url, page_num, bloc_ord ORDER BY score DESC, m_rank ASC
+  ) AS rn FROM scored
+)
+SELECT url, page_num, bloc_ord, m_label AS mask_label FROM ranked WHERE rn = 1
+"""
+
+
+def mask_argmax_oracle() -> str:
+    return MASK_ARGMAX_ORACLE.replace("{mask_rows}", mask_sql_rows())
+
+
+def q_layout_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — box layout features as pure projections + per-url window."""
+    from edspdf_spark.operators.features import with_layout_features
+
+    blocs = blocs_from_lineitem(spark, sf_dir)
+    out = with_layout_features(blocs)
+    return out.select(
+        "url",
+        "page_num",
+        "bloc_ord",
+        F.col("f_width").alias("width"),
+        F.col("f_height").alias("height"),
+        F.col("f_first_page").alias("first_page"),
+        F.col("f_last_page").alias("last_page"),
+    )
+
+
+LAYOUT_FEATURES_ORACLE = f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL})
+SELECT url, page_num, bloc_ord,
+  x1 - x0 AS width,
+  y1 - y0 AS height,
+  CAST(page_num = MIN(page_num) OVER (PARTITION BY url) AS DOUBLE) AS first_page,
+  CAST(page_num = MAX(page_num) OVER (PARTITION BY url) AS DOUBLE) AS last_page
+FROM blocs
+"""
+
+
+def q_bioul_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (tagging half) — B/I/L/U by position within an ordered group."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    ordered = w.orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(ordered))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "bioul",
+            F.when(F.col("cnt") == 1, F.lit("U"))
+            .when(F.col("rn") == 1, F.lit("B"))
+            .when(F.col("rn") == F.col("cnt"), F.lit("L"))
+            .otherwise(F.lit("I")),
+        )
+        .select("event_id", "user_id", "event_type", "bioul")
+    )
+
+
+BIOUL_ORACLE = """
+SELECT event_id, user_id, event_type,
+  CASE WHEN cnt = 1 THEN 'U' WHEN rn = 1 THEN 'B'
+       WHEN rn = cnt THEN 'L' ELSE 'I' END AS bioul
+FROM (
+  SELECT event_id, user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+  FROM events
+) t
+"""
+
+
+def q_group_concat_separators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6's SQL-expressible core — ordered concat with dy/median separator
+    rules (newline vs paragraph thresholds), per url."""
+    blocs = blocs_from_lineitem(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("L"), F.col("bloc_ord").cast("string"))
+    )
+    w = Window.partitionBy("url")
+    wo = w.orderBy("page_num", "bloc_ord")
+    df = (
+        blocs.withColumn("next_y1", F.lead("y1").over(wo))
+        .withColumn("next_page", F.lead("page_num").over(wo))
+        .withColumn("med_h", F.expr("percentile(y1 - y0, 0.5)").over(w))
+        .withColumn(
+            "sep",
+            F.when(F.col("next_page").isNull(), F.lit(""))
+            .when(F.col("next_page") != F.col("page_num"), F.lit("\n\n"))
+            .when((F.col("next_y1") - F.col("y1")) / F.col("med_h") > 1.5, F.lit("\n\n"))
+            .when((F.col("next_y1") - F.col("y1")) / F.col("med_h") > 0.2, F.lit("\n"))
+            .otherwise(F.lit(" ")),
+        )
+        .withColumn("piece", F.concat("text", "sep"))
+    )
+    return (
+        df.groupBy("url")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("page_num", "bloc_ord", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+            ).alias("doc_text")
+        )
+        .select("url", "doc_text")
+    )
+
+
+GROUP_CONCAT_ORACLE = f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL}),
+t AS (
+  SELECT url, page_num, bloc_ord, 'L' || CAST(bloc_ord AS VARCHAR) AS text, y0, y1,
+    LEAD(y1) OVER (PARTITION BY url ORDER BY page_num, bloc_ord) AS next_y1,
+    LEAD(page_num) OVER (PARTITION BY url ORDER BY page_num, bloc_ord) AS next_page,
+    MEDIAN(y1 - y0) OVER (PARTITION BY url) AS med_h
+  FROM blocs
+),
+p AS (
+  SELECT url, page_num, bloc_ord, text ||
+    CASE WHEN next_page IS NULL THEN ''
+         WHEN next_page != page_num THEN chr(10) || chr(10)
+         WHEN (next_y1 - y1) / med_h > 1.5 THEN chr(10) || chr(10)
+         WHEN (next_y1 - y1) / med_h > 0.2 THEN chr(10)
+         ELSE ' ' END AS piece
+  FROM t
+)
+SELECT url, STRING_AGG(piece, '' ORDER BY page_num, bloc_ord) AS doc_text
+FROM p GROUP BY url
+"""
+
+
+def q_label_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_factorize (utils/collections.py:279-297): first-seen-order
+    integer codes for a label vocabulary."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("event_type").agg(F.min("event_id").alias("first_id"))
+    w = Window.orderBy("first_id")
+    return first_seen.select(
+        "event_type", (F.row_number().over(w) - 1).alias("code")
+    )
+
+
+LABEL_FACTORIZE_ORACLE = """
+SELECT event_type,
+  CAST(ROW_NUMBER() OVER (ORDER BY first_id) - 1 AS INT) AS code
+FROM (SELECT event_type, MIN(event_id) AS first_id FROM events GROUP BY event_type) t
+"""
+
+
+def q_merged_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's relational tail — per-(url,label) bounding-box aggregation."""
+    blocs = blocs_from_lineitem(spark, sf_dir).withColumn(
+        "label",
+        F.when(F.col("page_num") == 0, "header")
+        .when(F.col("page_num") == 1, "body")
+        .otherwise("footer"),
+    )
+    return blocs.groupBy("url", "label").agg(
+        F.min("x0").alias("bx0"),
+        F.min("y0").alias("by0"),
+        F.max("x1").alias("bx1"),
+        F.max("y1").alias("by1"),
+        F.count(F.lit(1)).alias("n_boxes"),
+    )
+
+
+MERGED_BBOX_ORACLE = f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL}),
+lab AS (
+  SELECT *, CASE WHEN page_num = 0 THEN 'header'
+                 WHEN page_num = 1 THEN 'body' ELSE 'footer' END AS label2
+  FROM blocs
+)
+SELECT url, label2 AS label, MIN(x0) AS bx0, MIN(y0) AS by0,
+       MAX(x1) AS bx1, MAX(y1) AS by1, COUNT(*) AS n_boxes
+FROM lab GROUP BY url, label2
+"""

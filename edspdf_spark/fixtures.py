@@ -138,3 +138,47 @@ def build_pages_df(spark, n: int, partitions: int | None = None):
 
 def write_corpus(spark, path: str, n: int, partitions: int | None = None) -> None:
     build_pages_df(spark, n, partitions).write.mode("overwrite").parquet(path)
+
+
+def _doc_to_payload(doc_id: int, text: str) -> bytes:
+    """Deterministically lay a document's words out as a layout payload:
+    6 words per line, 12 lines per page, top-down; fonts cycle by line."""
+    words = (text or "").split()
+    lines = [" ".join(words[i : i + 6]) for i in range(0, len(words), 6)] or [""]
+    out = []
+    per_page = 12
+    for p in range(0, len(lines), per_page):
+        page_num = p // per_page
+        out.append(f"PAGE {page_num} {PAGE_W} {PAGE_H}")
+        for j, line in enumerate(lines[p : p + per_page]):
+            if not line:
+                continue
+            y1 = PAGE_H - 40.0 - j * 20.0
+            y0 = y1 - 11.0
+            font = _FONTS[(doc_id + j) % len(_FONTS)]
+            out.append(
+                f"LINE 50.0 {y0} 450.0 {y1} " + encode_run(font, True, line)
+            )
+    return ("\n".join(out) + "\n").encode("utf-8")
+
+
+def pages_from_documents(spark, sf_dir: str):
+    """Adapter: the driver's ``documents`` table → a deterministic pages
+    table (BASELINE input_hint shape), used by the flagship entry query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "url": f"doc://{int(r.doc_id):08d}",
+                    "warc_ts": _EPOCH + _dt.timedelta(seconds=int(r.doc_id) * 137),
+                    "html": _doc_to_payload(int(r.doc_id), r.text),
+                    "text": r.text,
+                    "lang": r.lang,
+                }
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -1,0 +1,30 @@
+from edspdf_spark.functions.text import (
+    with_token_stats,
+    with_quality,
+    with_lang_guess,
+    with_fingerprint,
+)
+from edspdf_spark.functions.dedup import (
+    dedup_exact,
+    normalize_text,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    simhash64,
+    ngram_jaccard_pairs,
+)
+from edspdf_spark.functions.similarity import cosine_topk, lsh_ann_topk
+
+__all__ = [
+    "with_token_stats",
+    "with_quality",
+    "with_lang_guess",
+    "with_fingerprint",
+    "dedup_exact",
+    "normalize_text",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash64",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+]

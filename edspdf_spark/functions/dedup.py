@@ -1,0 +1,224 @@
+"""Deduplication family for web-scale corpora.
+
+Exact, near-dup (MinHash+LSH, SimHash) and n-gram Jaccard — all expressed
+with built-in functions (higher-order array ops, hash functions); the only
+shuffles are the groupBys on hash/band keys, which is the theoretical
+minimum for dedup. At 100 TB the LSH band→bucket groupBy is the scale path:
+candidate generation is linear, pairwise verification only runs within
+buckets.
+
+Portable hashing: where the DuckDB oracle must reproduce values, we use a
+closed-form polynomial over codepoints (``ascii(substr(s, i, 1))`` behaves
+identically in Spark and DuckDB) instead of engine-specific murmur/xxhash.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE = 2147483647  # 2^31 - 1
+
+# (a, b) parameters of the n universal hash functions h_i = (a*x + b) % p —
+# fixed constants so Spark and DuckDB agree.
+MINHASH_PARAMS: List[Tuple[int, int]] = [
+    (1103515245, 12345),
+    (1140671485, 12820163),
+    (214013, 2531011),
+    (22695477, 1),
+    (134775813, 1),
+    (1664525, 1013904223),
+    (69069, 0),
+    (75, 74),
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """Whitespace-collapse + trim + lowercase (same semantics in DuckDB)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = False
+) -> DataFrame:
+    """Exact dedup: md5-group, keep the smallest id per group.
+
+    Map-side partial aggregation applies (hash groupBy); the dedup key is
+    the digest, never the full text, so shuffle volume is O(docs × 32B).
+    """
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.groupBy(F.md5(key).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Character k-shingles as an array column (distinct)."""
+    n = F.length(col) - F.lit(k - 1)
+    return F.array_distinct(
+        F.when(n <= 0, F.array(col)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k)
+            )
+        )
+    )
+
+
+def _poly_shingle_hash(sh: Column, k: int) -> Column:
+    """Closed-form polynomial hash of a fixed-length shingle — identical
+    arithmetic is expressible in DuckDB (see oracle SQL)."""
+    h = F.lit(0).cast("long")
+    for j in range(1, k + 1):
+        h = (h * F.lit(31) + F.ascii(F.substring(sh, j, 1))) % F.lit(MERSENNE)
+    return h
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_hashes: int = 8,
+    normalized: bool = True,
+) -> DataFrame:
+    """MinHash signature per document: ``sig_i = min over shingles of
+    (a_i * poly(shingle) + b_i) % p``."""
+    assert n_hashes <= len(MINHASH_PARAMS)
+    base = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    sh = shingles(base, k)
+    hashed = F.transform(sh, lambda s: _poly_shingle_hash(s, k))
+    out = df.select(F.col(id_col), hashed.alias("_sh_hashes"))
+
+    def affine(a: int, b: int):
+        def fn(h):
+            return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)
+
+        return fn
+
+    for i in range(n_hashes):
+        a, b = MINHASH_PARAMS[i]
+        out = out.withColumn(
+            f"mh{i}",
+            F.array_min(F.transform(F.col("_sh_hashes"), affine(a, b))),
+        )
+    return out.drop("_sh_hashes")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2, n_hashes: int = 8
+) -> DataFrame:
+    """Band the signature (rows_per_band hashes per band), bucket-join:
+    documents sharing any band bucket become candidate near-dup pairs.
+
+    The join is per-band groupBy + self-join WITHIN buckets — never a full
+    cross join; this is what keeps near-dedup feasible at 10^12 docs.
+    """
+    n_bands = n_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col(f"l.band") == F.col(f"r.band"),
+                F.col(f"l.bucket") == F.col(f"r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    hashes (xxhash64 — Spark-side; near-dup = small Hamming distance)."""
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(bit: int):
+        def fn(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fn
+
+    bits = []
+    for bit in range(64):
+        votes = F.aggregate(th, F.lit(0), vote(bit))
+        # bit 63 is the sign bit in int64: contributes -2^63 when set
+        weight = (1 << bit) if bit < 63 else -(1 << 63)
+        bits.append(
+            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(weight).cast("long")
+        )
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    normalized: bool = True,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle explode + equi-join on shingle
+    (linear in total shingles + output pairs; use only on pre-filtered /
+    bucketed candidates at scale)."""
+    base = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(base, k)).alias("sh")
+    )
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )

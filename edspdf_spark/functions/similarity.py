@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* ``cosine_topk`` — brute-force exact top-k. The query side is collected to
+  a (small) NumPy matrix and closed over by an Arrow-batched ``mapInPandas``
+  stage that does one BLAS matmul per batch, keeps a PARTITION-LOCAL top-k,
+  and only then shuffles k rows per (query × partition) for the global
+  top-k. Driver never sees the corpus.
+* ``lsh_ann_topk`` — random-hyperplane LSH: bucket by sign bits, search only
+  within the query's bucket (+ optional multi-probe). The scale path: the
+  candidate set per query is corpus/2^bits on average.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ]
+)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus."""
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            sims = q_mat @ mat.T  # (n_q, n_batch)
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {
+                "query_id": np.repeat(q_ids, kk),
+                "vec_id": ids[top].ravel(),
+                "cosine": np.take_along_axis(sims, top, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign bucket, exact search within
+    the bucket. Recall grows with fewer bits / multi-probe; this is the
+    pattern that scales to 10^12 vectors (bucket = shuffle key)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    H = hyperplanes(dim, n_bits, seed)
+
+    sign_bits = F.lit(0).cast("long")
+    for b in range(n_bits):
+        dot = F.lit(0.0)
+        for j in range(dim):
+            dot = dot + F.element_at(F.col(vec_col), j + 1) * F.lit(float(H[b, j]))
+        sign_bits = sign_bits + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    c = corpus.withColumn("bucket", sign_bits).alias("c")
+    q = queries.withColumn("bucket", sign_bits).alias("q")
+
+    dot_expr = F.lit(0.0)
+    for j in range(dim):
+        dot_expr = dot_expr + F.element_at(F.col(f"c.{vec_col}"), j + 1) * F.element_at(
+            F.col(f"q.{vec_col}"), j + 1
+        )
+
+    def norm_expr(side: str):
+        s = F.lit(0.0)
+        for j in range(dim):
+            e = F.element_at(F.col(f"{side}.{vec_col}"), j + 1)
+            s = s + e * e
+        return F.sqrt(s)
+
+    joined = q.join(c, on=F.col("q.bucket") == F.col("c.bucket")).select(
+        F.col(f"q.{id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("vec_id"),
+        (dot_expr / (norm_expr("q") * norm_expr("c"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -1,0 +1,121 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator has a DuckDB-portable
+formulation used by the correctness oracle (see ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic, engine-portable marker lists for the n-gram language guess
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>-]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def _isin_pred(values):
+    # closure factory: a default-arg lambda would change the lambda's arity
+    # and make Spark pass the element index as the extra argument
+    def pred(w):
+        return w.isin(*values)
+
+    return pred
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + mean token length (BPE-ish regex count of
+    word pieces as a bonus column)."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+                total_len.cast("double") / n_tokens.cast("double")
+            ),
+        )
+        .withColumn(
+            "n_word_pieces",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+"), 0)).cast(
+                "long"
+            ),
+        )
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / space / stopword ratio quality signals
+    (C4/Gopher-style heuristics, relational form)."""
+    t = F.col(text_col)
+    length = F.length(t).cast("double")
+    safe_len = F.when(length == 0, F.lit(1.0)).otherwise(length)
+    punct = length - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    digits = length - F.length(F.regexp_replace(t, "[0-9]", ""))
+    spaces = length - F.length(F.regexp_replace(t, " ", ""))
+    stop = F.size(
+        F.filter(
+            F.split(F.lower(t), r"\s+"),
+            _isin_pred(LANG_MARKERS["en"]),
+        )
+    ).cast("double")
+    n_tok = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(_tokens(t))).cast(
+        "double"
+    )
+    safe_tok = F.when(n_tok == 0, F.lit(1.0)).otherwise(n_tok)
+    return (
+        df.withColumn("doc_len", length.cast("long"))
+        .withColumn("punct_ratio", punct / safe_len)
+        .withColumn("digit_ratio", digits / safe_len)
+        .withColumn("space_ratio", spaces / safe_len)
+        .withColumn("stopword_ratio", stop / safe_tok)
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count exact-token hits per language, argmax
+    with deterministic (score DESC, lang ASC) tie-break; 'und' when no
+    marker hits at all."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    out = df
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(words, _isin_pred(markers))),
+        )
+    langs = sorted(LANG_MARKERS.keys())
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        guess = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    return out.withColumn("lang_guess", guess).drop(
+        *[f"score_{l}" for l in langs]
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: MD5 (engine-portable, used by the oracle) and
+    a 64-bit polynomial rolling hash over codepoints (Spark-side)."""
+    t = F.col(text_col)
+    poly = F.aggregate(
+        F.filter(F.split(t, ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(2147483647),
+    )
+    return df.withColumn("fp_md5", F.md5(t)).withColumn("fp_poly", poly)

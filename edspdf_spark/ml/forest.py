@@ -1,0 +1,212 @@
+"""P8 — trainable classifier as a NumPy random forest served in a
+vectorized pandas UDF.
+
+The north-star mandates "a re-trained sklearn random-forest on the same
+bbox/layout features" (BASELINE.json). sklearn is not installed in this
+sandbox, so this is a small, self-contained NumPy CART ensemble with the
+same contract: fit on the E1 feature matrix
+(xmin/ymin/xmax/ymax/width/height/first_page/last_page/page_num/n_chars —
+reference ``edspdf/pipes/embeddings/box_layout_preprocessor.py:25-95``),
+predict argmax class per bloc. Deterministic (seeded bootstrap + feature
+subsampling).
+
+Serving: the fitted model is pickled into the UDF closure (≙ broadcast —
+cloudpickle ships it once per executor); prediction is vectorized NumPy
+array traversal per Arrow batch, no per-row Python. Replaces the reference
+torch path (``pipes/classifiers/trainable.py:176-201``) per SURVEY.md P8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class _Tree:
+    # flat arrays; node i: children 2i+1 / 2i+2 implicit via child index arrays
+    feature: np.ndarray = None
+    threshold: np.ndarray = None
+    left: np.ndarray = None
+    right: np.ndarray = None
+    value: np.ndarray = None  # class distribution per node (leaf used)
+
+
+def _gini_split(x_col, y, classes, min_leaf):
+    """Best threshold on one feature column by Gini impurity."""
+    order = np.argsort(x_col, kind="stable")
+    xs, ys = x_col[order], y[order]
+    n = len(ys)
+    # candidate split points: midpoints between distinct consecutive values
+    counts = np.zeros((n + 1, len(classes)), dtype=np.int64)
+    for ci, c in enumerate(classes):
+        counts[1:, ci] = np.cumsum(ys == c)
+    total = counts[-1]
+    best = (None, np.inf)
+    distinct = np.nonzero(xs[1:] != xs[:-1])[0] + 1
+    for i in distinct:
+        if i < min_leaf or n - i < min_leaf:
+            continue
+        lc, rc = counts[i], total - counts[i]
+        nl, nr = i, n - i
+        gl = 1.0 - ((lc / nl) ** 2).sum()
+        gr = 1.0 - ((rc / nr) ** 2).sum()
+        g = (nl * gl + nr * gr) / n
+        if g < best[1]:
+            best = ((xs[i - 1] + xs[i]) / 2.0, g)
+    return best
+
+
+class RandomForest:
+    """Seeded CART ensemble; fit(X, y) / predict(X) with string labels."""
+
+    def __init__(
+        self,
+        n_trees: int = 8,
+        max_depth: int = 8,
+        min_leaf: int = 5,
+        max_features: Optional[int] = None,
+        seed: int = 42,
+    ):
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+        self.min_leaf = min_leaf
+        self.max_features = max_features
+        self.seed = seed
+        self.classes_: List[str] = []
+        self.trees: List[dict] = []
+
+    def _build(self, X, y, rng, depth, nodes):
+        node_id = len(nodes)
+        counts = np.array([(y == c).sum() for c in range(len(self.classes_))])
+        nodes.append({"feature": -1, "threshold": 0.0, "left": -1, "right": -1, "counts": counts})
+        if depth >= self.max_depth or len(y) < 2 * self.min_leaf or len(np.unique(y)) == 1:
+            return node_id
+        n_feat = X.shape[1]
+        k = self.max_features or max(1, int(np.sqrt(n_feat)))
+        feats = rng.choice(n_feat, size=min(k, n_feat), replace=False)
+        best = (None, None, np.inf)
+        for f in feats:
+            thr, g = _gini_split(X[:, f], y, range(len(self.classes_)), self.min_leaf)
+            if thr is not None and g < best[2]:
+                best = (f, thr, g)
+        if best[0] is None:
+            return node_id
+        f, thr, _ = best
+        mask = X[:, f] <= thr
+        nodes[node_id]["feature"] = int(f)
+        nodes[node_id]["threshold"] = float(thr)
+        nodes[node_id]["left"] = self._build(X[mask], y[mask], rng, depth + 1, nodes)
+        nodes[node_id]["right"] = self._build(X[~mask], y[~mask], rng, depth + 1, nodes)
+        return node_id
+
+    def fit(self, X: np.ndarray, y_labels) -> "RandomForest":
+        X = np.asarray(X, dtype=np.float64)
+        self.classes_ = sorted(set(map(str, y_labels)))
+        idx = {c: i for i, c in enumerate(self.classes_)}
+        y = np.array([idx[str(v)] for v in y_labels], dtype=np.int64)
+        self.trees = []
+        for t in range(self.n_trees):
+            rng = np.random.default_rng(self.seed + t)
+            boot = rng.integers(0, len(y), size=len(y))
+            nodes: list = []
+            self._build(X[boot], y[boot], rng, 0, nodes)
+            self.trees.append(
+                {
+                    "feature": np.array([n["feature"] for n in nodes]),
+                    "threshold": np.array([n["threshold"] for n in nodes]),
+                    "left": np.array([n["left"] for n in nodes]),
+                    "right": np.array([n["right"] for n in nodes]),
+                    "counts": np.stack([n["counts"] for n in nodes]).astype(np.float64),
+                }
+            )
+        return self
+
+    def _tree_proba(self, tree, X):
+        n = len(X)
+        node = np.zeros(n, dtype=np.int64)
+        active = np.ones(n, dtype=bool)
+        while active.any():
+            f = tree["feature"][node]
+            leaf = f < 0
+            active &= ~leaf
+            if not active.any():
+                break
+            go_left = np.zeros(n, dtype=bool)
+            idx = np.nonzero(active)[0]
+            go_left[idx] = X[idx, f[idx]] <= tree["threshold"][node[idx]]
+            node[idx] = np.where(
+                go_left[idx], tree["left"][node[idx]], tree["right"][node[idx]]
+            )
+        c = tree["counts"][node]
+        s = c.sum(axis=1, keepdims=True)
+        s[s == 0] = 1
+        return c / s
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        p = np.zeros((len(X), len(self.classes_)))
+        for tree in self.trees:
+            p += self._tree_proba(tree, X)
+        return p / len(self.trees)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        p = self.predict_proba(X)
+        return np.array(self.classes_, dtype=object)[p.argmax(axis=1)]
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+from edspdf_spark.operators.features import FEATURE_COLS  # noqa: E402
+
+
+def _feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
+    return pdf[FEATURE_COLS].to_numpy(dtype=np.float64)
+
+
+def train_forest_on_masks(
+    labeled_blocs, sample_fraction: float = 1.0, seed: int = 42, **forest_kw
+) -> RandomForest:
+    """Train on mask-classifier output (the distant-supervision recipe from
+    the north-star): features = E1 layout columns, labels = mask labels.
+    The training sample is collected to the driver (bounded via
+    ``sample_fraction``) — training is offline; serving is distributed."""
+    from edspdf_spark.operators.features import with_layout_features
+    from pyspark.sql import functions as F
+
+    feat = with_layout_features(labeled_blocs.filter(~F.col("error")))
+    if sample_fraction < 1.0:
+        feat = feat.sample(fraction=sample_fraction, seed=seed)
+    pdf = feat.select(*FEATURE_COLS, "label").toPandas()
+    model = RandomForest(seed=seed, **forest_kw)
+    model.fit(_feature_matrix(pdf), pdf["label"].tolist())
+    return model
+
+
+def classify_forest(blocs, model: RandomForest):
+    """Label blocs with the fitted forest — vectorized mapInPandas; the
+    model rides the UDF closure (broadcast once per executor)."""
+    from edspdf_spark.operators.features import with_layout_features
+    from edspdf_spark.schemas import BLOC_SCHEMA
+    from pyspark.sql import functions as F
+
+    feat = with_layout_features(blocs)
+    cols = [f.name for f in BLOC_SCHEMA.fields]
+
+    def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf[cols]
+                continue
+            good = ~pdf["error"].to_numpy()
+            labels = np.asarray(pdf["label"], dtype=object)
+            if good.any():
+                labels[good] = model.predict(_feature_matrix(pdf[good]))
+            yield pdf.assign(label=labels)[cols]
+
+    return feat.mapInPandas(predict, schema=BLOC_SCHEMA)

@@ -1,0 +1,161 @@
+"""HTML main-content extraction (boilerplate strip + density heuristics).
+
+The north rule covers "HTML boilerplate strip, PDF/layout parse, DOM
+heuristics". This operator is the HTML face of the extractor: a
+regex-tokenizing block segmenter (no external parser libs) inside the same
+vectorized ``mapInPandas`` contract as the layout extractor — pages in,
+bloc rows out, so the downstream classifier/aggregator stages are shared.
+
+Heuristics (boilerpipe/Arc90-family, deterministic):
+
+* ``<script>/<style>/<template>/<noscript>`` and comments removed outright;
+* the document is segmented at block-level tags; each block tracks its
+  enclosing semantic container (nav/header/footer/aside vs main/article);
+* per block: text length, link-text length, and word count →
+  ``link_density = link_chars / chars``;
+* a block is CONTENT iff it is not inside nav/header/footer/aside, has ≥
+  min_words words, and link_density ≤ max_link_density; else BOILERPLATE.
+
+Blocs get pseudo-geometry from document order (y grows with block index,
+one page per ``page_chars`` of text) so every downstream geometric operator
+(mask classifier, aggregator separators) works unchanged on web pages.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from edspdf_spark.schemas import BLOC_SCHEMA
+
+_STRIP_RE = re.compile(
+    r"<(script|style|template|noscript)\b.*?</\1\s*>|<!--.*?-->",
+    re.IGNORECASE | re.DOTALL,
+)
+_BLOCK_TAGS = (
+    "p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|main|header|"
+    "footer|nav|aside|blockquote|pre|form|figure"
+)
+_BLOCK_SPLIT_RE = re.compile(rf"(</?(?:{_BLOCK_TAGS})\b[^>]*>)", re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_WS_RE = re.compile(r"\s+")
+
+_CHROME_TAGS = {"nav", "header", "footer", "aside", "form"}
+
+
+def _clean_text(fragment: str) -> str:
+    return _WS_RE.sub(" ", _html.unescape(_TAG_RE.sub(" ", fragment))).strip()
+
+
+def extract_html_blocks(
+    raw: bytes,
+    min_words: int = 3,
+    max_link_density: float = 0.4,
+) -> Tuple[List[dict], bool]:
+    """One HTML payload → list of block dicts (text, label, densities)."""
+    try:
+        text = raw.decode("utf-8", errors="replace")
+    except Exception:
+        return [], True
+    if "<" not in text:
+        return [], True
+
+    text = _STRIP_RE.sub(" ", text)
+    parts = _BLOCK_SPLIT_RE.split(text)
+
+    blocks: List[dict] = []
+    chrome_depth = 0
+    buf: List[str] = []
+
+    def flush():
+        if not buf:
+            return
+        fragment = " ".join(buf)
+        buf.clear()
+        content = _clean_text(fragment)
+        if not content:
+            return
+        link_chars = sum(len(_clean_text(m)) for m in _ANCHOR_RE.findall(fragment))
+        n_words = len(content.split())
+        ld = link_chars / max(1, len(content))
+        is_content = (
+            chrome_depth == 0 and n_words >= min_words and ld <= max_link_density
+        )
+        blocks.append(
+            {
+                "text": content,
+                "n_words": n_words,
+                "link_density": ld,
+                "label": "body" if is_content else "boilerplate",
+            }
+        )
+
+    for part in parts:
+        if _BLOCK_SPLIT_RE.fullmatch(part or ""):
+            tag = re.match(r"</?([a-zA-Z0-9]+)", part).group(1).lower()
+            closing = part.startswith("</")
+            if tag in _CHROME_TAGS:
+                flush()
+                chrome_depth = max(0, chrome_depth - 1) if closing else chrome_depth + 1
+            elif not closing or tag in ("p", "div", "li", "tr", "table", "section", "article", "blockquote", "pre"):
+                flush()
+        else:
+            buf.append(part)
+    flush()
+    return blocks, False
+
+
+def extract_blocs_html(
+    pages: DataFrame,
+    min_words: int = 3,
+    max_link_density: float = 0.4,
+    page_lines: int = 40,
+) -> DataFrame:
+    """pages(url, html=HTML bytes) → blocs (BLOC_SCHEMA); boilerplate blocks
+    are pre-labeled so a pipeline may skip the classifier entirely or
+    refine with masks/forest downstream."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BLOC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, raw in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
+                if raw is None:
+                    blocks, err = [], True
+                else:
+                    blocks, err = extract_html_blocks(
+                        bytes(raw), min_words=min_words, max_link_density=max_link_density
+                    )
+                if err:
+                    rows.append(
+                        dict.fromkeys(cols, None)
+                        | {"url": url, "props": [], "error": True}
+                    )
+                    continue
+                for i, b in enumerate(blocks):
+                    page = i // page_lines
+                    j = i % page_lines
+                    y0 = j / page_lines
+                    rows.append(
+                        {
+                            "url": url,
+                            "page_num": page,
+                            "bloc_ord": j,
+                            "x0": 0.1,
+                            "y0": y0,
+                            "x1": 0.9,
+                            "y1": y0 + 0.5 / page_lines,
+                            "text": b["text"],
+                            "props": [],
+                            "label": b["label"],
+                            "error": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(work, schema=BLOC_SCHEMA)

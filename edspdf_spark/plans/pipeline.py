@@ -1,0 +1,140 @@
+"""Declarative pipeline construction (≙ reference registry/config, X8).
+
+The reference resolves INI configs through a catalogue registry into a
+``Pipeline`` of ``PDFDoc → PDFDoc`` pipes (``edspdf/pipeline.py:453-544``,
+``edspdf/registry.py:40-224``). Here a pipeline is a plain list of
+``(factory_name, kwargs)`` stages resolved from a dict — each factory is a
+``DataFrame → DataFrame`` transformation, so composing the pipeline only
+builds ONE Catalyst logical plan; nothing executes until an action.
+
+Example::
+
+    pipe = Pipeline.from_config({
+        "pipeline": ["extractor", "classifier", "aggregator"],
+        "components": {
+            "extractor": {"@factory": "extractor", "extract_style": True},
+            "classifier": {"@factory": "mask-classifier",
+                            "x0": 0.2, "y0": 0.3, "x1": 0.9, "y1": 0.6,
+                            "threshold": 0.1},
+            "aggregator": {"@factory": "simple-aggregator"},
+        },
+    })
+    aggregates = pipe(pages_df)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, List, Tuple
+
+from pyspark.sql import DataFrame
+
+
+def _extractor(df: DataFrame, extract_style: bool = True, **_):
+    from edspdf_spark.operators.extract import extract_blocs
+
+    return extract_blocs(df, extract_style=extract_style)
+
+
+def _mask_classifier(df: DataFrame, x0=0.0, y0=0.0, x1=1.0, y1=1.0, threshold=1.0, **_):
+    from edspdf_spark.operators.classify import simple_mask_classifier
+
+    return simple_mask_classifier(df, x0, y0, x1, y1, threshold=threshold)
+
+
+def _multi_mask_classifier(df: DataFrame, threshold=1.0, **masks):
+    from edspdf_spark.operators.classify import classify_mask
+
+    boxes = [
+        (m.get("label", name), m["x0"], m["y0"], m["x1"], m["y1"])
+        for name, m in masks.items()
+    ]
+    return classify_mask(df, boxes, threshold=threshold)
+
+
+def _dummy_classifier(df: DataFrame, label: str = "body", **_):
+    from edspdf_spark.operators.classify import classify_dummy
+
+    return classify_dummy(df, label)
+
+
+def _random_classifier(df: DataFrame, labels=None, seed: int = 0, **_):
+    from edspdf_spark.operators.classify import classify_random
+
+    return classify_random(df, labels or ["body", "pollution"], seed=seed)
+
+
+def _simple_aggregator(
+    df: DataFrame,
+    sort: bool = False,
+    new_line_threshold: float = 0.2,
+    new_paragraph_threshold: float = 1.5,
+    label_map=None,
+    **_,
+):
+    from edspdf_spark.operators.aggregate import aggregate_simple
+
+    return aggregate_simple(
+        df,
+        sort=sort,
+        new_line_threshold=new_line_threshold,
+        new_paragraph_threshold=new_paragraph_threshold,
+        label_map=label_map,
+    )
+
+
+def _markdown_aggregator(df: DataFrame, **kw):
+    from edspdf_spark.operators.aggregate import aggregate_markdown
+
+    return aggregate_markdown(df, **{k: v for k, v in kw.items() if k != "name"})
+
+
+FACTORIES: Dict[str, Callable] = {
+    "extractor": _extractor,
+    "pdfminer-extractor": _extractor,  # reference name, same payload parser
+    "mask-classifier": _mask_classifier,
+    "multi-mask-classifier": _multi_mask_classifier,
+    "dummy-classifier": _dummy_classifier,
+    "random-classifier": _random_classifier,
+    "simple-aggregator": _simple_aggregator,
+    "markdown-aggregator": _markdown_aggregator,
+}
+
+
+class Pipeline:
+    """Ordered, named DataFrame→DataFrame stages."""
+
+    def __init__(self, stages: List[Tuple[str, Callable, dict]]):
+        self.stages = stages
+        self._disabled: set = set()
+
+    @classmethod
+    def from_config(cls, config: dict) -> "Pipeline":
+        names = config["pipeline"]
+        comps = config["components"]
+        stages = []
+        for name in names:
+            c = dict(comps[name])
+            factory = c.pop("@factory")
+            if factory not in FACTORIES:
+                raise KeyError(
+                    f"unknown factory {factory!r}; known: {sorted(FACTORIES)}"
+                )
+            stages.append((name, FACTORIES[factory], c))
+        return cls(stages)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Pipeline":
+        with open(path) as f:
+            return cls.from_config(json.load(f))
+
+    def disable(self, *names: str) -> "Pipeline":
+        self._disabled.update(names)
+        return self
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for name, fn, kwargs in self.stages:
+            if name in self._disabled:
+                continue
+            df = fn(df, **kwargs)
+        return df

@@ -1,0 +1,80 @@
+"""S1/S3/S5/S6 — sources.
+
+The reference hand-rolls directory scanning, fragment-parallel parquet
+reads and converter plumbing (``edspdf/data/files.py:33-107``,
+``edspdf/data/parquet.py:22-76``, ``data/pandas.py:18-91``,
+``data/base.py:71-137``). On Spark every one of those collapses into a
+built-in reader — fragment parallelism, predicate pushdown and column
+pruning come from Catalyst/DSv2, and Iceberg tables slot in via
+``spark.read.table`` when the runtime jar is present.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edspdf_spark.schemas import PAGES_SCHEMA
+
+
+def read_pages_parquet(
+    spark: SparkSession,
+    path: str,
+    lang: Optional[str] = None,
+    columns: Optional[list] = None,
+) -> DataFrame:
+    """S3 — parquet/Iceberg scan of the pages table.
+
+    ``lang`` and ``columns`` are expressed as filter/select so Catalyst
+    pushes them into the scan (PushedFilters / ReadSchema); a 2-column
+    projection never reads ``html`` bytes.
+    """
+    df = (
+        spark.read.table(path)
+        if "." in path and "/" not in path
+        else spark.read.schema(PAGES_SCHEMA).parquet(path)
+    )
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_files_binary(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.pdf",
+    recursive: bool = True,
+) -> DataFrame:
+    """S1 — directory of payload files → pages-shaped DataFrame.
+
+    ``binaryFile`` scans in parallel per file (≙ the reference's one-task-
+    per-file ``read_in_worker``); filename becomes the url (reference
+    FILENAME converter key, ``data/converters.py:19-20``).
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """S5 — Arrow-accelerated pandas ingestion."""
+    return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+
+def from_iterable(spark: SparkSession, rows: Iterable) -> DataFrame:
+    """S6 — python iterable of (url, warc_ts, html, text, lang) tuples."""
+    return spark.createDataFrame(list(rows), schema=PAGES_SCHEMA)

@@ -1,0 +1,161 @@
+"""A2 BIOUL / A4 composite / A5 partition-to-text / A6 merge — semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edspdf_spark.schemas import BLOC_SCHEMA
+
+SRC_SCHEMA = (
+    "url string, page_num int, x0 double, y0 double, x1 double, y1 double,"
+    " label string, src_ord int, node_num int, rank int"
+)
+
+
+@pytest.fixture()
+def doc_blocs(spark):
+    # two tight columns of lines: top box holds 2 lines, bottom box 1 line,
+    # one stray line overlapping nothing
+    rows = [
+        ("d", 0, 0, 0.10, 0.10, 0.90, 0.15, "l0", [], None, False),
+        ("d", 0, 1, 0.10, 0.16, 0.90, 0.21, "l1", [], None, False),
+        ("d", 0, 2, 0.10, 0.60, 0.90, 0.65, "l2", [], None, False),
+        ("d", 0, 3, 0.10, 0.90, 0.90, 0.95, "l3", [], None, False),
+    ]
+    return spark.createDataFrame(rows, BLOC_SCHEMA)
+
+
+@pytest.fixture()
+def doc_src(spark):
+    rows = [
+        ("d", 0, 0.0, 0.05, 1.0, 0.25, "text", 0, 7, 1),
+        ("d", 0, 0.0, 0.55, 1.0, 0.70, "title", 1, 8, 2),
+    ]
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+def test_align_bioul(spark, doc_blocs, doc_src):
+    from edspdf_spark.operators.align import align_bioul
+
+    out = align_bioul(doc_blocs, doc_src, threshold=0.5)
+    tags = {r.bloc_ord: (r.label, r.is_begin, r.is_last) for r in out.collect()}
+    assert tags[0] == ("B", True, False)
+    assert tags[1] == ("L", False, True)
+    assert tags[2] == ("U", True, True)
+    assert tags[3] == ("U", True, True)  # alone in the pollution group
+
+
+def test_align_composite(spark, doc_blocs, doc_src):
+    from edspdf_spark.operators.align import align_composite
+
+    out = align_composite(doc_blocs, doc_src, threshold=0.5)
+    labels = {r.bloc_ord: r.label for r in out.collect()}
+    assert labels[0] == "text|7|1"
+    assert labels[2] == "title|8|2"
+    assert labels[3] == "pollution|-1|-1"
+
+
+def test_partition_lines_templates(spark, doc_blocs, doc_src):
+    from edspdf_spark.operators.align import partition_lines
+
+    # relabel srcs to exercise the templates
+    src = doc_src.withColumn(
+        "label", F.when(F.col("src_ord") == 0, "table").otherwise("list")
+    )
+    out = {r.label: r.text for r in partition_lines(doc_blocs, src, 0.5).collect()}
+    assert out["table"] == "table:\nl0 l1"
+    assert out["list"] == "list:\n--> l2"
+    assert out["pollution"] == "pollution@@:\nl3"
+
+
+def test_partition_lines_text_template(spark, doc_blocs, doc_src):
+    from edspdf_spark.operators.align import partition_lines
+
+    out = {r.label: r.text for r in partition_lines(doc_blocs, doc_src, 0.5).collect()}
+    assert out["text"] == "text@@:\nl0 l1"
+    assert out["title"] == "title@@:\nl2"
+
+
+def test_no_src_drops_page(spark, doc_blocs, spark_session=None):
+    from edspdf_spark.operators.align import align_bioul
+
+    empty_src = doc_blocs.sparkSession.createDataFrame([], SRC_SCHEMA)
+    assert align_bioul(doc_blocs, empty_src, 0.5).count() == 0
+
+
+def test_merge_boxes_simple(spark):
+    from edspdf_spark.operators.merge import merge_boxes
+
+    # two 'a' boxes mergeable (nothing between); a 'b' box between two other
+    # 'a' boxes prevents their merger
+    rows = [
+        ("d", 0, 0, 0.1, 0.1, 0.2, 0.2, "", [], "a", False),
+        ("d", 0, 1, 0.3, 0.1, 0.4, 0.2, "", [], "a", False),
+        ("d", 0, 2, 0.1, 0.5, 0.2, 0.6, "", [], "a", False),
+        ("d", 0, 3, 0.3, 0.7, 0.4, 0.8, "", [], "a", False),
+        ("d", 0, 4, 0.25, 0.55, 0.45, 0.62, "", [], "b", False),
+    ]
+    blocs = spark.createDataFrame(rows, BLOC_SCHEMA)
+    out = merge_boxes(blocs).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    # the b box survives as itself
+    assert len(by_label["b"]) == 1
+    # the two top 'a' boxes merge; the bottom ones can't merge across 'b'
+    a_groups = sorted(by_label["a"], key=lambda r: (r.y0, r.x0))
+    assert any(r.n_merged >= 2 for r in by_label["a"])
+    total_merged = sum(r.n_merged for r in by_label["a"])
+    assert total_merged == 4
+
+
+def test_merge_kernel_no_obstacle_single_group():
+    import numpy as np
+
+    from edspdf_spark.operators.merge import merge_boxes_kernel
+
+    labels = np.array(["x", "x", "x"], dtype=object)
+    coords = np.array(
+        [[0.0, 0.1, 0.0, 0.1], [0.2, 0.3, 0.0, 0.1], [0.0, 0.3, 0.2, 0.3]]
+    )
+    out = merge_boxes_kernel(labels, coords)
+    assert len(out) == 1
+    label, x0, y0, x1, y1, n = out[0]
+    assert (x0, y0, x1, y1, n) == (0.0, 0.0, 0.3, 0.3, 3)
+
+
+def test_html_extractor(spark):
+    from edspdf_spark.operators.extract_html import extract_blocs_html
+
+    html = b"""<html><head><title>T</title><style>.x{color:red}</style>
+    <script>var x = '<p>not content</p>';</script></head>
+    <body><nav><a href="/">Home</a> <a href="/a">About</a></nav>
+    <article><h1>Real Title Here</h1>
+    <p>This is the first real paragraph of the main content body.</p>
+    <p>Second paragraph with more than three words obviously.</p></article>
+    <footer><a href="/c">Contact</a> <a href="/p">Privacy</a></footer>
+    </body></html>"""
+    pages = spark.createDataFrame(
+        [("u", None, bytearray(html), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_blocs_html(pages).collect()
+    body = [r.text for r in out if r.label == "body"]
+    boiler = [r.text for r in out if r.label == "boilerplate"]
+    assert any("first real paragraph" in t for t in body)
+    assert any("Second paragraph" in t for t in body)
+    assert not any("Home" in t for t in body)  # nav stripped
+    assert not any("not content" in t for t in body)  # script stripped
+    assert any("Home" in t or "Contact" in t for t in boiler)
+
+
+def test_html_extractor_corrupt(spark):
+    from edspdf_spark.operators.extract_html import extract_blocs_html
+
+    pages = spark.createDataFrame(
+        [("u", None, bytearray(b"no markup at all"), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_blocs_html(pages).collect()
+    assert len(out) == 1 and out[0].error

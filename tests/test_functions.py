@@ -1,0 +1,165 @@
+"""Dedup / text-analysis / similarity operators — semantics vs NumPy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat on the mat", "en"),  # exact dup of 0
+        (2, "The  cat sat on the mat ", "en"),  # normalized dup of 0
+        (3, "le chat est sur le tapis et la table", "fr"),
+        (4, "der hund ist und das haus der die", "de"),
+        (5, "completely different words here altogether", "en"),
+        (6, "", "en"),
+        (7, "12345 !!! ??? 67890", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact(spark, docs):
+    from edspdf_spark.functions.dedup import dedup_exact
+
+    out = {r.content_hash: (r.keep_id, r.n_dups) for r in dedup_exact(docs).collect()}
+    assert len(out) == 7  # 0 and 1 collapse
+    assert (0, 2) in out.values()
+
+
+def test_dedup_normalized(spark, docs):
+    from edspdf_spark.functions.dedup import dedup_exact
+
+    out = dedup_exact(docs, normalized=True).collect()
+    assert len(out) == 6  # 0, 1, 2 collapse
+    assert max(r.n_dups for r in out) == 3
+
+
+def test_minhash_similar_docs_share_signatures(spark, docs):
+    from edspdf_spark.functions.dedup import minhash_signatures
+
+    sig = {
+        r.doc_id: tuple(r[f"mh{i}"] for i in range(8))
+        for r in minhash_signatures(
+            docs.filter(F.length("text") >= 5), k=5, n_hashes=8
+        ).collect()
+    }
+    assert sig[0] == sig[1] == sig[2]  # identical after normalization
+    # unrelated docs differ in most components
+    assert sum(a == b for a, b in zip(sig[0], sig[5])) <= 2
+
+
+def test_lsh_pairs_find_dups(spark, docs):
+    from edspdf_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(docs.filter(F.length("text") >= 5), k=5, n_hashes=8)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+
+
+def test_simhash_hamming(spark, docs):
+    from edspdf_spark.functions.dedup import simhash64
+
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sh[0] == sh[1] == sh[2]
+    ham = bin((sh[0] ^ sh[5]) & ((1 << 64) - 1)).count("1")
+    assert ham > 10  # unrelated docs far apart
+
+
+def test_ngram_jaccard(spark, docs):
+    from edspdf_spark.functions.dedup import ngram_jaccard_pairs
+
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 1.0  # normalization collapses them
+    assert out.get((0, 5), 0.0) < 0.2
+
+
+def test_token_stats(spark, docs):
+    from edspdf_spark.functions.text import with_token_stats
+
+    out = {r.doc_id: r for r in with_token_stats(docs).collect()}
+    assert out[0].n_tokens == 6
+    assert out[6].n_tokens == 0
+    assert out[0].mean_token_len == pytest.approx((3 + 3 + 3 + 2 + 3 + 3) / 6)
+
+
+def test_quality(spark, docs):
+    from edspdf_spark.functions.text import with_quality
+
+    out = {r.doc_id: r for r in with_quality(docs).collect()}
+    assert out[7].digit_ratio == pytest.approx(10 / 19)
+    assert out[0].stopword_ratio == pytest.approx(2 / 6)  # 'the' twice
+    assert out[6].doc_len == 0
+
+
+def test_lang_guess(spark, docs):
+    from edspdf_spark.functions.text import with_lang_guess
+
+    out = {r.doc_id: r.lang_guess for r in with_lang_guess(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "fr"
+    assert out[4] == "de"
+    assert out[5] == "und"  # no markers
+
+
+def test_fingerprint(spark, docs):
+    from edspdf_spark.functions.text import with_fingerprint
+
+    out = {r.doc_id: (r.fp_md5, r.fp_poly) for r in with_fingerprint(docs).collect()}
+    assert out[0][0] == out[1][0]
+    assert out[0][1] == out[1][1]
+    assert out[0][0] != out[5][0]
+    # verify fp_poly against a pure-python fold
+    text = "the cat sat on the mat"
+    h = 0
+    for c in text:
+        h = (h * 31 + ord(c)) % 2147483647
+    assert out[0][1] == h
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from edspdf_spark.functions.similarity import cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    out = cosine_topk(emb, q, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v[:3] @ v.T
+    for qi in range(3):
+        order = sorted(range(50), key=lambda j: (-sims[qi, j], j))[:5]
+        expect = [(rank + 1, j) for rank, j in enumerate(order)]
+        assert sorted(got[qi]) == expect, qi
+
+
+def test_lsh_ann_recall(spark):
+    from edspdf_spark.functions.similarity import cosine_topk, lsh_ann_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 8))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_ann_topk(emb, q, k=3, n_bits=4).collect()
+    }
+    # every query finds at least itself (cos=1) in its own bucket
+    assert all((qi, qi) in approx for qi in range(5))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4

@@ -1,0 +1,83 @@
+"""Source/sink round-trips — re-expresses the reference's data tests
+(/root/reference/tests/core/test_data.py: read X → pipeline → write Y with
+a total-box-count invariant) as DataFrame assertions."""
+
+from __future__ import annotations
+
+import pytest
+
+from edspdf_spark.fixtures import build_pages_df, gen_docs_pandas
+from edspdf_spark.operators import extract_blocs
+
+
+@pytest.fixture(scope="module")
+def expected_blocs(spark):
+    return extract_blocs(build_pages_df(spark, 30, partitions=2)).count()
+
+
+def test_parquet_roundtrip(spark, tmp_path, expected_blocs):
+    from edspdf_spark.sources.readers import read_pages_parquet
+    from edspdf_spark.sources.writers import write_parquet
+
+    p = str(tmp_path / "pages")
+    write_parquet(build_pages_df(spark, 30, partitions=2), p, mode="overwrite")
+    back = read_pages_parquet(spark, p)
+    assert extract_blocs(back).count() == expected_blocs
+
+
+def test_parquet_overwrite_guard(spark, tmp_path):
+    from edspdf_spark.sources.writers import write_parquet
+
+    p = str(tmp_path / "guard")
+    df = build_pages_df(spark, 5)
+    write_parquet(df, p)
+    with pytest.raises(Exception):
+        write_parquet(df, p)  # mode='error' refuses like the reference
+
+
+def test_pandas_roundtrip(spark, expected_blocs):
+    from edspdf_spark.sources.readers import from_pandas
+    from edspdf_spark.sources.writers import to_pandas
+
+    pdf = gen_docs_pandas(range(30))
+    df = from_pandas(spark, pdf)
+    assert extract_blocs(df).count() == expected_blocs
+    out = to_pandas(df)
+    assert len(out) == 30 and set(out.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_iterable_roundtrip(spark, expected_blocs):
+    from edspdf_spark.sources.readers import from_iterable
+    from edspdf_spark.sources.writers import to_iterable
+
+    rows = [
+        (r.url, r.warc_ts.to_pydatetime(), r.html, r.text, r.lang)
+        for r in gen_docs_pandas(range(30)).itertuples(index=False)
+    ]
+    df = from_iterable(spark, rows)
+    assert extract_blocs(df).count() == expected_blocs
+    assert sum(1 for _ in to_iterable(df.select("url"))) == 30
+
+
+def test_files_roundtrip(spark, tmp_path, expected_blocs):
+    from edspdf_spark.sources.readers import read_files_binary
+    from edspdf_spark.sources.writers import write_files
+
+    d = str(tmp_path / "files")
+    write_files(build_pages_df(spark, 30, partitions=2), d)
+    back = read_files_binary(spark, d, glob="*")
+    assert back.count() == 30
+    assert extract_blocs(back).count() == expected_blocs
+
+
+def test_scan_pruning_pushdown(spark, tmp_path):
+    """Catalyst must push the lang filter and prune to (url, html)."""
+    from edspdf_spark.sources.readers import read_pages_parquet
+    from edspdf_spark.sources.writers import write_parquet
+
+    p = str(tmp_path / "prune")
+    write_parquet(build_pages_df(spark, 20), p, mode="overwrite")
+    df = read_pages_parquet(spark, p, lang="en", columns=["url", "html"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
