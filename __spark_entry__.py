@@ -303,6 +303,88 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
 """
 
 
+# --- multimodal columns -----------------------------------------------------
+#
+# Media rides as opaque binary + typed metadata (edspdf_spark.functions.
+# multimodal). The media table is synthesized deterministically from
+# ``documents`` inside Spark (header fields derived from doc_id, payload =
+# text bytes), so the decode round-trip has an exact SQL oracle.
+
+def _q_media_meta(spark, sf_dir):
+    import pandas as pd
+
+    from edspdf_spark.functions.multimodal import encode_image, with_media_meta
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        encode_image(
+                            int(d) % 640 + 16, (int(d) * 7) % 480 + 16, 3,
+                            str(t).encode("utf-8"),
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(enc, "doc_id bigint, media binary")
+    return with_media_meta(media).select(
+        "doc_id", "media_type", "width", "height", "channels", "n_bytes"
+    )
+
+
+_MEDIA_META_ORACLE = """
+SELECT doc_id, 'image' AS media_type,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST((doc_id * 7) % 480 + 16 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(13 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def _q_frame_sample(spark, sf_dir):
+    import pandas as pd
+
+    from edspdf_spark.functions.multimodal import encode_video, sample_frame_indices, with_media_meta
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        encode_video(320, 240, int(d) % 50 + 1, 25000)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(enc, "doc_id bigint, media binary")
+    meta = with_media_meta(media)
+    return sample_frame_indices(meta, every_n=10, max_frames=8).select(
+        "doc_id", "frame_idx", "frame_ts_milli"
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(least(doc_id % 50, 70) AS BIGINT), 10)) AS fi
+  FROM documents
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(fi * 40 AS BIGINT) AS frame_ts_milli
+FROM f
+"""
+
+
 # --- generic relational coverage -------------------------------------------
 
 def _q_pricing_summary(spark, sf_dir):
@@ -375,8 +457,12 @@ FROM events
 
 
 def _q_anti_join(spark, sf_dir):
+    """Customers with no high-value order (predicate keeps the result
+    non-empty at every sf, so the oracle check is meaningful)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000.0
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -384,7 +470,83 @@ def _q_anti_join(spark, sf_dir):
 
 _ANTI_JOIN_ORACLE = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+"""
+
+
+# --- flagship pipeline, oracle-checked end-to-end ---------------------------
+#
+# ``pages_from_documents`` lays each document's words out deterministically
+# (6 words/line, 12 lines/page, 20pt line pitch, 11pt line height), so the
+# whole extract → mask-classify → aggregate pipeline is invertible in SQL:
+# dy/median(height) = 20/11 > 1.5 forces the aggregator's "\n\n" separator
+# between every pair of consecutive lines (reference
+# pipes/aggregators/simple.py:156-164), every bloc falls inside the body
+# mask, and the extracted text is byte-identical to 6-word chunks of
+# ``documents.text`` joined by blank lines. This oracle checks BYTE-IDENTITY
+# of the full pipeline output against DuckDB, per the BASELINE contract.
+
+def _q_pipeline_e2e(spark, sf_dir):
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.operators import aggregate_simple, classify_mask, extract_blocs
+
+    pages = pages_from_documents(spark, sf_dir)
+    blocs = extract_blocs(pages)
+    labeled = classify_mask(blocs, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1)
+    return aggregate_simple(labeled).select("url", "label", "text")
+
+
+_PIPELINE_E2E_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+lines AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, CAST(ceil(len(w)/6.0) AS BIGINT) - 1),
+                   i -> array_to_string(w[i*6+1 : i*6+6], ' ')) AS ls
+  FROM words
+)
+SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       'body' AS label,
+       array_to_string(ls, chr(10)||chr(10)) AS text
+FROM lines
+"""
+
+
+def _q_pipeline_markdown(spark, sf_dir):
+    """Same pipeline through the markdown aggregator (P7): fonts cycle by
+    (doc_id + line-in-page) % 5, so bold/italic decoration is deterministic
+    and the style-span rebasing is oracle-checked too."""
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.operators import classify_mask, extract_blocs
+    from edspdf_spark.operators.aggregate import aggregate_markdown
+
+    pages = pages_from_documents(spark, sf_dir)
+    blocs = extract_blocs(pages)
+    labeled = classify_mask(blocs, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1)
+    return aggregate_markdown(labeled).select("url", "label", "text")
+
+
+_PIPELINE_MARKDOWN_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+lines AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, CAST(ceil(len(w)/6.0) AS BIGINT) - 1),
+      i -> CASE (doc_id + (i % 12)) % 5
+             WHEN 1 THEN '**' || array_to_string(w[i*6+1 : i*6+6], ' ') || '**'
+             WHEN 2 THEN '_'  || array_to_string(w[i*6+1 : i*6+6], ' ') || '_'
+             WHEN 3 THEN '_**' || array_to_string(w[i*6+1 : i*6+6], ' ') || '**_'
+             ELSE array_to_string(w[i*6+1 : i*6+6], ' ') END) AS ls
+  FROM words
+)
+SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       'body' AS label,
+       array_to_string(ls, chr(10)||chr(10)) AS text
+FROM lines
 """
 
 
@@ -392,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from edspdf_spark import entry_queries as eq
 
     return {
+        # flagship pipeline, byte-identity oracle-checked end-to-end
+        "pipeline_e2e": _q_pipeline_e2e,
+        "pipeline_markdown": _q_pipeline_markdown,
         # pipeline operator family (SURVEY.md §2.2-2.4)
         "mask_argmax": eq.q_mask_argmax,
         "layout_features": eq.q_layout_features,
@@ -411,6 +576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        # multimodal binary columns
+        "media_meta": _q_media_meta,
+        "frame_sample": _q_frame_sample,
         # similarity
         "ann_cosine_topk": _q_ann_cosine,
         # generic relational
@@ -425,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
     from edspdf_spark import entry_queries as eq
 
     return {
+        "pipeline_e2e": _PIPELINE_E2E_ORACLE,
+        "pipeline_markdown": _PIPELINE_MARKDOWN_ORACLE,
         "mask_argmax": eq.mask_argmax_oracle(),
         "layout_features": eq.LAYOUT_FEATURES_ORACLE,
         "bioul_tags": eq.BIOUL_ORACLE,
@@ -441,6 +611,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": _lsh_pairs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         # simhash: xxhash64-based — not SQL-portable; rows-only check
+        "media_meta": _MEDIA_META_ORACLE,
+        "frame_sample": _FRAME_SAMPLE_ORACLE,
         "ann_cosine_topk": _ann_cosine_oracle(),
         "pricing_summary": _PRICING_ORACLE,
         "topk_join": _TOPK_JOIN_ORACLE,

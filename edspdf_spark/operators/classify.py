@@ -130,6 +130,67 @@ def align_labels(
     return labeled.unionByName(err.select(*out_cols))
 
 
+def _align_labels_expr(
+    blocs: DataFrame,
+    stack: List[Tuple[Optional[str], float, float, float, float, Optional[int], int, bool]],
+    threshold: float,
+) -> DataFrame:
+    """A1 alignment for a LITERAL mask stack as pure column expressions.
+
+    When the masks are known driver-side (the overwhelmingly common case:
+    a handful of rectangles), the broadcast join + window argmax collapses
+    to one Project — per mask a (neg_score, rank, label) struct, invalid
+    (wrong-page) entries dropped with ``array_compact``, and the argmax is
+    ``array_min`` over the struct array (lexicographic struct comparison ==
+    score DESC then rank ASC, i.e. ``np.argmax`` first-wins,
+    alignment.py:55-56). ZERO shuffles and no union for the error rows —
+    the whole classify stage fuses into the extract stage's codegen.
+
+    ``stack`` entries: (label, x0, y0, x1, y1, page_num, rank, is_real).
+    """
+    dst_raw = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    dst_area = F.when(dst_raw == 0.0, F.lit(1.0)).otherwise(dst_raw)
+
+    entries = []
+    for label, mx0, my0, mx1, my1, mpage, rank, is_real in stack:
+        dx = F.least(F.lit(float(mx1)), F.col("x1")) - F.greatest(
+            F.lit(float(mx0)), F.col("x0")
+        )
+        dy = F.least(F.lit(float(my1)), F.col("y1")) - F.greatest(
+            F.lit(float(my0)), F.col("y0")
+        )
+        overlap = F.greatest(dx, F.lit(0.0)) * F.greatest(dy, F.lit(0.0))
+        src_area_raw = (mx1 - mx0) * (my1 - my0)
+        src_area = 1.0 if src_area_raw == 0.0 else src_area_raw
+        score = F.when(
+            overlap / dst_area < F.lit(float(threshold)), F.lit(0.0)
+        ).otherwise(overlap / F.lit(float(src_area)))
+        entry = F.struct(
+            (-score).alias("ns"),
+            F.lit(int(rank)).alias("rank"),
+            F.lit(label).cast("string").alias("label"),
+            F.lit(bool(is_real)).alias("real"),
+        )
+        if mpage is not None:
+            entry = F.when(
+                F.col("page_num").isNull() | (F.col("page_num") == int(mpage)), entry
+            )
+        entries.append(entry)
+
+    arr = F.array_compact(F.array(*entries))
+    n_real = F.size(F.filter(arr, lambda x: x["real"]))
+    best = F.array_min(arr)
+    out_cols = [f.name for f in BLOC_SCHEMA.fields]
+    return (
+        blocs.filter(F.col("error") | (n_real > 0))
+        .withColumn(
+            "label",
+            F.when(F.col("error"), F.col("label")).otherwise(best["label"]),
+        )
+        .select(*out_cols)
+    )
+
+
 def classify_mask(
     blocs: DataFrame,
     masks: Union[DataFrame, Sequence[Tuple[Optional[str], float, float, float, float]]],
@@ -138,10 +199,21 @@ def classify_mask(
     """P3 MaskClassifier (mask.py:182-224): user masks + a ``pollution``
     catch-all box (±1e4) appended last, then A1 alignment (whose own ±1e5
     null-label catch-all ranks after pollution, exactly as in the
-    reference's double-catch-all stack)."""
+    reference's double-catch-all stack).
+
+    Literal mask lists take the zero-shuffle expression path
+    (:func:`_align_labels_expr`); DataFrame masks keep the broadcast-join +
+    window plan (:func:`align_labels`)."""
     spark = blocs.sparkSession
     if not isinstance(masks, DataFrame):
-        masks = masks_df(spark, masks)
+        n = len(masks)
+        stack = [
+            (label, x0, y0, x1, y1, None, i, True)
+            for i, (label, x0, y0, x1, y1) in enumerate(masks)
+        ]
+        stack.append(("pollution", -MASK_INF, -MASK_INF, MASK_INF, MASK_INF, None, n, True))
+        stack.append((None, -ALIGN_INF, -ALIGN_INF, ALIGN_INF, ALIGN_INF, None, n + 1, False))
+        return _align_labels_expr(blocs, stack, threshold)
     n = masks.agg(F.count("*")).first()[0]
     pollution = spark.createDataFrame(
         [("pollution", -MASK_INF, -MASK_INF, MASK_INF, MASK_INF, None, int(n))],
