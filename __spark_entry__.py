@@ -385,6 +385,80 @@ FROM f
 """
 
 
+def _q_lsh_ann(spark, sf_dir):
+    """Approximate top-k via random-hyperplane sign buckets (the 10^12-vector
+    scale path: candidate set = same-bucket vectors only)."""
+    from edspdf_spark.functions.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 53 == 0)
+    return lsh_ann_topk(emb, q, k=5, n_bits=6).select("query_id", "rank", "vec_id")
+
+
+def _lsh_ann_oracle(dim: int = 64, n_bits: int = 6, k: int = 5) -> str:
+    from edspdf_spark.functions.similarity import hyperplanes
+
+    H = hyperplanes(dim, n_bits)
+
+    def bucket_expr(alias: str) -> str:
+        bits = []
+        for b in range(n_bits):
+            dot = " + ".join(
+                f"{alias}.embedding[{j + 1}] * CAST({float(H[b, j])!r} AS DOUBLE)"
+                for j in range(dim)
+            )
+            bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << b} ELSE 0 END)")
+        return "0 + " + " + ".join(bits)
+
+    dot = " + ".join(f"c.embedding[{j}] * q.embedding[{j}]" for j in range(1, dim + 1))
+    nc = " + ".join(f"c.embedding[{j}] * c.embedding[{j}]" for j in range(1, dim + 1))
+    nq = " + ".join(f"q.embedding[{j}] * q.embedding[{j}]" for j in range(1, dim + 1))
+    return f"""
+WITH c AS (SELECT vec_id, embedding, ({bucket_expr('embeddings')}) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding, ({bucket_expr('embeddings')}) AS bucket
+      FROM embeddings WHERE vec_id % 53 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         (0.0 + {dot}) / (sqrt(0.0 + {nc}) * sqrt(0.0 + {nq})) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {k}
+"""
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from edspdf_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, threshold=0.4)
+
+
+def _embedding_neardup_oracle(dim: int = 64) -> str:
+    dot = " + ".join(
+        f"CAST(a.embedding[{j}] AS DOUBLE) * CAST(b.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{j}] AS DOUBLE) * CAST(a.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{j}] AS DOUBLE) * CAST(b.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ({dot}) / (sqrt({na}) * sqrt({nb})) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ({dot}) / (sqrt({na}) * sqrt({nb})) > 0.4
+"""
+
+
 # --- generic relational coverage -------------------------------------------
 
 def _q_pricing_summary(spark, sf_dir):
@@ -514,6 +588,19 @@ FROM lines
 """
 
 
+def _q_pipeline_fused(spark, sf_dir):
+    """Production path: the same pipeline fused into one zero-shuffle
+    mapInPandas stage (operators/fused.py) — checked against the same
+    byte-identity oracle as the composed plan."""
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.operators import run_pipeline_fused
+
+    pages = pages_from_documents(spark, sf_dir)
+    return run_pipeline_fused(
+        pages, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1
+    ).select("url", "label", "text")
+
+
 def _q_pipeline_markdown(spark, sf_dir):
     """Same pipeline through the markdown aggregator (P7): fonts cycle by
     (doc_id + line-in-page) % 5, so bold/italic decoration is deterministic
@@ -556,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship pipeline, byte-identity oracle-checked end-to-end
         "pipeline_e2e": _q_pipeline_e2e,
+        "pipeline_e2e_fused": _q_pipeline_fused,
         "pipeline_markdown": _q_pipeline_markdown,
         # pipeline operator family (SURVEY.md §2.2-2.4)
         "mask_argmax": eq.q_mask_argmax,
@@ -581,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         # similarity
         "ann_cosine_topk": _q_ann_cosine,
+        "embedding_neardup": _q_embedding_neardup,
+        "lsh_ann_topk": _q_lsh_ann,
         # generic relational
         "pricing_summary": _q_pricing_summary,
         "topk_join": _q_topk_join,
@@ -594,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pipeline_e2e": _PIPELINE_E2E_ORACLE,
+        "pipeline_e2e_fused": _PIPELINE_E2E_ORACLE,
         "pipeline_markdown": _PIPELINE_MARKDOWN_ORACLE,
         "mask_argmax": eq.mask_argmax_oracle(),
         "layout_features": eq.LAYOUT_FEATURES_ORACLE,
@@ -614,6 +705,8 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": _MEDIA_META_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "ann_cosine_topk": _ann_cosine_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
+        "lsh_ann_topk": _lsh_ann_oracle(),
         "pricing_summary": _PRICING_ORACLE,
         "topk_join": _TOPK_JOIN_ORACLE,
         "running_sum": _RUNNING_SUM_ORACLE,

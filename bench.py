@@ -42,16 +42,16 @@ def bench_pipeline_documents(spark, sf_dir):
 
 
 def bench_pipeline_synthetic(spark, corpus_path):
-    """Synthetic skewed corpus (pre-written parquet) through the pipeline,
-    with the length-bucketed salted repartition in front."""
-    from edspdf_spark.operators import aggregate_simple, classify_mask, extract_blocs
+    """Synthetic skewed corpus (pre-written parquet) through the PRODUCTION
+    path: salted skew repartition + the fused zero-shuffle pipeline."""
+    from edspdf_spark.operators import run_pipeline_fused
     from edspdf_spark.skew import repartition_pages
 
     pages = spark.read.parquet(corpus_path)
     pages = repartition_pages(pages, CPUS * 4)
-    blocs = extract_blocs(pages)
-    labeled = classify_mask(blocs, [("body", 0.2, 0.3, 0.9, 0.6)], threshold=0.1)
-    materialize(aggregate_simple(labeled))
+    materialize(
+        run_pipeline_fused(pages, [("body", 0.2, 0.3, 0.9, 0.6)], threshold=0.1)
+    )
 
 
 def bench_mask_argmax(spark, sf_dir):
@@ -104,6 +104,18 @@ def main():
         write_corpus(spark, corpus_path, SYNTH_DOCS, partitions=CPUS * 2)
 
     n_documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # warmup: JVM/codegen init plus one python worker per core, so timings
+    # below are steady-state (a cold first query would otherwise absorb
+    # 32 worker fork+import costs)
+    from edspdf_spark.operators import aggregate_simple, classify_mask, extract_blocs
+
+    warm_pages = spark.read.parquet(corpus_path).limit(CPUS * 40).repartition(CPUS)
+    materialize(
+        aggregate_simple(
+            classify_mask(extract_blocs(warm_pages), [("body", 0.2, 0.3, 0.9, 0.6)], 0.1)
+        )
+    )
 
     queries = {
         "pipeline_documents": lambda: bench_pipeline_documents(spark, SF_DIR),

@@ -80,6 +80,43 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    ``cos(a, b) > threshold`` and ``id_a < id_b``.
+
+    Expression-based (left-associated ``element_at`` sums, never BLAS) so
+    the cosine is bit-identical to a sequential-SQL oracle — this is the
+    exactness baseline. At corpus scale the cross join is replaced by the
+    LSH-bucketed candidate path (:func:`lsh_ann_topk`'s bucketing) followed
+    by this same exact rescoring within buckets.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
+    joined = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    for j in range(dim):
+        ea = F.element_at(F.col("emb_a"), j + 1).cast("double")
+        eb = F.element_at(F.col("emb_b"), j + 1).cast("double")
+        dot = dot + ea * eb
+        na = na + ea * ea
+        nb = nb + eb * eb
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    return (
+        joined.withColumn("cos", cos)
+        .filter(F.col("cos") > F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 

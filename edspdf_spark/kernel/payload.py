@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Tuple
 from urllib.parse import quote, unquote
 
 from edspdf_spark.kernel.reading_order import sort_reading_order
-from edspdf_spark.kernel.style import fold_line_chars
+from edspdf_spark.kernel.style import fold_runs
 
 
 class PayloadError(ValueError):
@@ -37,6 +37,19 @@ class PayloadError(ValueError):
 
 def encode_run(fontname: str, upright: bool, text: str) -> str:
     return f"{fontname},{1 if upright else 0},{quote(text)}"
+
+
+def _unquote_fast(s: str) -> str:
+    """``urllib.parse.unquote`` with a shortcut for the dominant case:
+    strings whose only escape is ``%20`` (word text with spaces). Any other
+    percent-escape falls back to the full decoder on the ORIGINAL string,
+    so the result is always identical to ``unquote(s)``."""
+    if "%" not in s:
+        return s
+    out = s.replace("%20", " ")
+    if "%" in out:
+        return unquote(s)
+    return out
 
 
 def parse_payload(data: bytes):
@@ -85,7 +98,7 @@ def parse_payload(data: bytes):
                 fields = run.split(",", 2)
                 if len(fields) != 3:
                     raise PayloadError(f"bad run: {run!r}")
-                runs.append((fields[0], fields[1] == "1", unquote(fields[2])))
+                runs.append((fields[0], fields[1] == "1", _unquote_fast(fields[2])))
             lines.append((current_page, x0, y0, x1, y1, runs))
         else:
             raise PayloadError(f"unknown directive: {tok!r}")
@@ -125,12 +138,7 @@ def extract_doc(
         w, h = page_dims[page_num]
         page_boxes = []
         for x0, y0, x1, y1, runs in by_page[page_num]:
-            chars = [
-                (ch, fontname, upright)
-                for fontname, upright, text in runs
-                for ch in text
-            ]
-            text, props = fold_line_chars(chars)
+            text, props = fold_runs(runs)
             if len(text) == 0:
                 continue
             nx0 = x0 / w

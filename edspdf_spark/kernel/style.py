@@ -73,3 +73,54 @@ def fold_line_chars(
         styles.append(current)
 
     return text.rstrip(), [tuple(s) for s in styles]
+
+
+# A line needs the char-by-char fold only if it contains non-space
+# whitespace, a double space, or a leading/trailing space. Everything else
+# (the overwhelming majority of real lines) folds to itself with one style
+# run per input run boundary.
+_NEEDS_FOLD = re.compile(r"[^\S ]|  |^ | $")
+
+
+def fold_runs(
+    runs: Iterable[Tuple[str, bool, str]],
+) -> Tuple[str, List[StyleRun]]:
+    """Fold ``(fontname, upright, text)`` runs into (text, style runs).
+
+    Fast path: a single clean run (no collapsible whitespace, no edge
+    spaces) is its own folded text with exactly one ``[0, len)`` span —
+    identical to the full fold's output, without materializing a tuple per
+    character. Multi-run or dirty lines fall back to
+    :func:`fold_line_chars` for the exact reference semantics
+    (equivalence is asserted by tests/test_kernel.py).
+    """
+    runs = list(runs)
+    if runs and all(t and not _NEEDS_FOLD.search(t) for _, _, t in runs):
+        # Every run is clean, so no whitespace collapses and no space
+        # crosses a run boundary (clean runs neither start nor end with
+        # one): the folded text is the plain concatenation and spans open
+        # exactly at style changes — same-style adjacent runs merge, as the
+        # char fold would.
+        text_parts: List[str] = []
+        styles: List[StyleRun] = []
+        pos = 0
+        last = None
+        for fontname, upright, t in runs:
+            lowered = (fontname or "").lower()
+            italic = (not upright) or ("italic" in lowered)
+            bold = "bold" in lowered
+            key = (fontname, italic, bold)
+            end = pos + len(t)
+            if key == last:
+                prev = styles[-1]
+                styles[-1] = (prev[0], prev[1], prev[2], end, prev[4])
+            else:
+                styles.append((italic, bold, pos, end, fontname))
+            text_parts.append(t)
+            pos = end
+            last = key
+        return "".join(text_parts), styles
+    chars = [
+        (ch, fontname, upright) for fontname, upright, text in runs for ch in text
+    ]
+    return fold_line_chars(chars)

@@ -13,6 +13,7 @@ from edspdf_spark.operators.align import (
     align_composite,
     partition_lines,
 )
+from edspdf_spark.operators.fused import run_pipeline_fused
 from edspdf_spark.operators.merge import merge_boxes
 from edspdf_spark.operators.features import with_layout_features, FEATURE_COLS
 
@@ -30,6 +31,7 @@ __all__ = [
     "align_composite",
     "partition_lines",
     "merge_boxes",
+    "run_pipeline_fused",
     "with_layout_features",
     "FEATURE_COLS",
 ]

@@ -1,27 +1,36 @@
-"""P6 simple-aggregator / P7 markdown-aggregator as a grouped-map stage.
+"""P6 simple-aggregator / P7 markdown-aggregator as a streaming grouped stage.
 
-``groupBy(url).applyInPandas`` — the BASELINE-mandated groupBy-url
-aggregation. One shuffle by url (the only data-sized shuffle of the whole
-pipeline), then each document is reconstituted independently inside an Arrow
-batch by the exact-semantics kernel
+The BASELINE-mandated groupBy-url aggregation — one shuffle by url (the
+only data-sized shuffle of the whole pipeline) — implemented as
+``repartition(url) → sortWithinPartitions(url, page_num, bloc_ord) →
+mapInPandas`` rather than ``groupBy.applyInPandas``: the grouped-map API
+materializes one pandas DataFrame PER DOCUMENT (measured: the aggregate
+stage dominated the whole pipeline at 120k docs, 53s of 83s at local[32],
+mostly pandas per-group machinery), while this streaming form sorts on the
+JVM side (Tungsten), slices url groups out of each Arrow batch with numpy
+boundary indices, and carries the partition's trailing — possibly
+incomplete — url group over to the next batch. Each document is then
+reconstituted by the exact-semantics kernel
 (``edspdf_spark.kernel.aggregate.aggregate_doc`` ≙ reference
 ``edspdf/pipes/aggregators/simple.py:108-171``).
 
 Ordered concat + exact ``np.median`` + span rebasing must be byte-exact,
-which is why this stays a grouped kernel rather than a
+which is why the per-document math stays a Python kernel rather than a
 ``lead()``/``percentile`` SQL approximation (SURVEY.md P6 discussion).
 
 At 100 TB: aggregation state is one document's lines (KBs); skew comes only
-from giant documents, which the upstream length-bucketed repartition spreads;
-AQE's skew-join/partition coalescing handles the groupBy residual.
+from giant documents, which the upstream salted repartition spreads; AQE
+coalesces the groupBy residual.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Union
+from typing import Dict, Iterator, List, Optional, Union
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from edspdf_spark.kernel.aggregate import aggregate_doc
 from edspdf_spark.schemas import AGG_SCHEMA
@@ -47,54 +56,85 @@ def aggregate_simple(
 ) -> DataFrame:
     """blocs → aggregates(url, label, text, properties)."""
 
-    def per_doc(grp: pd.DataFrame) -> pd.DataFrame:
-        grp = grp[~grp["error"]]
-        if not len(grp):
-            return pd.DataFrame(columns=_AGG_COLS)
-        # document reading order = (page_num asc, per-page fuzzy rank asc)
-        grp = grp.sort_values(["page_num", "bloc_ord"], kind="stable")
-        url = grp["url"].iloc[0]
-        lines = [
-            (
-                int(r.page_num),
-                float(r.x0),
-                float(r.y0),
-                float(r.x1),
-                float(r.y1),
-                r.text,
-                _props_to_tuples(r.props),
-                r.label,
+    def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+        urls = pdf["url"].to_numpy()
+        change = np.nonzero(urls[1:] != urls[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(urls)]))
+        page = pdf["page_num"].to_numpy()
+        x0 = pdf["x0"].to_numpy()
+        y0 = pdf["y0"].to_numpy()
+        x1 = pdf["x1"].to_numpy()
+        y1 = pdf["y1"].to_numpy()
+        texts = pdf["text"].to_numpy()
+        props = pdf["props"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        out: Dict[str, list] = {c: [] for c in _AGG_COLS}
+        for s, e in zip(starts, ends):
+            lines = [
+                (
+                    int(page[i]),
+                    float(x0[i]),
+                    float(y0[i]),
+                    float(x1[i]),
+                    float(y1[i]),
+                    texts[i],
+                    _props_to_tuples(props[i]),
+                    labels[i],
+                )
+                for i in range(s, e)
+            ]
+            agg = aggregate_doc(
+                lines,
+                sort=sort,
+                new_line_threshold=new_line_threshold,
+                new_paragraph_threshold=new_paragraph_threshold,
+                label_map=label_map,
             )
-            for r in grp.itertuples(index=False)
-        ]
-        agg = aggregate_doc(
-            lines,
-            sort=sort,
-            new_line_threshold=new_line_threshold,
-            new_paragraph_threshold=new_paragraph_threshold,
-            label_map=label_map,
+            for label, (text, styles) in agg.items():
+                out["url"].append(urls[s])
+                out["label"].append(label)
+                out["text"].append(text)
+                out["properties"].append(
+                    [
+                        {
+                            "italic": st[0],
+                            "bold": st[1],
+                            "begin": st[2],
+                            "end": st[3],
+                            "fontname": st[4],
+                        }
+                        for st in styles
+                    ]
+                )
+        # explicit object dtype: a zero-row flush would otherwise default
+        # to float64 columns, which Arrow cannot cast to list<struct>
+        return pd.DataFrame(
+            {c: pd.Series(out[c], dtype=object) for c in _AGG_COLS},
+            columns=_AGG_COLS,
         )
-        rows = [
-            {
-                "url": url,
-                "label": label,
-                "text": text,
-                "properties": [
-                    {
-                        "italic": s[0],
-                        "bold": s[1],
-                        "begin": s[2],
-                        "end": s[3],
-                        "fontname": s[4],
-                    }
-                    for s in styles
-                ],
-            }
-            for label, (text, styles) in agg.items()
-        ]
-        return pd.DataFrame(rows, columns=_AGG_COLS)
 
-    return blocs.groupBy("url").applyInPandas(per_doc, schema=AGG_SCHEMA)
+    def agg_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if not len(pdf):
+                continue
+            urls = pdf["url"].to_numpy()
+            # the partition is url-sorted, so the (possibly batch-spanning)
+            # last group starts at the first occurrence of the last url
+            cut = int(np.argmax(urls == urls[-1]))
+            buf = pdf.iloc[cut:]
+            if cut:
+                yield flush(pdf.iloc[:cut])
+        if buf is not None and len(buf):
+            yield flush(buf)
+
+    good = blocs.filter(~F.col("error"))
+    part = good.repartition("url").sortWithinPartitions("url", "page_num", "bloc_ord")
+    return part.mapInPandas(agg_stream, schema=AGG_SCHEMA)
 
 
 def to_markdown(text: str, properties: list) -> str:

@@ -264,3 +264,59 @@ class TestAggregateKernel:
         ]
         out = aggregate_doc(lines, sort=True)
         assert out["body"][0].startswith("left")
+
+
+class TestFoldRunsFastPath:
+    """fold_runs' single-clean-run fast path must equal the full char fold
+    on every input, including the ones that force the slow path."""
+
+    CASES = [
+        [("Helvetica", True, "hello world")],          # fast path
+        [("Helvetica-Bold", True, "x")],               # fast, bold
+        [("Times-Italic", False, "abc def")],          # fast, italic both ways
+        [(None, True, "plain")],                       # fast, no fontname
+        [("Courier", True, " lead")],                  # slow: leading space
+        [("Courier", True, "trail ")],                 # slow: trailing space
+        [("Courier", True, "a  b")],                   # slow: double space
+        [("Courier", True, "a\tb")],                   # slow: tab
+        [("Courier", True, "a b")],               # slow: nbsp (unicode ws)
+        [("A", True, "left"), ("B-Bold", True, "right")],   # slow: two runs
+        [("A", True, "le"), ("A", True, "ft")],        # slow: same-style split
+        [("Courier", True, "")],                       # slow: empty
+    ]
+
+    def test_equivalence(self):
+        from edspdf_spark.kernel.style import fold_line_chars, fold_runs
+
+        for runs in self.CASES:
+            chars = [
+                (ch, fontname, upright)
+                for fontname, upright, text in runs
+                for ch in text
+            ]
+            assert fold_runs(runs) == fold_line_chars(chars), runs
+
+    def test_equivalence_property(self):
+        """Randomized runs (mixed clean/dirty, merges, unicode ws) always
+        fold identically through the fast path and the char fold."""
+        from hypothesis import given, settings, strategies as st
+
+        from edspdf_spark.kernel.style import fold_line_chars, fold_runs
+
+        run_st = st.tuples(
+            st.sampled_from(["Helvetica", "Times-Bold", "X-Italic", None, "F"]),
+            st.booleans(),
+            st.text(alphabet="ab %\t ", max_size=8),
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(run_st, max_size=4))
+        def check(runs):
+            chars = [
+                (ch, fontname, upright)
+                for fontname, upright, text in runs
+                for ch in text
+            ]
+            assert fold_runs(runs) == fold_line_chars(chars)
+
+        check()

@@ -1,5 +1,6 @@
-"""One scaling-bench job: full pipeline on a fixed corpus at a given core
-count. Prints one JSON line. Run via tools/scaling_bench.py."""
+"""One scaling-bench job: the production (fused, skew-repartitioned)
+pipeline on a fixed corpus at a given core count. Prints one JSON line
+with best-of-N steady-state wall time. Run via tools/scaling_bench.py."""
 
 from __future__ import annotations
 
@@ -12,49 +13,61 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from edspdf_spark import get_spark
 
+REPS = int(os.environ.get("SCALE_REPS", "3"))
+
 
 def main():
     cores = int(sys.argv[1])
     corpus = sys.argv[2]
     n_docs = int(sys.argv[3])
 
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark(
         master=f"local[{cores}]",
         app_name=f"scale-{cores}",
         shuffle_partitions=max(cores, 8),
+        # tmpfs shuffle: this box's /tmp disk adds minutes of cold-cache IO
+        # variance; real clusters shuffle to local NVMe
+        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from edspdf_spark.operators import aggregate_simple, classify_mask, extract_blocs
+    from edspdf_spark.operators import run_pipeline_fused
     from edspdf_spark.skew import repartition_pages
 
-    # warmup: JVM/codegen/Arrow init so the measured run is steady-state
     pages = spark.read.parquet(corpus)
-    warm = aggregate_simple(
-        classify_mask(
-            extract_blocs(pages.limit(200)), [("body", 0.2, 0.3, 0.9, 0.6)], 0.1
+
+    def job():
+        out = run_pipeline_fused(
+            repartition_pages(pages, cores * 4),
+            [("body", 0.2, 0.3, 0.9, 0.6)],
+            threshold=0.1,
         )
+        out.write.format("noop").mode("overwrite").save()
+
+    # warmup: JVM/codegen/Arrow init AND one python worker per core (a
+    # limit() warmup coalesces to one partition and leaves the other
+    # workers' fork+import cost inside the measured run)
+    warm = run_pipeline_fused(
+        pages.limit(cores * 40).repartition(cores), [("body", 0.2, 0.3, 0.9, 0.6)], 0.1
     )
     warm.write.format("noop").mode("overwrite").save()
 
-    t0 = time.perf_counter()
-    out = aggregate_simple(
-        classify_mask(
-            extract_blocs(repartition_pages(pages, cores * 4)),
-            [("body", 0.2, 0.3, 0.9, 0.6)],
-            0.1,
-        )
-    )
-    out.write.format("noop").mode("overwrite").save()
-    secs = time.perf_counter() - t0
+    reps = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        job()
+        reps.append(round(time.perf_counter() - t0, 3))
+    best = min(reps)
 
     print(
         json.dumps(
             {
                 "cores": cores,
                 "docs": n_docs,
-                "seconds": round(secs, 3),
-                "docs_per_sec": round(n_docs / secs, 2),
+                "seconds": best,
+                "reps": reps,
+                "docs_per_sec": round(n_docs / best, 2),
             }
         )
     )
