@@ -92,22 +92,18 @@ def minhash_signatures(
     assert n_hashes <= len(MINHASH_PARAMS)
     base = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
     sh = shingles(base, k)
-    hashed = F.transform(sh, lambda s: _poly_shingle_hash(s, k))
-    out = df.select(F.col(id_col), hashed.alias("_sh_hashes"))
-
-    def affine(a: int, b: int):
-        def fn(h):
-            return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)
-
-        return fn
-
-    for i in range(n_hashes):
-        a, b = MINHASH_PARAMS[i]
-        out = out.withColumn(
-            f"mh{i}",
-            F.array_min(F.transform(F.col("_sh_hashes"), affine(a, b))),
-        )
-    return out.drop("_sh_hashes")
+    # One row per (doc, shingle-hash), then n_hashes partial-aggregated
+    # mins. Computing the mins as 8 array_min(transform(...)) columns
+    # instead lets Catalyst's projection collapse INLINE the shingle
+    # hashing into every column — 8x recompute, measured 54s → 4s at
+    # sf0.1. The explode+min shape also map-side-combines at scale.
+    hashed = F.explode(F.transform(sh, lambda s: _poly_shingle_hash(s, k)))
+    exploded = df.select(F.col(id_col), hashed.alias("_h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
