@@ -637,6 +637,101 @@ FROM lines
 """
 
 
+def _q_rollup(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_set_except(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey"))
+    third = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return with_orders.subtract(third)  # EXCEPT (distinct) semantics
+
+
+_SET_EXCEPT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+def _q_semi_join(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_SEMI_JOIN_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+"""
+
+
+def _q_median_qty(spark, sf_dir):
+    """Exact interpolated median over integer cents — identical
+    half-sum-of-central-values definition in Spark ``percentile`` and
+    DuckDB ``median`` (values are ints, so the result is k or k+0.5,
+    exact in float64 on both engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.5)"
+        ).alias("median_qty_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT l_returnflag,
+  median(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS median_qty_cents,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_price_histogram(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_PRICE_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from edspdf_spark import entry_queries as eq
 
@@ -676,6 +771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_join": _q_topk_join,
         "running_sum": _q_running_sum,
         "anti_join": _q_anti_join,
+        "rollup_revenue": _q_rollup,
+        "set_except": _q_set_except,
+        "semi_join": _q_semi_join,
+        "median_qty": _q_median_qty,
+        "price_histogram": _q_price_histogram,
     }
 
 
@@ -711,4 +811,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_join": _TOPK_JOIN_ORACLE,
         "running_sum": _RUNNING_SUM_ORACLE,
         "anti_join": _ANTI_JOIN_ORACLE,
+        "rollup_revenue": _ROLLUP_ORACLE,
+        "set_except": _SET_EXCEPT_ORACLE,
+        "semi_join": _SEMI_JOIN_ORACLE,
+        "median_qty": _MEDIAN_ORACLE,
+        "price_histogram": _PRICE_HISTOGRAM_ORACLE,
     }

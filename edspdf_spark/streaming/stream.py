@@ -71,6 +71,97 @@ def run_pipeline_stream(
     return writer.start()
 
 
+def dedup_stream_first_seen(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    cross-batch url dedup lineage — per url, the state store carries
+    (total occurrences, first-seen timestamp, first-seen lang); each
+    micro-batch that brings new arrivals for a url emits one row
+    ``(url, first_seen_ts, first_lang, n_dups_so_far)``. Reading the sink
+    with any-one-row-per-url gives the deduped first-seen view; the
+    cumulative duplicate counter is the lineage signal the metrics table
+    wants (``dropDuplicates`` could express pass/drop, but not the
+    counter).
+
+    State is keyed by url — at scale the state store shards with the
+    shuffle; a processing-time timeout could bound it (unbounded here:
+    availableNow batch replays).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("first_seen", T.TimestampType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("n_dups_so_far", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seen", T.LongType(), False),
+            T.StructField("first_us", T.LongType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.exists:
+            seen, first_us, lang0 = state.get
+        else:
+            seen, first_us, lang0 = 0, None, None
+        new = 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("warc_ts", kind="stable")
+            if seen + new == 0:
+                first = pdf.iloc[0]
+                ts = first["warc_ts"]
+                first_us = None if pd.isna(ts) else int(pd.Timestamp(ts).value // 1000)
+                lang0 = first["lang"]
+            new += len(pdf)
+        state.update((seen + new, first_us, lang0))
+        if new:
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series([key[0]], dtype=object),
+                    "first_seen": pd.Series(
+                        [None if first_us is None else pd.Timestamp(first_us * 1000)]
+                    ),
+                    "lang": pd.Series([lang0], dtype=object),
+                    "n_dups_so_far": pd.Series([seen + new - 1], dtype="int64"),
+                }
+            )
+
+    deduped = (
+        pages_stream.select("url", "warc_ts", "lang")
+        .groupBy("url")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_ingest_metrics(
     pages_stream: DataFrame,
     out_dir: str,
