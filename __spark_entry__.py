@@ -732,6 +732,38 @@ FROM orders GROUP BY 1
 """
 
 
+# --- non-SQL-expressible classifiers (rows-only driver checks) --------------
+
+def _blocs_for_classifiers(spark, sf_dir):
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.operators import extract_blocs
+
+    return extract_blocs(pages_from_documents(spark, sf_dir))
+
+
+def _q_random_classifier(spark, sf_dir):
+    """P5 RandomClassifier — per-url seeded RNG (deterministic across runs
+    and partitionings, but numpy Philox is not expressible in SQL)."""
+    from edspdf_spark.operators import classify_random
+
+    blocs = _blocs_for_classifiers(spark, sf_dir)
+    out = classify_random(blocs, {"body": 0.7, "pollution": 0.3}, seed=7)
+    return out.select("url", "page_num", "bloc_ord", "label")
+
+
+def _q_forest_classifier(spark, sf_dir):
+    """P8 trainable classifier — NumPy random forest distant-supervised on
+    mask labels (E1 layout features), served via mapInPandas. Deterministic
+    (seeded) but model inference is not expressible in SQL."""
+    from edspdf_spark.ml.forest import classify_forest, train_forest_on_masks
+    from edspdf_spark.operators import classify_mask
+
+    blocs = _blocs_for_classifiers(spark, sf_dir)
+    labeled = classify_mask(blocs, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1)
+    model = train_forest_on_masks(labeled, seed=42, n_trees=4, max_depth=6)
+    return classify_forest(blocs, model).select("url", "page_num", "bloc_ord", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from edspdf_spark import entry_queries as eq
 
@@ -776,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _q_semi_join,
         "median_qty": _q_median_qty,
         "price_histogram": _q_price_histogram,
+        # rows-only (non-SQL-expressible: RNG / model inference)
+        "random_classifier": _q_random_classifier,
+        "forest_classifier": _q_forest_classifier,
     }
 
 

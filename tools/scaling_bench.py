@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS = int(os.environ.get("SCALE_DOCS", "240000"))
-PAIRS = int(os.environ.get("SCALE_PAIRS", "3"))
-LOW, HIGH = 8, 32
+PAIRS = int(os.environ.get("SCALE_PAIRS", "2"))
+LOW = int(os.environ.get("SCALE_LOW", "2"))
+HIGH = int(os.environ.get("SCALE_HIGH", "8"))
 
 
 def ensure_corpus(path: str) -> None:
