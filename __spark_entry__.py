@@ -732,6 +732,47 @@ FROM orders GROUP BY 1
 """
 
 
+def _q_html_boilerplate(spark, sf_dir):
+    """HTML boilerplate strip (north rule): documents wrapped in a fixed
+    page template (nav chrome + article body), segmented and labeled by the
+    link-density/DOM-heuristic extractor. Deterministic template → exact
+    SQL oracle: one boilerplate nav block and one body block per doc."""
+    import pandas as pd
+
+    from edspdf_spark.operators.extract_html import extract_blocs_html
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def to_html(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["doc_id"].astype(str),
+                    "html": [
+                        (
+                            "<html><nav><a href='/'>Menu</a> Home About</nav>"
+                            "<article><p>" + str(t) + "</p></article></html>"
+                        ).encode("utf-8")
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    pages = docs.mapInPandas(to_html, "url string, html binary")
+    out = extract_blocs_html(pages, min_words=3, max_link_density=0.4)
+    return out.select("url", "label", "text")
+
+
+_HTML_BOILERPLATE_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Menu Home About' AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, text
+FROM documents
+"""
+
+
 # --- non-SQL-expressible classifiers (rows-only driver checks) --------------
 
 def _blocs_for_classifiers(spark, sf_dir):
@@ -772,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": _q_pipeline_e2e,
         "pipeline_e2e_fused": _q_pipeline_fused,
         "pipeline_markdown": _q_pipeline_markdown,
+        "html_boilerplate": _q_html_boilerplate,
         # pipeline operator family (SURVEY.md §2.2-2.4)
         "mask_argmax": eq.q_mask_argmax,
         "layout_features": eq.q_layout_features,
@@ -821,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_e2e": _PIPELINE_E2E_ORACLE,
         "pipeline_e2e_fused": _PIPELINE_E2E_ORACLE,
         "pipeline_markdown": _PIPELINE_MARKDOWN_ORACLE,
+        "html_boilerplate": _HTML_BOILERPLATE_ORACLE,
         "mask_argmax": eq.mask_argmax_oracle(),
         "layout_features": eq.LAYOUT_FEATURES_ORACLE,
         "bioul_tags": eq.BIOUL_ORACLE,

@@ -23,7 +23,7 @@ from edspdf_spark import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "4000"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "24000"))
 
 
 def materialize(df) -> None:
