@@ -89,9 +89,31 @@ def _markdown_aggregator(df: DataFrame, **kw):
     return aggregate_markdown(df, **{k: v for k, v in kw.items() if k != "name"})
 
 
+def _html_extractor(df: DataFrame, min_words: int = 3, max_link_density: float = 0.4, **_):
+    from edspdf_spark.operators.extract_html import extract_blocs_html
+
+    return extract_blocs_html(
+        df, min_words=min_words, max_link_density=max_link_density
+    )
+
+
+def _fused_pipeline(df: DataFrame, masks=None, threshold: float = 1.0, **kw):
+    from edspdf_spark.operators.fused import run_pipeline_fused
+
+    boxes = [
+        (m.get("label", name), m["x0"], m["y0"], m["x1"], m["y1"])
+        for name, m in (masks or {}).items()
+    ] or [("body", 0.0, 0.0, 1.0, 1.0)]
+    return run_pipeline_fused(
+        df, boxes, threshold=threshold, **{k: v for k, v in kw.items() if k != "name"}
+    )
+
+
 FACTORIES: Dict[str, Callable] = {
     "extractor": _extractor,
     "pdfminer-extractor": _extractor,  # reference name, same payload parser
+    "html-extractor": _html_extractor,
+    "fused-pipeline": _fused_pipeline,
     "mask-classifier": _mask_classifier,
     "multi-mask-classifier": _multi_mask_classifier,
     "dummy-classifier": _dummy_classifier,
