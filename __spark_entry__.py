@@ -431,6 +431,19 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {k}
 """
 
 
+def _q_ivf_ann(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + nprobe cell search) — the
+    index-build is iterative NumPy, not SQL-expressible; rows-only check.
+    Recall vs brute force is asserted in tests/test_functions.py."""
+    from edspdf_spark.functions.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 53 == 0)
+    return ivf_ann_topk(emb, q, k=5, n_cells=16, nprobe=4).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from edspdf_spark.functions.similarity import cosine_neardup_pairs
 
@@ -840,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         # generic relational
         "pricing_summary": _q_pricing_summary,
         "topk_join": _q_topk_join,

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths:
+Three paths:
 
 * ``cosine_topk`` — brute-force exact top-k. The query side is collected to
   a (small) NumPy matrix and closed over by an Arrow-batched ``mapInPandas``
@@ -10,6 +10,12 @@ Two paths:
 * ``lsh_ann_topk`` — random-hyperplane LSH: bucket by sign bits, search only
   within the query's bucket (+ optional multi-probe). The scale path: the
   candidate set per query is corpus/2^bits on average.
+* ``ivf_ann_topk`` — IVF (inverted-file) ANN: a seeded NumPy k-means coarse
+  quantizer trained on a driver-side sample assigns every vector to its
+  nearest centroid cell; each query searches only its ``nprobe`` nearest
+  cells. The cell id is the shuffle/partition key — at 10^12 vectors each
+  cell is an independently scannable slice, and recall/cost trades off via
+  ``nprobe``.
 """
 
 from __future__ import annotations
@@ -114,6 +120,155 @@ def cosine_neardup_pairs(
         joined.withColumn("cos", cos)
         .filter(F.col("cos") > F.lit(float(threshold)))
         .select("id_a", "id_b", "cos")
+    )
+
+
+def kmeans_fit(
+    sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Seeded Lloyd k-means on L2-normalized vectors (spherical-ish) —
+    the IVF coarse quantizer. Deterministic; pure NumPy."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(n_iter):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str):
+    """vec → nearest-centroid cell id, Arrow-batched matmul."""
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": (mat @ centroids.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF index built on the fly.
+
+    Train: k-means on a (sampled) driver-side matrix. Serve: corpus vectors
+    tagged with their cell; each query expands to its ``nprobe`` nearest
+    cells and joins corpus rows on the cell id, exact cosine within the
+    candidate set, window top-k. Higher ``nprobe`` → higher recall.
+    """
+    samp = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        samp = samp.sample(fraction=sample_fraction, seed=seed)
+    sample = np.array(
+        [np.asarray(r[0], dtype=np.float64) for r in samp.collect()]
+    )
+    centroids = kmeans_fit(sample, n_cells, seed=seed)
+
+    c_cells = _assign_cells(corpus, centroids, id_col, vec_col)
+    c = corpus.join(c_cells, F.col(id_col) == F.col("vid")).drop("vid").alias("c")
+
+    # query side: nprobe nearest cells per query → explode
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            sims = mat @ centroids.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, top.shape[1]),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    q_probes = queries.select(id_col, vec_col).mapInPandas(probe, schema=probe_schema)
+    q = (
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("q_emb")
+        )
+        .join(q_probes, F.col("qid") == F.col("query_id"))
+        .select("query_id", "q_emb", "cell")
+        .alias("q")
+    )
+
+    cand = q.join(c, on="cell")
+    score_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf["q_emb"]])
+            )
+            cm = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cosine": (qm * cm).sum(axis=1),
+                }
+            )
+
+    scored = cand.select("query_id", "q_emb", id_col, vec_col).mapInPandas(
+        score, schema=score_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
     )
 
 

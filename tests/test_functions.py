@@ -163,3 +163,47 @@ def test_lsh_ann_recall(spark):
     assert all((qi, qi) in approx for qi in range(5))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4
+
+
+class TestIvfAnn:
+    def test_full_probe_matches_brute_force(self, spark):
+        """nprobe == n_cells searches every cell — result sets must equal
+        the exact brute-force top-k."""
+        from edspdf_spark.functions.similarity import cosine_topk, ivf_ann_topk
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") % 50 == 0)
+        exact = cosine_topk(emb, q, k=5)
+        ivf = ivf_ann_topk(emb, q, k=5, n_cells=8, nprobe=8)
+        ex = {}
+        for r in exact.collect():
+            ex.setdefault(r.query_id, set()).add(r.vec_id)
+        got = {}
+        for r in ivf.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        assert set(got) == set(ex)
+        hits = sum(len(got[k_] & ex[k_]) for k_ in ex)
+        total = sum(len(v) for v in ex.values())
+        assert hits / total >= 0.99
+
+    def test_partial_probe_recall_and_determinism(self, spark):
+        from edspdf_spark.functions.similarity import cosine_topk, ivf_ann_topk
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") % 50 == 0)
+        exact = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            exact.setdefault(r.query_id, set()).add(r.vec_id)
+        a = ivf_ann_topk(emb, q, k=5, n_cells=8, nprobe=2).collect()
+        b = ivf_ann_topk(emb, q, k=5, n_cells=8, nprobe=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded → stable
+        got = {}
+        for r in a:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(k_, set()) & exact[k_]) for k_ in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.4  # partial probe: meaningful recall
+        # the query's own cell is always probed → self always found
+        assert all(qid in got[qid] for qid in got)
