@@ -95,6 +95,16 @@ def fold_runs(
     (equivalence is asserted by tests/test_kernel.py).
     """
     runs = list(runs)
+    if len(runs) == 1:
+        # dominant case — avoid the generic all() scan
+        fontname, upright, t = runs[0]
+        if t and not _NEEDS_FOLD.search(t):
+            lowered = (fontname or "").lower()
+            italic = (not upright) or ("italic" in lowered)
+            bold = "bold" in lowered
+            return t, [(italic, bold, 0, len(t), fontname)]
+        chars = [(ch, fontname, upright) for ch in t]
+        return fold_line_chars(chars)
     if runs and all(t and not _NEEDS_FOLD.search(t) for _, _, t in runs):
         # Every run is clean, so no whitespace collapses and no space
         # crosses a run boundary (clean runs neither start nor end with

@@ -320,3 +320,35 @@ class TestFoldRunsFastPath:
             assert fold_runs(runs) == fold_line_chars(chars)
 
         check()
+
+
+class TestReadingOrderFastPath:
+    def test_equivalence_property(self):
+        """The vertical-separation fast path must equal the pure
+        Timsort-over-comparator sort on random pages (including overlap
+        cases that force the fallback)."""
+        from functools import cmp_to_key
+
+        import numpy as np
+
+        from edspdf_spark.kernel.reading_order import _cmp, sort_reading_order
+
+        rng = np.random.default_rng(123)
+        for trial in range(300):
+            n = int(rng.integers(1, 30))
+            boxes = []
+            y = 0.05
+            for i in range(n):
+                h = float(rng.uniform(0.005, 0.03))
+                if rng.random() < 0.3:
+                    # overlapping band (forces fallback sometimes)
+                    y0 = float(rng.uniform(0.0, 0.9))
+                else:
+                    y0 = y
+                    y = y0 + h + float(rng.uniform(0.0, 0.02))
+                x0 = float(rng.uniform(0.0, 0.6))
+                boxes.append((0, x0, y0, x0 + 0.3, y0 + h, f"t{i}"))
+            order = rng.permutation(n)
+            shuffled = [boxes[i] for i in order]
+            expected = sorted(shuffled, key=cmp_to_key(_cmp))
+            assert sort_reading_order(shuffled) == expected, trial
