@@ -248,7 +248,13 @@ JOIN sizes sb ON sb.doc_id = id_b
 def _q_simhash(spark, sf_dir):
     from edspdf_spark.functions.dedup import simhash64
 
-    return simhash64(_docs(spark, sf_dir))
+    return simhash64(_docs(spark, sf_dir).filter(F.length("text") >= 5))
+
+
+def _simhash_oracle() -> str:
+    from edspdf_spark.functions.dedup import simhash_oracle_sql
+
+    return simhash_oracle_sql(5, _minhash_poly_sql(5))
 
 
 def _q_ann_cosine(spark, sf_dir):
@@ -893,7 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidate_pairs": _lsh_pairs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        # simhash: xxhash64-based — not SQL-portable; rows-only check
+        "simhash": _simhash_oracle(),
         "media_meta": _MEDIA_META_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "ann_cosine_topk": _ann_cosine_oracle(),

@@ -153,35 +153,94 @@ def lsh_candidate_pairs(
     return pairs
 
 
+# two extra universal-hash params (disjoint from MINHASH_PARAMS[:8]) that
+# widen the 31-bit polynomial shingle hash to a 62-bit simhash word
+SIMHASH_PARAMS: Tuple[Tuple[int, int], Tuple[int, int]] = (
+    (48271, 11),
+    (16807, 101),
+)
+
+
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    hashes (xxhash64 — Spark-side; near-dup = small Hamming distance)."""
-    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    """62-bit SimHash over character k-shingles: per-bit majority vote of
+    two affine widenings of the portable polynomial shingle hash (near-dup
+    = small Hamming distance).
 
-    def vote(bit: int):
-        def fn(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    Shape: explode shingle hashes once, 62 partial-aggregated bit votes in
+    one groupBy (an earlier token/xxhash64 formulation folded the hash
+    array 64 times — the projection-collapse recompute trap — and used an
+    engine-specific hash; this one is map-side-combining AND value-level
+    reproducible in the DuckDB oracle)."""
+    base = normalize_text(F.col(text_col))
+    hashed = F.explode(
+        F.transform(shingles(base, k), lambda s: _poly_shingle_hash(s, k))
+    )
+    exploded = df.select(F.col(id_col), hashed.alias("_h"))
 
-        return fn
+    (a1, b1), (a2, b2) = SIMHASH_PARAMS
+    h1 = (F.lit(a1) * F.col("_h") + F.lit(b1)) % F.lit(MERSENNE)
+    h2 = (F.lit(a2) * F.col("_h") + F.lit(b2)) % F.lit(MERSENNE)
 
-    bits = []
-    for bit in range(64):
-        votes = F.aggregate(th, F.lit(0), vote(bit))
-        # bit 63 is the sign bit in int64: contributes -2^63 when set
-        weight = (1 << bit) if bit < 63 else -(1 << 63)
-        bits.append(
-            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(weight).cast("long")
+    aggs = []
+    for bit in range(62):
+        h = h1 if bit < 31 else h2
+        b = bit if bit < 31 else bit - 31
+        vote = F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+        aggs.append(F.sum(vote).alias(f"_v{bit}"))
+    votes = exploded.groupBy(id_col).agg(*aggs)
+
+    sim = F.lit(0).cast("long")
+    for bit in range(62):
+        sim = sim + F.when(
+            F.col(f"_v{bit}") > 0, F.lit(1 << bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_oracle_sql(k: int = 5, poly_sql: str = None) -> str:
+    """DuckDB oracle for :func:`simhash64` (callers supply the shingle poly
+    SQL via ``poly_sql``, same form as the minhash oracle)."""
+    (a1, b1), (a2, b2) = SIMHASH_PARAMS
+    vote_cols = []
+    for bit in range(62):
+        expr = (
+            f"((CAST({a1} AS BIGINT) * h + {b1}) % {MERSENNE})"
+            if bit < 31
+            else f"((CAST({a2} AS BIGINT) * h + {b2}) % {MERSENNE})"
         )
-    sim = bits[0]
-    for b in bits[1:]:
-        sim = sim + b
-    return df.select(F.col(id_col), sim.alias("simhash"))
+        b = bit if bit < 31 else bit - 31
+        vote_cols.append(
+            f"SUM(CASE WHEN ((CAST({expr} AS BIGINT) >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS _v{bit}"
+        )
+    assemble = " + ".join(
+        f"CASE WHEN _v{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END"
+        for bit in range(62)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents WHERE length(text) >= 5
+),
+sh AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      list_distinct(CASE WHEN length(t) - {k - 1} <= 0 THEN [t]
+        ELSE list_transform(generate_series(1, length(t) - {k - 1}), i -> substr(t, i, {k})) END),
+      s -> {poly_sql})) AS h
+  FROM norm
+),
+votes AS (
+  SELECT doc_id, {", ".join(vote_cols)} FROM sh GROUP BY doc_id
+)
+SELECT doc_id, ({assemble}) AS simhash FROM votes
+"""
 
 
 def ngram_jaccard_pairs(
