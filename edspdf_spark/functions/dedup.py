@@ -91,12 +91,15 @@ def minhash_signatures(
     (a_i * poly(shingle) + b_i) % p``."""
     assert n_hashes <= len(MINHASH_PARAMS)
     base = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
-    sh = shingles(base, k)
     # One row per (doc, shingle-hash), then n_hashes partial-aggregated
     # mins. Computing the mins as 8 array_min(transform(...)) columns
     # instead lets Catalyst's projection collapse INLINE the shingle
     # hashing into every column — 8x recompute, measured 54s → 4s at
     # sf0.1. The explode+min shape also map-side-combines at scale.
+    # (A rolling code-array variant — one ascii per character, k lookups
+    # per shingle — re-inlines the code array into every lambda
+    # invocation, going O(len²) per row; keep the per-shingle fold.)
+    sh = shingles(base, k)
     hashed = F.explode(F.transform(sh, lambda s: _poly_shingle_hash(s, k)))
     exploded = df.select(F.col(id_col), hashed.alias("_h"))
     aggs = [
