@@ -245,6 +245,39 @@ JOIN sizes sb ON sb.doc_id = id_b
 """
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Connected components over the LSH candidate-pair graph (canonical
+    document per near-dup cluster)."""
+    from edspdf_spark.functions.dedup import (
+        dedup_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 5)
+    sig = minhash_signatures(docs, k=5, n_hashes=8)
+    pairs = lsh_candidate_pairs(sig, rows_per_band=2, n_hashes=8)
+    return dedup_components(pairs)
+
+
+def _dedup_components_oracle() -> str:
+    inner = _lsh_pairs_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+"""
+
+
 def _q_simhash(spark, sf_dir):
     from edspdf_spark.functions.dedup import simhash64
 
@@ -852,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "dedup_components": _q_dedup_components,
         # multimodal binary columns
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
@@ -900,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": _lsh_pairs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "simhash": _simhash_oracle(),
+        "dedup_components": _dedup_components_oracle(),
         "media_meta": _MEDIA_META_ORACLE,
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "ann_cosine_topk": _ann_cosine_oracle(),

@@ -246,6 +246,68 @@ SELECT doc_id, ({assemble}) AS simhash FROM votes
 """
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup candidate-pair graph —
+    the canonical-document step of web-scale dedup: every document in a
+    component keeps ``component_id = min(doc ids in component)``; the
+    canonical doc is the one with ``doc_id == component_id``.
+
+    Algorithm: iterative min-label propagation (each round, every node
+    takes the min label among itself and its neighbors) with a driver-side
+    convergence check — rounds needed = graph diameter, which for LSH
+    near-dup clusters is tiny. Each round is one join + groupBy; the label
+    frame is checkpoint-persisted per round so the plan doesn't grow. At
+    10^12 ids the same loop runs with the labels bucketed by id (this is
+    the standard large-star/small-star family's simple cousin).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -207,3 +207,18 @@ class TestIvfAnn:
         assert hits / total >= 0.4  # partial probe: meaningful recall
         # the query's own cell is always probed → self always found
         assert all(qid in got[qid] for qid in got)
+
+
+def test_dedup_components(spark):
+    """Min-label propagation over a pair graph: chain, triangle, isolated
+    pair — all converge to min-id components."""
+    from edspdf_spark.functions.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),  # chain: diameter forces iterations
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                        # isolated pair
+        "id_a int, id_b int",
+    )
+    got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
