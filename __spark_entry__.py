@@ -530,8 +530,8 @@ def _q_pricing_summary(spark, sf_dir):
 
 _PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -575,9 +575,9 @@ def _q_running_sum(spark, sf_dir):
 
 _RUNNING_SUM_ORACLE = """
 SELECT event_id, user_id,
-  SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER (
+  CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_milli
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_milli
 FROM events
 """
 
@@ -704,7 +704,7 @@ def _q_rollup(spark, sf_dir):
 
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
   COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
