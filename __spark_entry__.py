@@ -424,6 +424,68 @@ FROM f
 """
 
 
+def _q_lsh_neardup(spark, sf_dir):
+    """Near-dup pairs at scale: LSH sign-bucket candidates (2 tables) +
+    exact in-bucket rescoring — the production replacement for the O(n²)
+    ``embedding_neardup`` baseline."""
+    from edspdf_spark.functions.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_neardup_pairs(emb, threshold=0.4, n_bits=6, n_tables=2, seed=42)
+
+
+def _lsh_neardup_oracle(
+    dim: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 2,
+    seed: int = 42,
+    threshold: float = 0.4,
+) -> str:
+    from edspdf_spark.functions.similarity import hyperplanes
+
+    def bucket_expr(H) -> str:
+        bits = []
+        for b in range(n_bits):
+            dot = " + ".join(
+                f"embeddings.embedding[{j + 1}] * CAST({float(H[b, j])!r} AS DOUBLE)"
+                for j in range(dim)
+            )
+            bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << b} ELSE 0 END)")
+        return "0 + " + " + ".join(bits)
+
+    tagged = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, ({bucket_expr(hyperplanes(dim, n_bits, seed + t))}) AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    dot = " + ".join(
+        f"CAST(a.embedding[{j}] AS DOUBLE) * CAST(b.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{j}] AS DOUBLE) * CAST(a.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{j}] AS DOUBLE) * CAST(b.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    return f"""
+WITH tagged AS (
+  {tagged}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM tagged l JOIN tagged r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, (0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb})) AS cos
+FROM cand
+JOIN embeddings a ON a.vec_id = cand.id_a
+JOIN embeddings b ON b.vec_id = cand.id_b
+WHERE (0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb})) > {threshold}
+"""
+
+
 def _q_lsh_ann(spark, sf_dir):
     """Approximate top-k via random-hyperplane sign buckets (the 10^12-vector
     scale path: candidate set = same-bucket vectors only)."""
@@ -825,6 +887,83 @@ FROM documents
 """
 
 
+# --- S-layer round-trip (S1/S2/S4/S5/S6) ------------------------------------
+
+def _q_source_roundtrip(spark, sf_dir):
+    """Sources/sinks round-trip, modeled on the reference invariant "total
+    box count survives every reader×writer combination"
+    (``tests/core/test_data.py:47-93``, 91 boxes):
+
+    pages → extract → write_parquet (S4, maxRecordsPerFile) → parquet scan
+    (S3) → per-url aggregate; the raw payloads go write_files (S2) →
+    binaryFile scan (S1) → byte-equality check; the aggregate then round-
+    trips through pandas (S5) and a python iterable (S6). The oracle states
+    the per-url invariants (bloc count = ceil(words/6), token total = word
+    count, payloads byte-identical)."""
+    import shutil
+    import tempfile
+
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.operators import extract_blocs
+    from edspdf_spark.schemas import BLOC_SCHEMA
+    from edspdf_spark.sources.writers import to_iterable, to_pandas, write_files, write_parquet
+
+    base = tempfile.mkdtemp(prefix="edspdf_roundtrip_")
+    try:
+        pages = pages_from_documents(spark, sf_dir)
+
+        # S4 → S3: blocs through a parquet sink/scan
+        blocs = extract_blocs(pages)
+        write_parquet(blocs, f"{base}/blocs", mode="overwrite", num_rows_per_file=512)
+        back = spark.read.schema(BLOC_SCHEMA).parquet(f"{base}/blocs")
+        agg = (
+            back.filter(~F.col("error"))
+            .groupBy("url")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocs"),
+                F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_words"),
+            )
+        )
+
+        # S2 → S1: payload files out and back, byte-identity per url
+        write_files(pages, f"{base}/files", content_col="html")
+        files = spark.read.format("binaryFile").load(f"{base}/files")
+        safe = F.regexp_replace(F.col("url"), "[^A-Za-z0-9._-]+", "_")
+        orig = pages.select(F.col("url"), F.col("html"), safe.alias("safe"))
+        got = files.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("safe"),
+            F.col("content").alias("html_rt"),
+        )
+        ok = orig.join(got, "safe").select(
+            "url", (F.col("html") == F.col("html_rt")).alias("payload_ok")
+        )
+
+        result = agg.join(ok, "url").select("url", "n_blocs", "n_words", "payload_ok")
+
+        # S5: pandas round-trip (Arrow both ways), then S6: iterable round-trip.
+        # Both legs materialize here, so the temp dir can be removed before
+        # the driver collects the returned DataFrame.
+        pdf = to_pandas(result)
+        via_pandas = spark.createDataFrame(pdf, schema=result.schema)
+        rows = list(to_iterable(via_pandas))
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_SOURCE_ROUNDTRIP_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(ceil(len(w) / 6.0) AS BIGINT) AS n_blocs,
+       CAST(len(w) AS BIGINT) AS n_words,
+       TRUE AS payload_ok
+FROM words
+"""
+
+
 # --- non-SQL-expressible classifiers (rows-only driver checks) --------------
 
 def _blocs_for_classifiers(spark, sf_dir):
@@ -857,6 +996,40 @@ def _q_forest_classifier(spark, sf_dir):
     return classify_forest(blocs, model).select("url", "page_num", "bloc_ord", "label")
 
 
+def _q_begin_last_classifier(spark, sf_dir):
+    """P9 bl-trainable classifier — 2-output (is_begin, is_last) forest head
+    trained on align_bioul truth (model inference: rows-only check; the
+    agreement metric vs truth is asserted in tests/test_forest_heads.py)."""
+    from edspdf_spark import entry_queries as eq
+    from edspdf_spark.ml.forest import classify_begin_last, train_begin_last
+    from edspdf_spark.operators.align import align_bioul
+
+    blocs = eq.blocs_from_lineitem(spark, sf_dir)
+    src = eq.src_boxes_for(spark, blocs)
+    truth = align_bioul(blocs, src, threshold=eq._ALIGN_THRESHOLD)
+    models = train_begin_last(truth, seed=42, n_trees=4, max_depth=6)
+    out = classify_begin_last(blocs, models)
+    return out.select("url", "page_num", "bloc_ord", "is_begin", "is_last")
+
+
+def _q_type_classifier(spark, sf_dir):
+    """P12 type-trainable classifier — node-type-labeled forest (same P8
+    skeleton, type label set from align_plain truth; rows-only check)."""
+    from edspdf_spark import entry_queries as eq
+    from edspdf_spark.ml.forest import classify_forest, train_forest_on_types
+    from edspdf_spark.operators.align import align_plain
+
+    blocs = eq.blocs_from_lineitem(spark, sf_dir)
+    src = eq.src_boxes_for(spark, blocs)
+    truth = align_plain(
+        blocs, src, threshold=eq._ALIGN_THRESHOLD, pollution_label="pollution"
+    )
+    model = train_forest_on_types(truth, seed=42, n_trees=4, max_depth=6)
+    return classify_forest(blocs, model).select(
+        "url", "page_num", "bloc_ord", "label"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from edspdf_spark import entry_queries as eq
 
@@ -873,6 +1046,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_concat_separators": eq.q_group_concat_separators,
         "label_factorize": eq.q_label_factorize,
         "merged_bbox": eq.q_merged_bbox,
+        "align_vocab": eq.q_align_vocab,
+        "align_composite": eq.q_align_composite,
+        "partition_templates": eq.q_partition_templates,
+        "dummy_classifier": eq.q_dummy_classifier,
+        # sources/sinks round-trip (S1/S2/S4/S5/S6)
+        "source_roundtrip": _q_source_roundtrip,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_signals": _q_quality,
@@ -892,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "ann_cosine_topk": _q_ann_cosine,
         "embedding_neardup": _q_embedding_neardup,
+        "lsh_neardup": _q_lsh_neardup,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         # generic relational
@@ -907,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible: RNG / model inference)
         "random_classifier": _q_random_classifier,
         "forest_classifier": _q_forest_classifier,
+        "begin_last_classifier": _q_begin_last_classifier,
+        "type_classifier": _q_type_classifier,
     }
 
 
@@ -924,6 +1106,11 @@ def oracle_sql() -> dict[str, str]:
         "group_concat_separators": eq.GROUP_CONCAT_ORACLE,
         "label_factorize": eq.LABEL_FACTORIZE_ORACLE,
         "merged_bbox": eq.MERGED_BBOX_ORACLE,
+        "align_vocab": eq.align_vocab_oracle(),
+        "align_composite": eq.align_composite_oracle(),
+        "partition_templates": eq.partition_templates_oracle(),
+        "dummy_classifier": eq.DUMMY_CLASSIFIER_ORACLE,
+        "source_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_signals": _QUALITY_ORACLE,
         "lang_guess": _LANG_GUESS_ORACLE,
@@ -939,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _FRAME_SAMPLE_ORACLE,
         "ann_cosine_topk": _ann_cosine_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
+        "lsh_neardup": _lsh_neardup_oracle(),
         "lsh_ann_topk": _lsh_ann_oracle(),
         "pricing_summary": _PRICING_ORACLE,
         "topk_join": _TOPK_JOIN_ORACLE,

@@ -38,8 +38,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   DECIMAL while DuckDB parses it as DOUBLE — double/decimal → double in
 #   both, with bit-identical results;
 # * (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
-#   lineitem, so bloc_ord packs (linenumber, partkey, suppkey) — verified
-#   unique — to keep every window/order deterministic across engines.
+#   lineitem, so bloc_ord packs (linenumber, partkey, suppkey) — and the
+#   projection is DISTINCT because even that key has a duplicate FULL row
+#   at sf0.001 (verified; sf0.01/sf0.1 are clean), which would make window
+#   partitions/orders non-deterministic across engines.
 _BLOC_SQL_EXPRS = {
     "url": "CAST(l_orderkey AS STRING)",
     "page_num": "CAST(l_linenumber % 3 AS INT)",
@@ -51,7 +53,7 @@ _BLOC_SQL_EXPRS = {
 }
 
 BLOCS_FROM_LINEITEM_SQL = (
-    "SELECT "
+    "SELECT DISTINCT "
     + ", ".join(f"{expr} AS {name}" for name, expr in _BLOC_SQL_EXPRS.items())
     + ", CAST(NULL AS STRING) AS text, NULL AS props,"
     " CAST(NULL AS STRING) AS label, FALSE AS error FROM lineitem"
@@ -67,7 +69,7 @@ def blocs_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS STRING) AS label",
         "CAST(FALSE AS BOOLEAN) AS error",
     )
-    return df
+    return df.distinct()
 
 
 # masks used by the mask-argmax query (same literals in Spark and SQL)
@@ -271,6 +273,179 @@ LABEL_FACTORIZE_ORACLE = """
 SELECT event_type,
   CAST(ROW_NUMBER() OVER (ORDER BY first_id) - 1 AS INT) AS code
 FROM (SELECT event_type, MIN(event_id) AS first_id FROM events GROUP BY event_type) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3/A4/A5 — per-document src annotation boxes (the fork's alignment family)
+# ---------------------------------------------------------------------------
+#
+# Four page-agnostic horizontal bands per url; the synthetic blocs span
+# y ∈ [0, 0.69], so every band (incl. "list") wins the argmax for some blocs.
+# node_num/rank feed A4's composite label (reference utils/alignment.py:455-478).
+
+_SRC_ROWS = [
+    ("title", 0.0, 0.0, 1.0, 0.25, 10, 0, 0),
+    ("text", 0.0, 0.25, 1.0, 0.45, 11, 1, 1),
+    ("table", 0.0, 0.45, 1.0, 0.6, 12, 2, 2),
+    ("list", 0.0, 0.6, 1.0, 1.0, 13, 3, 3),
+]
+_ALIGN_THRESHOLD = 0.1
+
+
+def src_boxes_for(spark: SparkSession, blocs: DataFrame) -> DataFrame:
+    lit = spark.createDataFrame(
+        _SRC_ROWS,
+        "label string, x0 double, y0 double, x1 double, y1 double,"
+        " node_num int, rank int, src_ord int",
+    )
+    return (
+        blocs.select("url")
+        .distinct()
+        .crossJoin(F.broadcast(lit))
+        .withColumn("page_num", F.lit(None).cast("int"))
+    )
+
+
+# Shared oracle CTE replicating operators/align.py:_match_src exactly
+# (pair gate on covered-dst ratio, score = covered-src ratio, argmax with
+# first-src-wins ties, catch-all ±1e5 plane score = dst area / (2e5)^2).
+def _matched_cte() -> str:
+    src_values = ", ".join(
+        f"('{lab}', {x0}, {y0}, {x1}, {y1}, {node}, {rank}, {ord_})"
+        for lab, x0, y0, x1, y1, node, rank, ord_ in _SRC_ROWS
+    )
+    t = _ALIGN_THRESHOLD
+    ov = (
+        "(GREATEST(LEAST(s.s_x1, b.x1) - GREATEST(s.s_x0, b.x0), 0)"
+        " * GREATEST(LEAST(s.s_y1, b.y1) - GREATEST(s.s_y0, b.y0), 0))"
+    )
+    dst = (
+        "(CASE WHEN (b.x1-b.x0)*(b.y1-b.y0) = 0 THEN 1.0"
+        " ELSE (b.x1-b.x0)*(b.y1-b.y0) END)"
+    )
+    sarea = (
+        "(CASE WHEN (s.s_x1-s.s_x0)*(s.s_y1-s.s_y0) = 0 THEN 1.0"
+        " ELSE (s.s_x1-s.s_x0)*(s.s_y1-s.s_y0) END)"
+    )
+    cov = "(GREATEST(b.x1-b.x0, 0) * GREATEST(b.y1-b.y0, 0))"
+    return f"""
+blocs AS ({BLOCS_FROM_LINEITEM_SQL}),
+urls AS (SELECT DISTINCT url FROM blocs),
+srcrows(s_label, s_x0, s_y0, s_x1, s_y1, s_node, s_rankv, s_ord) AS
+  (VALUES {src_values}),
+src AS (SELECT u.url AS s_url, s.* FROM urls u CROSS JOIN srcrows s),
+scored AS (
+  SELECT b.url, b.page_num, b.bloc_ord,
+         'L' || CAST(b.bloc_ord AS VARCHAR) AS text,
+         s.s_label, s.s_node, s.s_rankv, s.s_ord,
+    CASE WHEN {ov} / {dst} < {t} THEN 0.0 ELSE {ov} / {sarea} END AS pair_score,
+    CASE WHEN {cov} / {dst} < {t} THEN 0.0
+         ELSE {cov} / 40000000000.0 END AS catch_score
+  FROM blocs b JOIN src s ON b.url = s.s_url
+),
+matched AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY url, page_num, bloc_ord
+                                 ORDER BY pair_score DESC, s_ord ASC) AS rn
+    FROM scored) t
+  WHERE rn = 1
+)"""
+
+
+def q_align_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — align with an arbitrary label vocabulary + pollution fallback."""
+    from edspdf_spark.operators.align import align_plain
+
+    blocs = blocs_from_lineitem(spark, sf_dir)
+    out = align_plain(
+        blocs, src_boxes_for(spark, blocs),
+        threshold=_ALIGN_THRESHOLD, pollution_label="pollution",
+    )
+    return out.select("url", "page_num", "bloc_ord", "label")
+
+
+def align_vocab_oracle() -> str:
+    return f"""
+WITH {_matched_cte()}
+SELECT url, page_num, bloc_ord,
+  CASE WHEN catch_score > pair_score THEN 'pollution' ELSE s_label END AS label
+FROM matched
+"""
+
+
+def q_align_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — composite label ``{label}|{node_num}|{rank}`` from the matched
+    src box (reference utils/alignment.py:371-495)."""
+    from edspdf_spark.operators.align import align_composite
+
+    blocs = blocs_from_lineitem(spark, sf_dir)
+    out = align_composite(
+        blocs, src_boxes_for(spark, blocs), threshold=_ALIGN_THRESHOLD
+    )
+    return out.select("url", "page_num", "bloc_ord", "label")
+
+
+def align_composite_oracle() -> str:
+    return f"""
+WITH {_matched_cte()}
+SELECT url, page_num, bloc_ord,
+  CASE WHEN catch_score > pair_score THEN 'pollution|-1|-1'
+       ELSE s_label || '|' || CAST(s_node AS VARCHAR) || '|' || CAST(s_rankv AS VARCHAR)
+  END AS label
+FROM matched
+"""
+
+
+def q_partition_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per matched src box, assemble the block text with the
+    label-dependent templates (reference utils/lines_partition.py:88-107);
+    complements ``group_concat_separators`` which covers the separator core."""
+    from edspdf_spark.operators.align import partition_lines
+
+    blocs = blocs_from_lineitem(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("L"), F.col("bloc_ord").cast("string"))
+    )
+    out = partition_lines(
+        blocs, src_boxes_for(spark, blocs), threshold=_ALIGN_THRESHOLD
+    )
+    return out.select("url", "page_num", "src_ord", "label", "n_lines", "text")
+
+
+def partition_templates_oracle() -> str:
+    return f"""
+WITH {_matched_cte()},
+g AS (
+  SELECT url, page_num,
+    CASE WHEN catch_score > pair_score THEN -1 ELSE s_ord END AS src_ord,
+    CASE WHEN catch_score > pair_score THEN 'pollution' ELSE s_label END AS label,
+    bloc_ord, text
+  FROM matched
+)
+SELECT url, page_num, CAST(src_ord AS INT) AS src_ord, label,
+  COUNT(*) AS n_lines,
+  CASE WHEN label IN ('text', 'title', 'pollution')
+         THEN label || '@@:' || chr(10) || STRING_AGG(text, ' ' ORDER BY bloc_ord)
+       WHEN label = 'table'
+         THEN label || ':' || chr(10) || STRING_AGG(text, ' ' ORDER BY bloc_ord)
+       WHEN label = 'list'
+         THEN label || ':' || chr(10) || STRING_AGG('--> ' || text, chr(10) ORDER BY bloc_ord)
+       ELSE NULL END AS text
+FROM g GROUP BY url, page_num, src_ord, label
+"""
+
+
+def q_dummy_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 DummyClassifier — constant projection (dummy.py:6-34)."""
+    from edspdf_spark.operators.classify import classify_dummy
+
+    out = classify_dummy(blocs_from_lineitem(spark, sf_dir), "body")
+    return out.select("url", "page_num", "bloc_ord", "label")
+
+
+DUMMY_CLASSIFIER_ORACLE = f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL})
+SELECT url, page_num, bloc_ord, 'body' AS label FROM blocs
 """
 
 

@@ -109,15 +109,36 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2, n_hashes: int = 8
-) -> DataFrame:
-    """Band the signature (rows_per_band hashes per band), bucket-join:
-    documents sharing any band bucket become candidate near-dup pairs.
+#: Default hot-bucket cap for :func:`lsh_candidate_pairs`. A band bucket of
+#: n docs emits n²/2 pairs; web corpora have degenerate boilerplate clusters
+#: (cookie banners, error pages) where n can be millions. Buckets above the
+#: cap are dropped from candidate generation — their members are near-exact
+#: duplicates that the exact/normalized dedup pass catches for a fraction of
+#: the cost. 10k² / 2 = 5·10⁷ pairs bounds the worst single bucket.
+LSH_MAX_BUCKET_SIZE = 10_000
 
-    The join is per-band groupBy + self-join WITHIN buckets — never a full
-    cross join; this is what keeps near-dedup feasible at 10^12 docs.
-    """
+
+def lsh_dropped_buckets(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    n_hashes: int = 8,
+    max_bucket_size: int = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Monitoring companion to :func:`lsh_candidate_pairs`: the (band,
+    bucket, n_docs) rows the cap excludes — run it alongside the dedup job
+    so dropped volume is logged, never silent."""
+    ex = _lsh_exploded_bands(sig, id_col, rows_per_band, n_hashes)
+    return (
+        ex.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def _lsh_exploded_bands(
+    sig: DataFrame, id_col: str, rows_per_band: int, n_hashes: int
+) -> DataFrame:
     n_bands = n_hashes // rows_per_band
     bands = F.array(
         *[
@@ -134,9 +155,37 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    n_hashes: int = 8,
+    max_bucket_size: int = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Band the signature (rows_per_band hashes per band), bucket-join:
+    documents sharing any band bucket become candidate near-dup pairs.
+
+    The join is per-band groupBy + self-join WITHIN buckets — never a full
+    cross join; this is what keeps near-dedup feasible at 10^12 docs.
+    Buckets larger than ``max_bucket_size`` are dropped (see
+    :data:`LSH_MAX_BUCKET_SIZE`); use :func:`lsh_dropped_buckets` to log
+    what the cap excluded. The bucket-size count rides the same
+    (band, bucket) hash partitioning the self-join needs, so the cap adds
+    no extra shuffle.
+    """
+    exploded = _lsh_exploded_bands(sig, id_col, rows_per_band, n_hashes)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        exploded = (
+            exploded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= int(max_bucket_size))
+            .drop("_bsz")
+        )
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (
@@ -261,10 +310,15 @@ def dedup_components(
     takes the min label among itself and its neighbors) with a driver-side
     convergence check — rounds needed = graph diameter, which for LSH
     near-dup clusters is tiny. Each round is one join + groupBy; the label
-    frame is checkpoint-persisted per round so the plan doesn't grow. At
-    10^12 ids the same loop runs with the labels bucketed by id (this is
-    the standard large-star/small-star family's simple cousin).
+    frame is ``localCheckpoint``-ed per round, which truncates lineage (a
+    bare ``persist`` would still grow the logical plan every iteration and
+    blow up driver-side analysis at scale). Exiting via ``max_iter``
+    without convergence warns — partial labels are an upper bound on the
+    true components. At 10^12 ids the same loop runs with the labels
+    bucketed by id (this is the standard large-star/small-star family's
+    simple cousin).
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -277,12 +331,15 @@ def dedup_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # localCheckpoint materializes AND truncates lineage — the next
+        # round's plan starts from the checkpointed data, not a 50-deep tree
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -291,7 +348,7 @@ def dedup_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -303,8 +360,16 @@ def dedup_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"dedup_components: hit max_iter={max_iter} before convergence; "
+            "returned labels over-segment components (labels are an upper "
+            "bound). Raise max_iter or pre-contract the graph.",
+            RuntimeWarning,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 

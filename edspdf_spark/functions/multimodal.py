@@ -170,7 +170,10 @@ def sample_frame_indices(
         F.lit(every_n),
     )
     return (
-        df.filter(F.col("media_type") == "video")
+        # n_frames > 0 guard: a parseable-but-empty video header would make
+        # sequence(0, -1, +step) throw 'Illegal sequence boundaries' and one
+        # malformed row would kill the whole stage
+        df.filter((F.col("media_type") == "video") & (F.col("n_frames") > 0))
         .withColumn("frame_idx", F.explode(idx))
         .withColumn(
             "frame_ts_milli",

@@ -43,6 +43,12 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+#: Hard cap on query vectors collected to the driver by :func:`cosine_topk`.
+#: The corpus side never touches the driver; the query side must stay a
+#: broadcast-sized matrix (dim 64 × 1e5 ≈ 50 MB float64).
+MAX_QUERY_ROWS = 100_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,9 +57,25 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
-    """Exact cosine top-k of each query vector against the corpus."""
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    """Exact cosine top-k of each query vector against the corpus.
+
+    The query side is collected to the driver with a hard ``max_queries``
+    bound (raises rather than silently OOM-ing at scale); for huge query
+    sets, chunk the queries or use :func:`lsh_ann_topk`/:func:`ivf_ann_topk`.
+    """
+    q_rows = queries.select(query_id_col, query_vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk collects the query side to the driver; got more than "
+            f"{max_queries} query rows — chunk the queries or use the ANN paths"
+        )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "query_id long, rank int, vec_id long, cosine double",
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
 
@@ -97,11 +119,16 @@ def cosine_neardup_pairs(
 
     Expression-based (left-associated ``element_at`` sums, never BLAS) so
     the cosine is bit-identical to a sequential-SQL oracle — this is the
-    exactness baseline. At corpus scale the cross join is replaced by the
-    LSH-bucketed candidate path (:func:`lsh_ann_topk`'s bucketing) followed
-    by this same exact rescoring within buckets.
+    exactness baseline, O(n²) by definition. At corpus scale use
+    :func:`lsh_neardup_pairs`, which generates candidates within LSH sign
+    buckets and rescores them with this same exact kernel.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).head(1)
+    if not head:
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
+    dim = len(head[0][0])
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
     joined = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
@@ -178,20 +205,31 @@ def ivf_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_sample_rows: int = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index built on the fly.
 
-    Train: k-means on a (sampled) driver-side matrix. Serve: corpus vectors
-    tagged with their cell; each query expands to its ``nprobe`` nearest
-    cells and joins corpus rows on the cell id, exact cosine within the
-    candidate set, window top-k. Higher ``nprobe`` → higher recall.
+    Train: k-means on a BOUNDED driver-side sample — ``sample_fraction``
+    thins first, then ``max_sample_rows`` (default ``max(n_cells * 256,
+    20_000)``) hard-caps the collected rows, so at 10^12 vectors the
+    quantizer still trains on tens of thousands of rows, never the corpus.
+    Serve: corpus vectors tagged with their cell; each query expands to its
+    ``nprobe`` nearest cells and joins corpus rows on the cell id, exact
+    cosine within the candidate set, window top-k. Higher ``nprobe`` →
+    higher recall.
     """
+    if max_sample_rows is None:
+        max_sample_rows = max(n_cells * 256, 20_000)
     samp = corpus.select(vec_col)
     if sample_fraction < 1.0:
         samp = samp.sample(fraction=sample_fraction, seed=seed)
     sample = np.array(
-        [np.asarray(r[0], dtype=np.float64) for r in samp.collect()]
+        [np.asarray(r[0], dtype=np.float64) for r in samp.limit(int(max_sample_rows)).collect()]
     )
+    if not len(sample):
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double"
+        )
     centroids = kmeans_fit(sample, n_cells, seed=seed)
 
     c_cells = _assign_cells(corpus, centroids, id_col, vec_col)
@@ -276,6 +314,101 @@ def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 
 
+def _sign_bucket(vec_col: str, H: np.ndarray, n_bits: int):
+    """Random-hyperplane sign-bit bucket id as a column expression (same
+    arithmetic shape as the SQL oracle: left-associated element sums)."""
+    sign_bits = F.lit(0).cast("long")
+    for b in range(n_bits):
+        dot = F.lit(0.0)
+        for j in range(H.shape[1]):
+            dot = dot + F.element_at(F.col(vec_col), j + 1) * F.lit(float(H[b, j]))
+        sign_bits = sign_bits + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sign_bits
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 6,
+    n_tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs AT SCALE: candidates from
+    random-hyperplane sign buckets (``n_tables`` independent tables boost
+    recall), then exact cosine rescoring — the same bit-identical
+    expression kernel as :func:`cosine_neardup_pairs` — within candidates
+    only.
+
+    This replaces the O(n²) cross join of the exact baseline: candidate
+    volume is Σ_buckets |bucket|²/2 per table, i.e. ~n²/2^bits on a
+    balanced table — the bucket id is the shuffle key, so at 10^12 vectors
+    each bucket is an independent slice. A true near-dup pair is missed
+    only if it disagrees on ≥1 bit in EVERY table; misses decay
+    exponentially with ``n_tables``.
+    """
+    head = corpus.select(vec_col).head(1)
+    if not head:
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
+    dim = len(head[0][0])
+
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _sign_bucket(vec_col, hyperplanes(dim, n_bits, seed + t), n_bits).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tagged = corpus.select(
+        F.col(id_col), F.explode(buckets).alias("tb")
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    l, r = tagged.alias("l"), tagged.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.table") == F.col("r.table"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    ea = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
+    eb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
+    scored = cand.join(ea, "id_a").join(eb, "id_b")
+
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    for j in range(dim):
+        xa = F.element_at(F.col("emb_a"), j + 1).cast("double")
+        xb = F.element_at(F.col("emb_b"), j + 1).cast("double")
+        dot = dot + xa * xb
+        na = na + xa * xa
+        nb = nb + xb * xb
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    return (
+        scored.withColumn("cos", cos)
+        .filter(F.col("cos") > F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -288,7 +421,12 @@ def lsh_ann_topk(
     """Approximate top-k: random-hyperplane sign bucket, exact search within
     the bucket. Recall grows with fewer bits / multi-probe; this is the
     pattern that scales to 10^12 vectors (bucket = shuffle key)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).head(1)
+    if not head:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cosine double"
+        )
+    dim = len(head[0][0])
     H = hyperplanes(dim, n_bits, seed)
 
     sign_bits = F.lit(0).cast("long")

@@ -87,9 +87,13 @@ def sort_reading_order(boxes: Sequence) -> list:
         same_page = all(b[0] == boxes[0][0] for b in boxes)
         if same_page:
             ys = np.array([[b[2], b[4]] for b in boxes], dtype=np.float64)
-            ys0 = ys[:, 0] * _BETA + ys[:, 1] * _ALPHA
-            ys1 = ys[:, 0] * _ALPHA + ys[:, 1] * _BETA
-            order = np.argsort(ys0, kind="stable")
-            if np.all(ys1[order][:-1] < ys0[order][1:]):
-                return [boxes[i] for i in order]
+            # the adjacency check implies all-pairs separation only when
+            # every box is upright (y1 >= y0 → shrunk ys0 <= ys1); an
+            # inverted box must fall back to the exact comparator path
+            if np.all(ys[:, 1] >= ys[:, 0]):
+                ys0 = ys[:, 0] * _BETA + ys[:, 1] * _ALPHA
+                ys1 = ys[:, 0] * _ALPHA + ys[:, 1] * _BETA
+                order = np.argsort(ys0, kind="stable")
+                if np.all(ys1[order][:-1] < ys0[order][1:]):
+                    return [boxes[i] for i in order]
     return sorted(boxes, key=_READING_ORDER_KEY)

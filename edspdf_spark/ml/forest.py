@@ -169,23 +169,123 @@ def _feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
     return pdf[FEATURE_COLS].to_numpy(dtype=np.float64)
 
 
+#: Hard cap on rows collected to the driver for training. Training is
+#: legitimately driver-side (the fitted model is then broadcast), but at
+#: 10^12 blocs an uncapped ``toPandas()`` kills the driver — the cap makes
+#: the default safe at any corpus size.
+TRAIN_MAX_ROWS = 200_000
+
+
+def _bounded_training_pdf(feat, columns, sample_fraction, seed, max_rows):
+    """Collect a bounded, deterministic training sample to the driver.
+
+    ``sample_fraction`` < 1 takes a Bernoulli sample first; ``limit`` then
+    hard-caps the row count regardless — no default code path collects
+    O(corpus) rows."""
+    if sample_fraction < 1.0:
+        feat = feat.sample(fraction=sample_fraction, seed=seed)
+    if max_rows is not None:
+        feat = feat.limit(int(max_rows))
+    return feat.select(*columns).toPandas()
+
+
 def train_forest_on_masks(
-    labeled_blocs, sample_fraction: float = 1.0, seed: int = 42, **forest_kw
+    labeled_blocs,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    max_rows: int = TRAIN_MAX_ROWS,
+    **forest_kw,
 ) -> RandomForest:
-    """Train on mask-classifier output (the distant-supervision recipe from
-    the north-star): features = E1 layout columns, labels = mask labels.
-    The training sample is collected to the driver (bounded via
-    ``sample_fraction``) — training is offline; serving is distributed."""
+    """P8/P12: train on distant-supervision labels (mask-classifier output,
+    or any labeled blocs — node types for P12): features = E1 layout
+    columns, labels = the ``label`` column. The training sample is
+    collected to the driver bounded by ``sample_fraction`` AND ``max_rows``;
+    serving (:func:`classify_forest`) is distributed."""
     from edspdf_spark.operators.features import with_layout_features
     from pyspark.sql import functions as F
 
     feat = with_layout_features(labeled_blocs.filter(~F.col("error")))
-    if sample_fraction < 1.0:
-        feat = feat.sample(fraction=sample_fraction, seed=seed)
-    pdf = feat.select(*FEATURE_COLS, "label").toPandas()
+    pdf = _bounded_training_pdf(
+        feat, [*FEATURE_COLS, "label"], sample_fraction, seed, max_rows
+    )
     model = RandomForest(seed=seed, **forest_kw)
     model.fit(_feature_matrix(pdf), pdf["label"].tolist())
     return model
+
+
+#: P12 ``type-trainable-classifier`` (reference
+#: ``pipes/classifiers/trainable_type.py:22-288``): the same skeleton as P8
+#: with a node-type label set — the forest is label-set agnostic, so the
+#: factory IS the P8 trainer fed type-labeled blocs (e.g. from
+#: ``operators.align.align_plain`` over node-type annotation boxes).
+train_forest_on_types = train_forest_on_masks
+
+
+def train_begin_last(
+    tagged_blocs,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    max_rows: int = TRAIN_MAX_ROWS,
+    **forest_kw,
+):
+    """P9 ``bl-trainable-classifier`` (reference
+    ``pipes/classifiers/trainable_multi_label.py:103-110``): a 2-output
+    head predicting ``(is_begin, is_last)`` per line. Re-expressed as two
+    binary forests over the E1 features, trained on ``align_bioul``-derived
+    ``is_begin`` / ``is_last`` truth columns. Returns ``{"is_begin": rf,
+    "is_last": rf}``."""
+    from edspdf_spark.operators.features import with_layout_features
+    from pyspark.sql import functions as F
+
+    feat = with_layout_features(tagged_blocs.filter(~F.col("error")))
+    pdf = _bounded_training_pdf(
+        feat, [*FEATURE_COLS, "is_begin", "is_last"], sample_fraction, seed, max_rows
+    )
+    X = _feature_matrix(pdf)
+    models = {}
+    for out_col in ("is_begin", "is_last"):
+        rf = RandomForest(seed=seed, **forest_kw)
+        rf.fit(X, [str(bool(v)) for v in pdf[out_col]])
+        models[out_col] = rf
+    return models
+
+
+def classify_begin_last(blocs, models):
+    """Serve the P9 2-output head: adds BOOLEAN ``is_begin`` / ``is_last``
+    columns — vectorized mapInPandas, models ride the closure (broadcast
+    once per executor)."""
+    import pyspark.sql.types as T
+
+    from edspdf_spark.operators.features import with_layout_features
+    from edspdf_spark.schemas import BLOC_SCHEMA
+
+    feat = with_layout_features(blocs)
+    cols = [f.name for f in BLOC_SCHEMA.fields]
+    out_schema = T.StructType(
+        BLOC_SCHEMA.fields
+        + [
+            T.StructField("is_begin", T.BooleanType(), True),
+            T.StructField("is_last", T.BooleanType(), True),
+        ]
+    )
+
+    def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf[cols].assign(
+                    is_begin=pd.Series(dtype=bool), is_last=pd.Series(dtype=bool)
+                )
+                continue
+            good = ~pdf["error"].to_numpy()
+            out = {}
+            for out_col, rf in models.items():
+                vals = np.zeros(len(pdf), dtype=bool)
+                if good.any():
+                    vals[good] = rf.predict(_feature_matrix(pdf[good])) == "True"
+                out[out_col] = vals
+            yield pdf[cols].assign(**out)
+
+    return feat.mapInPandas(predict, schema=out_schema)
 
 
 def classify_forest(blocs, model: RandomForest):

@@ -11,6 +11,7 @@ from edspdf_spark.operators.aggregate import aggregate_simple, aggregate_markdow
 from edspdf_spark.operators.align import (
     align_bioul,
     align_composite,
+    align_plain,
     partition_lines,
 )
 from edspdf_spark.operators.fused import run_pipeline_fused
@@ -29,6 +30,7 @@ __all__ = [
     "aggregate_markdown",
     "align_bioul",
     "align_composite",
+    "align_plain",
     "partition_lines",
     "merge_boxes",
     "run_pipeline_fused",

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from edspdf_spark.kernel.aggregate import aggregate_doc
+from edspdf_spark.operators.grouped import group_bounds, map_url_groups
 from edspdf_spark.schemas import AGG_SCHEMA
 
 _AGG_COLS = [f.name for f in AGG_SCHEMA.fields]
@@ -58,9 +59,7 @@ def aggregate_simple(
 
     def flush(pdf: pd.DataFrame) -> pd.DataFrame:
         urls = pdf["url"].to_numpy()
-        change = np.nonzero(urls[1:] != urls[:-1])[0] + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(urls)]))
+        starts, ends = group_bounds(urls)
         page = pdf["page_num"].to_numpy()
         x0 = pdf["x0"].to_numpy()
         y0 = pdf["y0"].to_numpy()
@@ -114,27 +113,8 @@ def aggregate_simple(
             columns=_AGG_COLS,
         )
 
-    def agg_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: Optional[pd.DataFrame] = None
-        for pdf in batches:
-            if buf is not None and len(buf):
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-                buf = None
-            if not len(pdf):
-                continue
-            urls = pdf["url"].to_numpy()
-            # the partition is url-sorted, so the (possibly batch-spanning)
-            # last group starts at the first occurrence of the last url
-            cut = int(np.argmax(urls == urls[-1]))
-            buf = pdf.iloc[cut:]
-            if cut:
-                yield flush(pdf.iloc[:cut])
-        if buf is not None and len(buf):
-            yield flush(buf)
-
     good = blocs.filter(~F.col("error"))
-    part = good.repartition("url").sortWithinPartitions("url", "page_num", "bloc_ord")
-    return part.mapInPandas(agg_stream, schema=AGG_SCHEMA)
+    return map_url_groups(good, flush, AGG_SCHEMA)
 
 
 def to_markdown(text: str, properties: list) -> str:

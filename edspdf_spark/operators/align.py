@@ -157,6 +157,25 @@ def align_bioul(
     return tagged.select(*bloc_cols, "is_begin", "is_last")
 
 
+def align_plain(
+    blocs: DataFrame,
+    src: DataFrame,
+    threshold: float = 0.0001,
+    pollution_label: Optional[str] = None,
+) -> DataFrame:
+    """A3 ``align_box_labels_bl_pkl`` (reference ``utils/alignment.py:265-363``):
+    the A1 join+argmax kernel with an arbitrary src label vocabulary and a
+    ``pollution_label`` fallback for blocs the catch-all wins. Unlike the
+    mask classifier there is no implicit ±1e4 pollution box — the only
+    catch-all is the ±1e5 plane that carries ``pollution_label``."""
+    m = _match_src(blocs, src, threshold)
+    label = F.when(F.col("s_matched"), F.col("s_label")).otherwise(
+        F.lit(pollution_label).cast("string")
+    )
+    bloc_cols = [c for c in blocs.columns if c != "label"]
+    return m.withColumn("label", label).select(*bloc_cols, "label")
+
+
 def align_composite(
     blocs: DataFrame,
     src: DataFrame,

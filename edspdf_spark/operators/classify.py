@@ -254,23 +254,42 @@ def classify_random(
     sha256(url)))``, so results are independent of partitioning and doc
     order. Documented deviation; same label marginals.
     """
+    from pyspark.sql.functions import asc_nulls_last
+
+    from edspdf_spark.operators.grouped import group_bounds, map_url_groups
+
     if isinstance(labels, list):
         labels = {c: 1.0 for c in labels}
     total = sum(labels.values())
     names = list(labels.keys())
     probs = [w / total for w in labels.values()]
+    cols = [f.name for f in BLOC_SCHEMA.fields]
 
-    def per_doc(grp: pd.DataFrame) -> pd.DataFrame:
-        grp = grp.sort_values(["page_num", "bloc_ord"], kind="stable")
-        url = grp["url"].iloc[0]
-        doc_seed = int.from_bytes(hashlib.sha256(str(url).encode()).digest()[:8], "big")
-        rng = np.random.default_rng((seed, doc_seed))
-        mask_err = grp["error"].to_numpy()
-        draw = rng.choice(names, p=probs, size=int((~mask_err).sum()))
-        lab = np.asarray(grp["label"], dtype=object)
-        lab[~mask_err] = draw
-        return grp.assign(label=lab)
+    def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+        urls = pdf["url"].to_numpy()
+        starts, ends = group_bounds(urls)
+        mask_err = pdf["error"].to_numpy()
+        lab = np.asarray(pdf["label"], dtype=object)
+        for s, e in zip(starts, ends):
+            doc_seed = int.from_bytes(
+                hashlib.sha256(str(urls[s]).encode()).digest()[:8], "big"
+            )
+            rng = np.random.default_rng((seed, doc_seed))
+            good = ~mask_err[s:e]
+            draw = rng.choice(names, p=probs, size=int(good.sum()))
+            seg = lab[s:e]
+            seg[good] = draw
+            lab[s:e] = seg
+        return pdf.assign(label=lab)[cols]
 
-    # grouped-map so one document is always one pandas group (a doc split
-    # across Arrow batches would otherwise restart the per-doc generator)
-    return blocs.groupBy("url").applyInPandas(per_doc, schema=BLOC_SCHEMA)
+    # streaming sorted-partition form (operators/grouped.py) instead of
+    # groupBy.applyInPandas — the per-doc generator still sees one whole
+    # document at a time (groups never split across flushes); nulls-last
+    # ordering matches the previous pandas sort_values (NaN last), so the
+    # draw→row assignment is unchanged
+    return map_url_groups(
+        blocs,
+        flush,
+        BLOC_SCHEMA,
+        order_cols=(asc_nulls_last("page_num"), asc_nulls_last("bloc_ord")),
+    )

@@ -21,6 +21,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+#: Above this box count the exact clique merge degrades to a bounded
+#: per-label-run bbox merge: each re-key round builds O(m² · n_other)
+#: pairwise-bbox tensors per label group (a 1200-box document is ~10⁹
+#: booleans per round — measured stalling a worker), so the exact path is
+#: reserved for the visualization-sized documents it was designed for
+#: (reference test fixtures are ≤ ~50 boxes/page).
+MERGE_MAX_BOXES = 400
+
+#: Maximal-clique enumeration is exponential in the worst case (a same-label
+#: group that is ALMOST fully mergeable is a near-complete graph with holes —
+#: observed on synthetic page geometry). One document may enumerate at most
+#: this many cliques per round before degrading to the bounded fallback.
+MERGE_MAX_CLIQUES = 10_000
+
 MERGED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -73,17 +87,52 @@ def _find_cliques(adj: np.ndarray) -> Iterator[List[int]]:
             subg, cand, ext_u = stack.pop()
 
 
+def _run_merge_fallback(labels: np.ndarray, coords: np.ndarray) -> List[tuple]:
+    """Bounded degenerate merge: one bbox per contiguous same-label run.
+    Used when the exact clique merge would be unbounded in memory (giant
+    documents) or time (exponential clique structure, non-terminating
+    re-key cycles)."""
+    n = len(labels)
+    out = []
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or labels[i] != labels[start]:
+            c = coords[start:i]
+            out.append(
+                (
+                    labels[start],
+                    float(c[:, 0].min()),
+                    float(c[:, 2].min()),
+                    float(c[:, 1].max()),
+                    float(c[:, 3].max()),
+                    i - start,
+                )
+            )
+            start = i
+    return out
+
+
 def merge_boxes_kernel(
-    labels: np.ndarray, coords: np.ndarray
+    labels: np.ndarray, coords: np.ndarray, max_iter: int = 20
 ) -> List[tuple]:
     """One document's (labels, [x0,x1,y0,y1]) → merged (label, x0, y0, x1,
-    y1, n) tuples. Mirrors merge.py:30-113."""
+    y1, n) tuples. Mirrors merge.py:30-113 — with one robustness addition:
+    the reference's ``while True`` re-keying loop has NO termination
+    guarantee (the clique relabeling can 2-cycle; observed on synthetic
+    page geometry, where it hangs networkx and our Bron–Kerbosch alike), so
+    the loop is bounded by ``max_iter`` and exits deterministically with
+    the current grouping — one stuck document must never stall a 10^12-doc
+    stage. Convergent inputs (every reference fixture) are unaffected."""
     n = len(labels)
     if n == 0:
         return []
+    if n > MERGE_MAX_BOXES:
+        # the pairwise-bbox tensors are O(n² · n_other) — a skewed multi-
+        # thousand-box document would OOM the worker
+        return _run_merge_fallback(labels, coords)
     merge_keys = np.unique(labels.astype(str), return_inverse=True)[1].copy()
 
-    while True:
+    for _ in range(max_iter):
         adj = np.zeros((n, n), dtype=bool)
         for key in np.unique(merge_keys):
             key_filter = merge_keys == key
@@ -108,6 +157,10 @@ def merge_boxes_kernel(
         conflicting = False
         seen: set = set()
         for clique_idx, clique in enumerate(_find_cliques(adj)):
+            if clique_idx >= MERGE_MAX_CLIQUES:
+                # exponential clique structure — bounded fallback, one
+                # stuck document must never stall the stage
+                return _run_merge_fallback(labels, coords)
             for box_idx in clique:
                 if box_idx in seen:
                     conflicting = True
@@ -136,27 +189,41 @@ def merge_boxes_kernel(
 
 
 def merge_boxes(blocs: DataFrame) -> DataFrame:
-    """blocs (labeled) → merged rectangles per (url)."""
+    """blocs (labeled) → merged rectangles per (url).
 
-    def per_doc(grp: pd.DataFrame) -> pd.DataFrame:
-        grp = grp[~grp["error"]].sort_values(["page_num", "bloc_ord"], kind="stable")
-        if not len(grp):
-            return pd.DataFrame(columns=[f.name for f in MERGED_SCHEMA.fields])
-        url = grp["url"].iloc[0]
-        labels = grp["label"].to_numpy()
-        coords = grp[["x0", "x1", "y0", "y1"]].to_numpy(dtype=np.float64)
-        rows = [
-            {
-                "url": url,
-                "label": r[0],
-                "x0": r[1],
-                "y0": r[2],
-                "x1": r[3],
-                "y1": r[4],
-                "n_merged": r[5],
-            }
-            for r in merge_boxes_kernel(labels, coords)
-        ]
-        return pd.DataFrame(rows, columns=[f.name for f in MERGED_SCHEMA.fields])
+    Runs on the streaming sorted-partition form (operators/grouped.py)
+    rather than ``groupBy.applyInPandas`` — one Arrow batch holds many
+    documents; each document's tiny box list is sliced out with numpy
+    boundary indices and fed to the per-doc clique kernel."""
+    from pyspark.sql import functions as F
 
-    return blocs.groupBy("url").applyInPandas(per_doc, schema=MERGED_SCHEMA)
+    from edspdf_spark.operators.grouped import group_bounds, map_url_groups
+
+    out_cols = [f.name for f in MERGED_SCHEMA.fields]
+
+    def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+        urls = pdf["url"].to_numpy()
+        starts, ends = group_bounds(urls)
+        labels_all = pdf["label"].to_numpy()
+        coords_all = pdf[["x0", "x1", "y0", "y1"]].to_numpy(dtype=np.float64)
+        rows = []
+        for s, e in zip(starts, ends):
+            for r in merge_boxes_kernel(labels_all[s:e], coords_all[s:e]):
+                rows.append(
+                    {
+                        "url": urls[s],
+                        "label": r[0],
+                        "x0": r[1],
+                        "y0": r[2],
+                        "x1": r[3],
+                        "y1": r[4],
+                        "n_merged": r[5],
+                    }
+                )
+        out = pd.DataFrame(rows, columns=out_cols)
+        if not len(out):  # keep dtypes Arrow-castable on empty flushes
+            out = pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        return out
+
+    good = blocs.filter(~F.col("error"))
+    return map_url_groups(good, flush, MERGED_SCHEMA)

@@ -116,17 +116,28 @@ def dedup_stream_first_seen(
             seen, first_us, lang0 = state.get
         else:
             seen, first_us, lang0 = 0, None, None
+        # applyInPandasWithState splits large groups into ~10k-row chunks:
+        # track the MINIMUM warc_ts across ALL chunks of this batch (a hot
+        # url replayed by availableNow easily spans several), never just
+        # the first chunk's head.
         new = 0
+        batch_first_us = None
+        batch_lang = None
+        saw_batch_row = False
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values("warc_ts", kind="stable")
-            if seen + new == 0:
-                first = pdf.iloc[0]
-                ts = first["warc_ts"]
-                first_us = None if pd.isna(ts) else int(pd.Timestamp(ts).value // 1000)
-                lang0 = first["lang"]
+            head = pdf.iloc[0]  # chunk minimum (NaT sorts last)
+            ts = head["warc_ts"]
+            cand = None if pd.isna(ts) else int(pd.Timestamp(ts).value // 1000)
+            if not saw_batch_row:
+                batch_first_us, batch_lang, saw_batch_row = cand, head["lang"], True
+            elif cand is not None and (batch_first_us is None or cand < batch_first_us):
+                batch_first_us, batch_lang = cand, head["lang"]
             new += len(pdf)
+        if seen == 0 and new:
+            first_us, lang0 = batch_first_us, batch_lang
         state.update((seen + new, first_us, lang0))
         if new:
             yield pd.DataFrame(
