@@ -1050,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_composite": eq.q_align_composite,
         "partition_templates": eq.q_partition_templates,
         "dummy_classifier": eq.q_dummy_classifier,
+        "pairwise_order_features": eq.q_pairwise_order_features,
         # sources/sinks round-trip (S1/S2/S4/S5/S6)
         "source_roundtrip": _q_source_roundtrip,
         # text analysis
@@ -1110,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "align_composite": eq.align_composite_oracle(),
         "partition_templates": eq.partition_templates_oracle(),
         "dummy_classifier": eq.DUMMY_CLASSIFIER_ORACLE,
+        "pairwise_order_features": eq.pairwise_order_oracle(),
         "source_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_signals": _QUALITY_ORACLE,

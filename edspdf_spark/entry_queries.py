@@ -435,6 +435,54 @@ FROM g GROUP BY url, page_num, src_ord, label
 """
 
 
+def q_pairwise_order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P11 relational half — all per-page ordered line pairs with the
+    18 reference geometry deltas as codegen'd columns (the pluggable-model
+    slot stays empty here; reference trainable_order_ba.py:165-221)."""
+    from edspdf_spark.operators.order import pairwise_order_features
+
+    blocs = blocs_from_lineitem(spark, sf_dir)
+    return pairwise_order_features(blocs)
+
+
+def pairwise_order_oracle() -> str:
+    def delta_sql(a: str, b: str) -> list:
+        # mirror operators/order.py:_delta operation order exactly
+        axc = f"(({a}x1 - {a}x0) / 2.0)"
+        ayc = f"(({a}y1 - {a}y0) / 2.0)"
+        bxc = f"(({b}x1 - {b}x0) / 2.0)"
+        byc = f"(({b}y1 - {b}y0) / 2.0)"
+        aw, ah = f"({a}x1 - {a}x0)", f"({a}y1 - {a}y0)"
+        bw, bh = f"({b}x1 - {b}x0)", f"({b}y1 - {b}y0)"
+        return [
+            f"({axc} - {bxc}) / {aw}",
+            f"({ayc} - {byc}) / {ah}",
+            f"ln({aw} / {bw})",
+            f"ln({ah} / {bh})",
+            f"({bxc} - {axc}) / {bw}",
+            f"({byc} - {ayc}) / {bh}",
+        ]
+
+    from edspdf_spark.operators.order import ORDER_FEATURE_COLS
+
+    exprs = delta_sql("i", "j") + delta_sql("i", "u") + delta_sql("j", "u")
+    cols = ", ".join(f"{e} AS {n}" for e, n in zip(exprs, ORDER_FEATURE_COLS))
+    return f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL}),
+pairs AS (
+  SELECT i.url, i.page_num,
+    i.bloc_ord AS ord_i, j.bloc_ord AS ord_j,
+    i.x0 AS ix0, i.y0 AS iy0, i.x1 AS ix1, i.y1 AS iy1,
+    j.x0 AS jx0, j.y0 AS jy0, j.x1 AS jx1, j.y1 AS jy1,
+    LEAST(i.x0, j.x0) AS ux0, LEAST(i.y0, j.y0) AS uy0,
+    LEAST(i.x1, j.x1) AS ux1, LEAST(i.y1, j.y1) AS uy1
+  FROM blocs i JOIN blocs j
+    ON i.url = j.url AND i.page_num = j.page_num AND i.bloc_ord != j.bloc_ord
+)
+SELECT url, page_num, ord_i, ord_j, {cols} FROM pairs
+"""
+
+
 def q_dummy_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 DummyClassifier — constant projection (dummy.py:6-34)."""
     from edspdf_spark.operators.classify import classify_dummy

@@ -1,3 +1,3 @@
-from edspdf_spark.plans.pipeline import Pipeline, FACTORIES
+from edspdf_spark.plans.pipeline import Pipeline, FACTORIES, load
 
-__all__ = ["Pipeline", "FACTORIES"]
+__all__ = ["Pipeline", "FACTORIES", "load"]

@@ -124,10 +124,24 @@ FACTORIES: Dict[str, Callable] = {
 
 
 class Pipeline:
-    """Ordered, named DataFrame→DataFrame stages."""
+    """Ordered, named DataFrame→DataFrame stages.
 
-    def __init__(self, stages: List[Tuple[str, Callable, dict]]):
+    Config round-trip parity with the reference's ``edspdf.load`` /
+    ``Pipeline.to_disk`` UX (``pipeline.py:925-1021,707-814``): a pipeline
+    built ``from_config`` serializes back with :meth:`to_config` /
+    :meth:`to_disk` and reloads with :func:`load` — the artifact is a plain
+    JSON config (factory names + kwargs), shippable to executors via
+    ``spark-submit --py-files`` alongside the package. (Trained forest
+    models are NOT part of the config artifact — they ride the UDF closure;
+    the reference's safetensors weight files are the analogue.)"""
+
+    def __init__(
+        self,
+        stages: List[Tuple[str, Callable, dict]],
+        factory_names: List[str] = None,
+    ):
         self.stages = stages
+        self.factory_names = factory_names or [None] * len(stages)
         self._disabled: set = set()
 
     @classmethod
@@ -135,6 +149,7 @@ class Pipeline:
         names = config["pipeline"]
         comps = config["components"]
         stages = []
+        factory_names = []
         for name in names:
             c = dict(comps[name])
             factory = c.pop("@factory")
@@ -143,12 +158,34 @@ class Pipeline:
                     f"unknown factory {factory!r}; known: {sorted(FACTORIES)}"
                 )
             stages.append((name, FACTORIES[factory], c))
-        return cls(stages)
+            factory_names.append(factory)
+        return cls(stages, factory_names)
 
     @classmethod
     def from_json(cls, path: str) -> "Pipeline":
         with open(path) as f:
             return cls.from_config(json.load(f))
+
+    def to_config(self) -> dict:
+        """Inverse of :meth:`from_config` (raises for hand-built pipelines
+        whose stages never came from a registered factory)."""
+        comps = {}
+        for (name, _, kwargs), factory in zip(self.stages, self.factory_names):
+            if factory is None:
+                raise ValueError(
+                    f"stage {name!r} was not built from a registered factory; "
+                    "cannot serialize"
+                )
+            comps[name] = {"@factory": factory, **kwargs}
+        return {"pipeline": [s[0] for s in self.stages], "components": comps}
+
+    def to_disk(self, path: str) -> None:
+        """Write the config artifact (``<path>/config.json``)."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(self.to_config(), f, indent=1, sort_keys=True)
 
     def disable(self, *names: str) -> "Pipeline":
         self._disabled.update(names)
@@ -160,3 +197,15 @@ class Pipeline:
                 continue
             df = fn(df, **kwargs)
         return df
+
+
+def load(path: str) -> Pipeline:
+    """≙ ``edspdf.load`` (reference ``pipeline.py:925-1021``): accept a
+    config dict, a ``config.json`` file path, or a ``to_disk`` directory."""
+    import os
+
+    if isinstance(path, dict):
+        return Pipeline.from_config(path)
+    if os.path.isdir(path):
+        return Pipeline.from_json(os.path.join(path, "config.json"))
+    return Pipeline.from_json(path)

@@ -7,10 +7,14 @@ throughput at both plus efficiency = (docs/s @4N) / (4 × docs/s @N).
 
 Methodology (this VM shows ±30-100% CPU-steal noise between minutes at
 full load): levels run INTERLEAVED in fresh JVM subprocesses, each with a
-full-core warmup pass inside (tools/scale_job.py), shuffle on tmpfs, best
-wall time per level. The default pair is local[2] vs local[8] — both
-below machine saturation and long enough to average over the noise;
-``SCALE_LOW=8 SCALE_HIGH=32`` measures the machine-saturating pair.
+full-core warmup pass inside (tools/scale_job.py), shuffle on tmpfs; both
+best-of-N and median-of-N reported per level. Each level is CPU-PINNED
+(``taskset -c 0..N-1``) to exactly its core count: without pinning a
+local[N] job on a 32-core box parks its JVM/GC/netty/python-worker
+overhead threads on the 32-N spare cores, inflating the small-N baseline
+and understating efficiency — pinning simulates an actual N-core worker.
+The default pair is local[2] vs local[8]; ``SCALE_LOW=8 SCALE_HIGH=32``
+measures the machine-saturating pair.
 
 Each run writes ``BENCH/scaling_<low>_<high>.json`` (merging with any
 previous best for that pair) and regenerates ``BENCH/BASELINE.md`` from
@@ -49,13 +53,19 @@ def ensure_corpus(path: str) -> None:
 
 def run_level(cores: int, corpus: str) -> dict:
     env = dict(os.environ, SCALE_REPS="1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scale_job.py"),
-         str(cores), corpus, str(N_DOCS)],
-        capture_output=True, text=True, check=True, env=env,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "tools", "scale_job.py"),
+           str(cores), corpus, str(N_DOCS)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
 def render_md() -> str:
@@ -77,16 +87,23 @@ def render_md() -> str:
             "reported as measured."
         )
         gate = " (gate: ≥ 0.8) ✓" if eff >= 0.8 else " as measured"
+        eff_med = p.get("efficiency_median")
+        med_line = (
+            f"**Scaling efficiency (N → 4N): best-of-N {eff:.3f}{gate}; "
+            f"median-of-N {eff_med:.3f}**"
+            if eff_med is not None
+            else f"**Scaling efficiency (N → 4N): {eff:.3f}**{gate}"
+        )
         sections.append(f"""### {title} N → 4N pair: local[{lo['cores']}] vs local[{hi['cores']}]
 
 {note}
 
-| parallelism | wall s (best) | all runs | docs/s |
-|---|---|---|---|
-| local[{lo['cores']}] (N)  | {lo['seconds']} | {lo['runs']} | {lo['docs_per_sec']} |
-| local[{hi['cores']}] (4N) | {hi['seconds']} | {hi['runs']} | {hi['docs_per_sec']} |
+| parallelism | wall s (best) | wall s (median) | all runs (interleaved) | docs/s (best) |
+|---|---|---|---|---|
+| local[{lo['cores']}] (N)  | {lo['seconds']} | {lo.get('median_seconds', '—')} | {lo['runs']} | {lo['docs_per_sec']} |
+| local[{hi['cores']}] (4N) | {hi['seconds']} | {hi.get('median_seconds', '—')} | {hi['runs']} | {hi['docs_per_sec']} |
 
-**Scaling efficiency (N → 4N): {eff:.3f}**{gate}
+{med_line}
 """)
 
     body = "\n".join(sections)
@@ -99,7 +116,13 @@ overlap-argmax mask classify → ordered aggregate in one Arrow stage, zero
 data shuffle) behind the salted skew repartition. Input: {N_DOCS}
 deterministic synthetic pages (skewed: every 97th doc 50× pages, every
 501st corrupt), identical at every level. Each run is a fresh JVM with a
-warmup pass touching every core, shuffle on tmpfs; best wall per level.
+warmup pass touching every core, shuffle on tmpfs, and the levels run
+INTERLEAVED (N, 4N, N, 4N, …) so slow VM phases hit both alike. Each
+level is CPU-pinned (`taskset -c 0..N-1`) to exactly its core count —
+an unpinned local[N] on this 32-core box would park JVM/GC/netty/python
+overhead threads on the spare cores, inflating the small-N baseline and
+understating efficiency; pinning simulates a real N-core worker. Best
+AND median wall per level reported.
 
 {body}
 Noise analysis: this sandbox VM shows ±30-100% wall-time variance between
@@ -142,13 +165,19 @@ def main():
         hi_runs = prev["high"]["runs"] + hi_runs
 
     lo_s, hi_s = min(lo_runs), min(hi_runs)
+    lo_med, hi_med = _median(lo_runs), _median(hi_runs)
     lo_d, hi_d = round(N_DOCS / lo_s, 2), round(N_DOCS / hi_s, 2)
     eff = round(hi_d / (4.0 * lo_d), 3)
+    eff_median = round((N_DOCS / hi_med) / (4.0 * (N_DOCS / lo_med)), 3)
     result = {
-        "low": {"cores": LOW, "seconds": lo_s, "runs": lo_runs, "docs_per_sec": lo_d},
-        "high": {"cores": HIGH, "seconds": hi_s, "runs": hi_runs, "docs_per_sec": hi_d},
+        "low": {"cores": LOW, "seconds": lo_s, "median_seconds": round(lo_med, 3),
+                "runs": lo_runs, "docs_per_sec": lo_d},
+        "high": {"cores": HIGH, "seconds": hi_s, "median_seconds": round(hi_med, 3),
+                 "runs": hi_runs, "docs_per_sec": hi_d},
         "efficiency": eff,
+        "efficiency_median": eff_median,
         "n_docs": N_DOCS,
+        "pinned": os.path.exists("/usr/bin/taskset"),
     }
     with open(pair_path, "w") as f:
         json.dump(result, f, indent=1)
