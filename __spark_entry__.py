@@ -964,6 +964,137 @@ FROM words
 """
 
 
+# --- Structured Streaming (availableNow over deterministic input) -----------
+#
+# The streaming operators are driven to completion on a single-file input
+# (one data micro-batch + the watermark-advancing no-data batch), so their
+# outputs are fully determined and SQL-expressible: the stateful url-dedup
+# first-seen view reduces to a per-url min/count, and the watermarked
+# windowed metrics reduce to a tumbling-window GROUP BY (a far-future
+# sentinel row pushes the watermark past every real window so append mode
+# flushes them; the sentinel's own window stays in state and is excluded
+# from the oracle).
+
+_STREAM_EPOCH = 1704067200  # 2024-01-01 UTC, whole seconds throughout
+
+
+def _stream_pages(spark, sf_dir, with_sentinel: bool):
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    copies = spark.range(3).select(F.col("id").alias("copy"))
+    pages = docs.crossJoin(copies).select(
+        F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(_STREAM_EPOCH) + F.col("doc_id") * 137 + F.col("copy") * 3600
+        ).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    if with_sentinel:
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        sentinel_ts = _STREAM_EPOCH + int(max_id) * 137 + 2 * 3600 + 7200
+        sentinel = spark.createDataFrame(
+            [("doc://sentinel",)], "url string"
+        ).select(
+            "url",
+            F.timestamp_seconds(F.lit(sentinel_ts)).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+        )
+        pages = pages.unionByName(sentinel)
+    return pages
+
+
+def _run_stream(spark, build, out_cols):
+    """Write the input as ONE file, run the streaming op to completion,
+    then materialize the sink locally so the temp dir can be removed
+    before the driver collects."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="edspdf_stream_")
+    try:
+        q = build(base)
+        q.awaitTermination()
+        out = spark.read.parquet(f"{base}/out").select(*out_cols)
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """Stateful streaming url-dedup lineage (applyInPandasWithState) driven
+    availableNow: per url, first-seen timestamp/lang + duplicate count."""
+    from edspdf_spark.streaming.stream import dedup_stream_first_seen, read_pages_stream
+
+    def build(base):
+        _stream_pages(spark, sf_dir, with_sentinel=False).coalesce(1).write.parquet(
+            f"{base}/in"
+        )
+        stream = read_pages_stream(spark, f"{base}/in")
+        return dedup_stream_first_seen(stream, f"{base}/out", f"{base}/ckpt")
+
+    out = _run_stream(
+        spark,
+        build,
+        [
+            F.col("url"),
+            F.unix_millis(F.col("first_seen")).alias("first_seen_ms"),
+            F.col("lang"),
+            F.col("n_dups_so_far"),
+        ],
+    )
+    return out
+
+
+_STREAM_DEDUP_ORACLE = f"""
+SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(({_STREAM_EPOCH} + doc_id * 137) * 1000 AS BIGINT) AS first_seen_ms,
+       lang,
+       CAST(2 AS BIGINT) AS n_dups_so_far
+FROM documents
+"""
+
+
+def _q_stream_metrics(spark, sf_dir):
+    """Watermarked tumbling-window ingest metrics driven availableNow; the
+    sentinel row advances the watermark so every real window flushes."""
+    from edspdf_spark.streaming.stream import read_pages_stream, windowed_ingest_metrics
+
+    def build(base):
+        _stream_pages(spark, sf_dir, with_sentinel=True).coalesce(1).write.parquet(
+            f"{base}/in"
+        )
+        stream = read_pages_stream(spark, f"{base}/in")
+        return windowed_ingest_metrics(stream, f"{base}/out", f"{base}/ckpt")
+
+    out = _run_stream(
+        spark,
+        build,
+        [
+            F.unix_seconds(F.col("window_start")).alias("window_start_s"),
+            F.col("lang"),
+            F.col("n_docs"),
+            F.col("bytes_in"),
+        ],
+    )
+    return out
+
+
+_STREAM_METRICS_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, lang, octet_length(encode(text)) AS b,
+         ({_STREAM_EPOCH} + doc_id * 137 + copy * 3600) AS ts
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS c(copy)
+)
+SELECT CAST(ts - (ts % 60) AS BIGINT) AS window_start_s, lang,
+       COUNT(*) AS n_docs, CAST(SUM(b) AS BIGINT) AS bytes_in
+FROM pages GROUP BY 1, 2
+"""
+
+
 # --- non-SQL-expressible classifiers (rows-only driver checks) --------------
 
 def _blocs_for_classifiers(spark, sf_dir):
@@ -1053,6 +1184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_order_features": eq.q_pairwise_order_features,
         # sources/sinks round-trip (S1/S2/S4/S5/S6)
         "source_roundtrip": _q_source_roundtrip,
+        # structured streaming (stateful dedup, watermarked windows)
+        "stream_dedup_first_seen": _q_stream_dedup,
+        "stream_window_metrics": _q_stream_metrics,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_signals": _q_quality,
@@ -1113,6 +1247,8 @@ def oracle_sql() -> dict[str, str]:
         "dummy_classifier": eq.DUMMY_CLASSIFIER_ORACLE,
         "pairwise_order_features": eq.pairwise_order_oracle(),
         "source_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
+        "stream_dedup_first_seen": _STREAM_DEDUP_ORACLE,
+        "stream_window_metrics": _STREAM_METRICS_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_signals": _QUALITY_ORACLE,
         "lang_guess": _LANG_GUESS_ORACLE,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MERSENNE = 2147483647  # 2^31 - 1
@@ -170,39 +170,41 @@ def lsh_candidate_pairs(
     """Band the signature (rows_per_band hashes per band), bucket-join:
     documents sharing any band bucket become candidate near-dup pairs.
 
-    The join is per-band groupBy + self-join WITHIN buckets — never a full
-    cross join; this is what keeps near-dedup feasible at 10^12 docs.
+    Pair generation is per-bucket — never a full cross join; this is what
+    keeps near-dedup feasible at 10^12 docs. Shape: ONE groupBy
+    (band, bucket) collecting the bucket's sorted id list, then in-bucket
+    pair expansion with array higher-order functions. (The textbook
+    bucket SELF-JOIN shape computes the entire upstream minhash pipeline
+    twice — Catalyst does not reuse the exchange across self-join sides
+    here, measured; the collect_list shape scans once, shuffles once, and
+    the bucket arrays are bounded by ``max_bucket_size``.)
+
     Buckets larger than ``max_bucket_size`` are dropped (see
     :data:`LSH_MAX_BUCKET_SIZE`); use :func:`lsh_dropped_buckets` to log
-    what the cap excluded. The bucket-size count rides the same
-    (band, bucket) hash partitioning the self-join needs, so the cap adds
-    no extra shuffle.
+    what the cap excluded.
     """
     exploded = _lsh_exploded_bands(sig, id_col, rows_per_band, n_hashes)
+    buckets = exploded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    buckets = buckets.filter(F.size("_ids") >= 2)
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        exploded = (
-            exploded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= int(max_bucket_size))
-            .drop("_bsz")
+        buckets = buckets.filter(F.size("_ids") <= int(max_bucket_size))
+    # all (a, b) with a earlier than b in the sorted id array
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col(f"l.band") == F.col(f"r.band"),
-                F.col(f"l.bucket") == F.col(f"r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 # two extra universal-hash params (disjoint from MINHASH_PARAMS[:8]) that

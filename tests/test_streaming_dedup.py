@@ -58,3 +58,31 @@ def test_dedup_stream_first_seen(spark, tmp_path):
     assert max(r.n_dups_so_far for r in by_url["u3"]) == 0
     # deduped first-seen view: one (url, first_seen, lang) regardless of row count
     assert {(r.url, r.lang) for r in by_url["u1"]} == {("u1", "en")}
+
+
+def test_dedup_min_ts_across_state_chunks(spark, tmp_path):
+    """A hot url whose batch spans several pandas state chunks (arrow batch
+    size is 256 in this suite) must record the GLOBAL minimum warc_ts, not
+    the first chunk's — regression test for the chunked-iterator bug."""
+    from edspdf_spark.streaming.stream import dedup_stream_first_seen, read_pages_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 900 rows for one url; the unique earliest timestamp sits at row 700,
+    # i.e. in a later chunk than the first
+    rows = []
+    for i in range(900):
+        hour_offset = 0 if i == 700 else 1 + (i % 20)
+        ts = dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(hours=hour_offset, seconds=i)
+        rows.append(("hot", ts, b"x", "", "en"))
+    _write_batch(spark, src, rows)
+
+    q = dedup_stream_first_seen(read_pages_stream(spark, src), out, ckpt)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0].n_dups_so_far == 899
+    assert got[0].first_seen == dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=700)

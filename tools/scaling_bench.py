@@ -94,7 +94,7 @@ def render_md() -> str:
             if eff_med is not None
             else f"**Scaling efficiency (N → 4N): {eff:.3f}**{gate}"
         )
-        sections.append(f"""### {title} N → 4N pair: local[{lo['cores']}] vs local[{hi['cores']}]
+        sections.append(f"""### {title} N → 4N pair: local[{lo['cores']}] vs local[{hi['cores']}] — {p['n_docs']} docs
 
 {note}
 
@@ -113,9 +113,12 @@ def render_md() -> str:
 
 Job: the production fused pipeline (`run_pipeline_fused` — extract →
 overlap-argmax mask classify → ordered aggregate in one Arrow stage, zero
-data shuffle) behind the salted skew repartition. Input: {N_DOCS}
-deterministic synthetic pages (skewed: every 97th doc 50× pages, every
-501st corrupt), identical at every level. Each run is a fresh JVM with a
+data shuffle) behind the salted skew repartition. Input: deterministic
+synthetic pages (skewed: every 97th doc 50× pages, every 501st corrupt),
+identical at both levels of a pair; the per-pair doc count is chosen so
+the FASTER level still runs ~100 s (a short full-machine run is dominated
+by fixed per-job overhead — scheduling, shuffle setup, worker warm-up —
+which deflates measured efficiency). Each run is a fresh JVM with a
 warmup pass touching every core, shuffle on tmpfs, and the levels run
 INTERLEAVED (N, 4N, N, 4N, …) so slow VM phases hit both alike. Each
 level is CPU-pinned (`taskset -c 0..N-1`) to exactly its core count —
