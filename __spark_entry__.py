@@ -1162,6 +1162,7 @@ def _q_type_classifier(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from edspdf_spark import entry_embeddings as ee
     from edspdf_spark import entry_queries as eq
 
     return {
@@ -1187,6 +1188,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (stateful dedup, watermarked windows)
         "stream_dedup_first_seen": _q_stream_dedup,
         "stream_window_metrics": _q_stream_metrics,
+        # embedding stack (E2-E7)
+        "box_embedding": ee.q_box_embedding,
+        "embedding_combiner": ee.q_embedding_combiner,
+        "text_features": ee.q_text_features,
+        "text_vocab": ee.q_text_vocab,
+        "text_hash_embedding": ee.q_text_hash_embedding,
+        "hf_windowing": ee.q_hf_windowing,
+        "layoutlm_bbox": ee.q_layoutlm_bbox,
+        "cnn_pooled_embedding": ee.q_cnn_pooled_embedding,
+        "box_transformer_emb": ee.q_box_transformer,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_signals": _q_quality,
@@ -1228,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from edspdf_spark import entry_embeddings as ee
     from edspdf_spark import entry_queries as eq
 
     return {
@@ -1249,6 +1261,13 @@ def oracle_sql() -> dict[str, str]:
         "source_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "stream_dedup_first_seen": _STREAM_DEDUP_ORACLE,
         "stream_window_metrics": _STREAM_METRICS_ORACLE,
+        "box_embedding": ee.box_embedding_oracle(),
+        "embedding_combiner": ee.embedding_combiner_oracle(),
+        "text_features": ee.text_features_oracle(),
+        "text_vocab": ee.text_vocab_oracle(),
+        "text_hash_embedding": ee.text_hash_embedding_oracle(),
+        "hf_windowing": ee.hf_windowing_oracle(),
+        "layoutlm_bbox": ee.layoutlm_bbox_oracle(),
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_signals": _QUALITY_ORACLE,
         "lang_guess": _LANG_GUESS_ORACLE,

@@ -1,3 +1,27 @@
 from edspdf_spark.ml.forest import RandomForest, train_forest_on_masks, classify_forest
+from edspdf_spark.ml.embeddings import (
+    box_layout_embedding,
+    box_transformer_embedding,
+    build_vocab,
+    cnn_pool_embeddings,
+    combine_embeddings,
+    rescale_bboxes,
+    simple_text_embedding,
+    simple_text_features,
+    strided_windows,
+)
 
-__all__ = ["RandomForest", "train_forest_on_masks", "classify_forest"]
+__all__ = [
+    "RandomForest",
+    "train_forest_on_masks",
+    "classify_forest",
+    "box_layout_embedding",
+    "box_transformer_embedding",
+    "build_vocab",
+    "cnn_pool_embeddings",
+    "combine_embeddings",
+    "rescale_bboxes",
+    "simple_text_embedding",
+    "simple_text_features",
+    "strided_windows",
+]
