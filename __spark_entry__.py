@@ -1196,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_embedding": ee.q_text_hash_embedding,
         "hf_windowing": ee.q_hf_windowing,
         "layoutlm_bbox": ee.q_layoutlm_bbox,
+        "line_pooling": ee.q_line_pooling,
         "cnn_pooled_embedding": ee.q_cnn_pooled_embedding,
         "box_transformer_emb": ee.q_box_transformer,
         # text analysis
@@ -1268,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "text_hash_embedding": ee.text_hash_embedding_oracle(),
         "hf_windowing": ee.hf_windowing_oracle(),
         "layoutlm_bbox": ee.layoutlm_bbox_oracle(),
+        "line_pooling": ee.line_pooling_oracle(),
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_signals": _QUALITY_ORACLE,
         "lang_guess": _LANG_GUESS_ORACLE,

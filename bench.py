@@ -88,6 +88,28 @@ def bench_pricing(spark, sf_dir):
     materialize(e._q_pricing_summary(spark, sf_dir))
 
 
+def bench_box_embedding(spark, sf_dir):
+    """E2 sinusoidal embedding over every lineitem-derived bloc — pure
+    codegen'd projection throughput (24 channels/row)."""
+    from edspdf_spark.entry_queries import blocs_from_lineitem
+    from edspdf_spark.ml.embeddings import box_layout_embedding
+
+    materialize(box_layout_embedding(blocs_from_lineitem(spark, sf_dir)))
+
+
+def bench_text_embedding(spark, sf_dir):
+    """E3 tokenize + shape/affix features + hash embedding over the whole
+    documents corpus (JVM expressions end to end)."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.ml.embeddings import simple_text_embedding, simple_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    materialize(simple_text_embedding(simple_text_features(docs), size=16))
+
+
 def main():
     spark = get_spark(
         master=f"local[{CPUS}]",
@@ -126,6 +148,8 @@ def main():
         "minhash_lsh": lambda: bench_minhash_lsh(spark, SF_DIR),
         "ann_cosine_topk": lambda: bench_ann(spark, SF_DIR),
         "pricing_summary": lambda: bench_pricing(spark, SF_DIR),
+        "box_embedding": lambda: bench_box_embedding(spark, SF_DIR),
+        "text_embedding": lambda: bench_text_embedding(spark, SF_DIR),
     }
 
     timings = {}

@@ -335,6 +335,35 @@ FROM blocs
 # ---------------------------------------------------------------------------
 
 
+def q_line_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 line pooling — max over each doc's token embeddings (max is
+    order-independent, so the oracle compare is float-order-proof)."""
+    from edspdf_spark.ml.embeddings import pool_line_embeddings
+
+    docs = _docs(spark, sf_dir, 50).select("doc_id", "text")
+    feats = simple_text_features(docs, "text", keep_cols=("doc_id",))
+    emb = simple_text_embedding(feats, size=E3_EMB_SIZE)
+    pooled = pool_line_embeddings(emb, line_cols=("doc_id",), mode="max")
+    sig = F.concat_ws(",", *[_micro(F.col("emb")[i]) for i in range(E3_EMB_SIZE)])
+    return pooled.select("doc_id", sig.alias("emb_sig"))
+
+
+def line_pooling_oracle() -> str:
+    cte = _TOKS_CTE.replace("{modulo}", "50")
+    shape_v = _hash_vec_sqls(_SHAPE_SQL, salt=1)
+    prefix_v = _hash_vec_sqls("substring(lower(tok), 1, 3)", salt=2)
+    suffix_v = _hash_vec_sqls("right(lower(tok), 3)", salt=3)
+    maxes = ", ".join(
+        _micro_sql(f"MAX(({s}) + ({p}) + ({u}))")
+        for s, p, u in zip(shape_v, prefix_v, suffix_v)
+    )
+    return f"""
+WITH {cte}
+SELECT doc_id, array_to_string([{maxes}], ',') AS emb_sig
+FROM toks GROUP BY doc_id
+"""
+
+
 def q_cnn_pooled_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — hash token embeddings pooled per doc through the seeded
     multi-kernel CNN (deterministic; NumPy matmuls, not SQL)."""

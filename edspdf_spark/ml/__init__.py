@@ -5,6 +5,7 @@ from edspdf_spark.ml.embeddings import (
     build_vocab,
     cnn_pool_embeddings,
     combine_embeddings,
+    pool_line_embeddings,
     rescale_bboxes,
     simple_text_embedding,
     simple_text_features,
@@ -20,6 +21,7 @@ __all__ = [
     "build_vocab",
     "cnn_pool_embeddings",
     "combine_embeddings",
+    "pool_line_embeddings",
     "rescale_bboxes",
     "simple_text_embedding",
     "simple_text_features",

@@ -127,13 +127,25 @@ def box_layout_embedding(
         )
 
     first_vec, last_vec = page_vectors(size, seed)
-    is_first = (F.col("page_num") == F.lit(0)).cast("double")
-    is_last = (F.col("page_num") == F.max("page_num").over(w_doc)).cast("double")
+    # materialize the indicators as real columns FIRST: referencing the
+    # window result per channel would instantiate 24 identical window
+    # expressions (_we0.._we23 in the plan, measured); a Window operator
+    # output can't be inlined by projection collapse, so this computes once
+    with_flags = blocs.withColumn(
+        "_is_first", (F.col("page_num") == F.lit(0)).cast("double")
+    ).withColumn(
+        "_is_last",
+        (F.col("page_num") == F.max("page_num").over(w_doc)).cast("double"),
+    )
     channels = [
-        ch + F.lit(first_vec[i]) * is_first + F.lit(last_vec[i]) * is_last
+        ch
+        + F.lit(first_vec[i]) * F.col("_is_first")
+        + F.lit(last_vec[i]) * F.col("_is_last")
         for i, ch in enumerate(channels)
     ]
-    return blocs.withColumn(out_col, F.array(*channels))
+    return with_flags.withColumn(out_col, F.array(*channels)).drop(
+        "_is_first", "_is_last"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +604,42 @@ def strided_windows(
         tok_col,
         F.col("_best.win").alias("best_window"),
         F.col("_best.score").alias("score"),
+    )
+
+
+def pool_line_embeddings(
+    tokens: DataFrame,
+    line_cols: Sequence[str] = ("url", "page_num", "bloc_ord"),
+    emb_col: str = "emb",
+    mode: str = "mean",
+) -> DataFrame:
+    """E7 ``line_pooling`` (huggingface_embedding.py:112-114, 290-310):
+    combine a line's token embeddings into one line embedding by
+    ``mean`` / ``max`` / ``sum`` over the token axis.
+
+    Shape: posexplode channels → one partial-aggregated groupBy on
+    (line, channel) → re-assemble the array with a sorted collect.  The
+    channel explode multiplies rows by the embedding dim, but the groupBy
+    combines map-side, so the shuffle carries one row per (line, channel) —
+    at dim 16 that is 16 small rows per line, not per token.
+    """
+    if mode not in ("mean", "max", "sum"):
+        raise ValueError(f"mode must be mean/max/sum, got {mode!r}")
+    lc = list(line_cols)
+    agg = {"mean": F.avg, "max": F.max, "sum": F.sum}[mode]
+    per_ch = (
+        tokens.select(*lc, F.posexplode(F.col(emb_col)).alias("_ch", "_v"))
+        .groupBy(*lc, "_ch")
+        .agg(agg("_v").alias("_pooled"))
+    )
+    return (
+        per_ch.groupBy(*lc)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ch", "_pooled"))),
+                lambda s: s["_pooled"],
+            ).alias(emb_col)
+        )
     )
 
 

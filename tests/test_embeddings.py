@@ -288,6 +288,24 @@ def test_rescale_bboxes_truncates_and_caps(spark):
     assert (got["c"].bb_x0, got["c"].bb_y0) == (400, 300)
 
 
+def test_pool_line_embeddings_modes(spark):
+    from edspdf_spark.ml.embeddings import pool_line_embeddings
+
+    df = spark.createDataFrame(
+        [("l1", 0, [1.0, 4.0]), ("l1", 1, [3.0, 2.0]), ("l2", 0, [5.0, 6.0])],
+        "line string, tok_idx int, emb array<double>",
+    )
+    for mode, want_l1 in (("mean", [2.0, 3.0]), ("max", [3.0, 4.0]), ("sum", [4.0, 6.0])):
+        got = {
+            r.line: r.emb
+            for r in pool_line_embeddings(df, line_cols=("line",), mode=mode).collect()
+        }
+        assert got["l1"] == pytest.approx(want_l1), mode
+        assert got["l2"] == pytest.approx([5.0, 6.0]), mode
+    with pytest.raises(ValueError):
+        pool_line_embeddings(df, line_cols=("line",), mode="median")
+
+
 def test_hf_model_forward_is_declared_stub():
     from edspdf_spark.ml.embeddings import hf_model_forward
 
