@@ -109,6 +109,39 @@ def _fused_pipeline(df: DataFrame, masks=None, threshold: float = 1.0, **kw):
     )
 
 
+def _box_layout_embedding(df: DataFrame, n_positions=64, size=24, seed=7, **_):
+    from edspdf_spark.ml.embeddings import box_layout_embedding
+
+    return box_layout_embedding(df, n_positions=n_positions, size=size, seed=seed)
+
+
+def _simple_text_embedding(df: DataFrame, size=16, text_col="text", **_):
+    # reshapes blocs → one row per token, like the reference's per-word
+    # folded tensors (simple_text_embedding.py:198-233)
+    from edspdf_spark.ml.embeddings import simple_text_embedding, simple_text_features
+
+    keep = [c for c in ("url", "page_num", "bloc_ord") if c in df.columns]
+    return simple_text_embedding(
+        simple_text_features(df, text_col=text_col, keep_cols=keep), size=size
+    )
+
+
+def _sub_box_cnn_pooler(df: DataFrame, out_channels=16, output_size=16, in_dim=16, **_):
+    from edspdf_spark.ml.embeddings import cnn_pool_embeddings
+
+    keep = [c for c in ("url", "page_num", "bloc_ord") if c in df.columns]
+    return cnn_pool_embeddings(
+        df, group_cols=keep, in_dim=in_dim,
+        out_channels=out_channels, output_size=output_size,
+    )
+
+
+def _box_transformer(df: DataFrame, dim=24, n_heads=4, n_layers=1, **_):
+    from edspdf_spark.ml.embeddings import box_transformer_embedding
+
+    return box_transformer_embedding(df, dim=dim, n_heads=n_heads, n_layers=n_layers)
+
+
 FACTORIES: Dict[str, Callable] = {
     "extractor": _extractor,
     "pdfminer-extractor": _extractor,  # reference name, same payload parser
@@ -120,6 +153,11 @@ FACTORIES: Dict[str, Callable] = {
     "random-classifier": _random_classifier,
     "simple-aggregator": _simple_aggregator,
     "markdown-aggregator": _markdown_aggregator,
+    # embedding stack (reference registry names, pipes/embeddings/*)
+    "box-layout-embedding": _box_layout_embedding,
+    "simple-text-embedding": _simple_text_embedding,
+    "sub-box-cnn-pooler": _sub_box_cnn_pooler,
+    "box-transformer": _box_transformer,
 }
 
 

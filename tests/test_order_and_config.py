@@ -132,3 +132,29 @@ def test_load_rejects_unknown_factory():
         Pipeline.from_config(
             {"pipeline": ["x"], "components": {"x": {"@factory": "nope"}}}
         )
+
+
+def test_embedding_pipeline_from_config(spark, tmp_path):
+    """X8 × E-stack: an extract → E2 embed → E6 contextualize pipeline
+    assembled purely from a JSON config round-trips and runs."""
+    from edspdf_spark.fixtures import build_pages_df
+    from edspdf_spark.plans import Pipeline, load
+
+    config = {
+        "pipeline": ["extractor", "embedding", "transformer"],
+        "components": {
+            "extractor": {"@factory": "extractor", "extract_style": False},
+            "embedding": {"@factory": "box-layout-embedding", "size": 24, "seed": 7},
+            "transformer": {"@factory": "box-transformer", "dim": 24, "n_heads": 4},
+        },
+    }
+    pipe = Pipeline.from_config(config)
+    art = str(tmp_path / "emb_model")
+    pipe.to_disk(art)
+    reloaded = load(art)
+    assert reloaded.to_config() == config
+
+    pages = build_pages_df(spark, 6, partitions=2)
+    out = reloaded(pages).collect()
+    assert len(out) > 0
+    assert all(len(r.emb) == 24 for r in out)

@@ -68,6 +68,16 @@ def _median(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def _cv(xs):
+    """Coefficient of variation (stdev/mean) of a run list — the per-level
+    dispersion that bounds how much efficiency signal the pair can carry."""
+    if len(xs) < 2:
+        return 0.0
+    m = sum(xs) / len(xs)
+    var = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+    return (var ** 0.5) / m
+
+
 def render_md() -> str:
     pair_files = sorted(glob.glob(os.path.join(BENCH_DIR, "scaling_*.json")))
     pairs = [json.load(open(f)) for f in pair_files]
@@ -104,6 +114,11 @@ def render_md() -> str:
 | local[{hi['cores']}] (4N) | {hi['seconds']} | {hi.get('median_seconds', '—')} | {hi['runs']} | {hi['docs_per_sec']} |
 
 {med_line}
+
+Run dispersion (stdev/mean): N level {_cv(lo['runs']):.1%}, 4N level
+{_cv(hi['runs']):.1%} — an efficiency estimate can only be read to within
+the levels' combined dispersion; a shortfall smaller than the 4N CV is
+measurement noise, not engine behavior.
 """)
 
     body = "\n".join(sections)
