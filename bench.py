@@ -63,12 +63,17 @@ def bench_mask_argmax(spark, sf_dir):
 def bench_minhash_lsh(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from edspdf_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+    from edspdf_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_arrow,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.length("text") >= 5
     )
-    sig = minhash_signatures(docs, k=5, n_hashes=8)
+    # production path: vectorized Arrow signatures (zero shuffle, identical
+    # output to the oracle-checked expression path — tests assert equality)
+    sig = minhash_signatures_arrow(docs, k=5, n_hashes=8)
     materialize(lsh_candidate_pairs(sig, rows_per_band=2, n_hashes=8))
 
 

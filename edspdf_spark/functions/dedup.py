@@ -109,6 +109,86 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_hashes: int = 8,
+    normalized: bool = True,
+) -> DataFrame:
+    """Vectorized production twin of :func:`minhash_signatures` — identical
+    signatures (asserted in tests), different physical plan.
+
+    The expression path explodes one row per shingle and evaluates the
+    polynomial hash in Catalyst's interpreted higher-order-function mode,
+    then shuffles for the groupBy mins.  This path computes each document's
+    signature in one NumPy pass inside ``mapInPandas``: the k-gram hashes
+    of a length-L text are k vectorized ops over the codepoint array, and
+    the per-hash mins collapse in-batch — ZERO shuffle, no per-shingle
+    rows.  At 10^12 docs the groupBy shuffle this removes carries one row
+    per doc; here nothing crosses the network at all.
+
+    Parity notes (mirrors the expression semantics exactly):
+    - normalize = lower(trim(regexp_replace(\\s+ → ' '))) with ASCII \\s,
+      matching the JVM's default (non-unicode) ``\\s`` class;
+    - a text shorter than k becomes ONE shingle whose fold continues over
+      ``ascii('') = 0`` for the missing positions;
+    - shingle DISTINCTness is skipped — min over duplicates equals min
+      over the distinct set.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    assert n_hashes <= len(MINHASH_PARAMS)
+    params = MINHASH_PARAMS[:n_hashes]
+    ws = re.compile(r"\s+", re.ASCII)
+    cols = [id_col] + [f"mh{i}" for i in range(n_hashes)]
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                s = ws.sub(" ", text).strip().lower() if normalized else text
+                codes = np.array([ord(c) for c in s], dtype=np.int64)
+                L = len(codes)
+                if L <= k - 1:
+                    h = 0
+                    for j in range(k):
+                        c = int(codes[j]) if j < L else 0
+                        h = (h * 31 + c) % MERSENNE
+                    hashes = np.array([h], dtype=np.int64)
+                else:
+                    n = L - k + 1
+                    hashes = np.zeros(n, dtype=np.int64)
+                    for j in range(k):
+                        hashes = (hashes * 31 + codes[j : j + n]) % MERSENNE
+                out.append(
+                    [doc_id]
+                    + [int(((a * hashes + b) % MERSENNE).min()) for a, b in params]
+                )
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+            else:
+                # empty object-dtype frames fail the Arrow cast — be explicit
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(dtype=pdf[id_col].dtype),
+                        **{f"mh{i}": pd.Series(dtype="int64") for i in range(n_hashes)},
+                    }
+                )
+
+    schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"mh{i} bigint" for i in range(n_hashes)]
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 #: Default hot-bucket cap for :func:`lsh_candidate_pairs`. A band bucket of
 #: n docs emits n²/2 pairs; web corpora have degenerate boilerplate clusters
 #: (cookie banners, error pages) where n can be millions. Buckets above the

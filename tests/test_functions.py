@@ -222,3 +222,31 @@ def test_dedup_components(spark):
     )
     got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_arrow_equals_expression_path(spark):
+    """The vectorized Arrow twin must produce IDENTICAL signatures to the
+    oracle-checked expression path — real corpus plus edge strings
+    (shorter than k, exactly k, empty, whitespace-runs, None)."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.dedup import minhash_signatures, minhash_signatures_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, "ab"),
+            (100002, "abcde"),
+            (100003, ""),
+            (100004, "  A \t\n  b   C  "),
+            (100005, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.unionByName(edge)
+    a = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(both).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in minhash_signatures_arrow(both).collect()}
+    assert a == b
+    assert 100005 not in a  # null text drops in both paths
