@@ -142,6 +142,7 @@ def minhash_signatures_arrow(
     import numpy as np
     import pandas as pd
 
+    _JVM_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
     assert n_hashes <= len(MINHASH_PARAMS)
     params = MINHASH_PARAMS[:n_hashes]
     ws = re.compile(r"\s+", re.ASCII)
@@ -154,7 +155,14 @@ def minhash_signatures_arrow(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                s = ws.sub(" ", text).strip().lower() if normalized else text
+                # JVM trim() strips only codepoints <= U+0020 — Python
+                # str.strip() would also eat U+00A0/U+2003 etc. and break
+                # signature parity with the expression path
+                s = (
+                    ws.sub(" ", text).strip(_JVM_TRIM_CHARS).lower()
+                    if normalized
+                    else text
+                )
                 codes = np.array([ord(c) for c in s], dtype=np.int64)
                 L = len(codes)
                 if L <= k - 1:
@@ -270,15 +278,20 @@ def lsh_candidate_pairs(
     buckets = buckets.filter(F.size("_ids") >= 2)
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("_ids") <= int(max_bucket_size))
-    # all (a, b) with a earlier than b in the sorted id array
-    pair_arrays = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # all (a, b) with a earlier than b in the sorted id array; the strict
+    # id_a < id_b filter also drops self-pairs when the sig frame carries a
+    # duplicated id (the old self-join's l.id < r.id could never emit them)
+    pair_arrays = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
     )
     return (
         buckets.select(F.explode(pair_arrays).alias("_p"))

@@ -125,8 +125,9 @@ def cosine_neardup_pairs(
     """
     head = corpus.select(vec_col).head(1)
     if not head:
+        t = _id_type(corpus, id_col)
         return corpus.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos double"
+            [], f"id_a {t}, id_b {t}, cos double"
         )
     dim = len(head[0][0])
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
@@ -314,6 +315,12 @@ def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    """The id column's Spark type — empty-result schemas must match the
+    non-empty path, not assume ``long``."""
+    return dict(df.dtypes)[id_col]
+
+
 def _sign_bucket(vec_col: str, H: np.ndarray, n_bits: int):
     """Random-hyperplane sign-bit bucket id as a column expression (same
     arithmetic shape as the SQL oracle: left-associated element sums)."""
@@ -352,8 +359,9 @@ def lsh_neardup_pairs(
     """
     head = corpus.select(vec_col).head(1)
     if not head:
+        t = _id_type(corpus, id_col)
         return corpus.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos double"
+            [], f"id_a {t}, id_b {t}, cos double"
         )
     dim = len(head[0][0])
 
@@ -424,19 +432,13 @@ def lsh_ann_topk(
     head = corpus.select(vec_col).head(1)
     if not head:
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, rank int, vec_id long, cosine double"
+            [],
+            f"query_id {_id_type(queries, id_col)}, rank int,"
+            f" vec_id {_id_type(corpus, id_col)}, cosine double",
         )
     dim = len(head[0][0])
     H = hyperplanes(dim, n_bits, seed)
-
-    sign_bits = F.lit(0).cast("long")
-    for b in range(n_bits):
-        dot = F.lit(0.0)
-        for j in range(dim):
-            dot = dot + F.element_at(F.col(vec_col), j + 1) * F.lit(float(H[b, j]))
-        sign_bits = sign_bits + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    sign_bits = _sign_bucket(vec_col, H, n_bits)
 
     c = corpus.withColumn("bucket", sign_bits).alias("c")
     q = queries.withColumn("bucket", sign_bits).alias("q")

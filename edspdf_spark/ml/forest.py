@@ -179,13 +179,17 @@ TRAIN_MAX_ROWS = 200_000
 def _bounded_training_pdf(feat, columns, sample_fraction, seed, max_rows):
     """Collect a bounded, deterministic training sample to the driver.
 
-    ``sample_fraction`` < 1 takes a Bernoulli sample first; ``limit`` then
-    hard-caps the row count regardless — no default code path collects
-    O(corpus) rows."""
+    ``sample_fraction`` < 1 takes a Bernoulli sample first; the cap is
+    applied as ``orderBy(url, page_num, bloc_ord).limit(n)`` — a bare
+    ``limit`` picks whichever partitions answer first, so two runs could
+    fit on different subsets despite the fixed seed.  The ordered limit
+    plans as a distributed per-partition top-k (TakeOrderedAndProject),
+    NOT a full sort — no default code path collects O(corpus) rows."""
     if sample_fraction < 1.0:
         feat = feat.sample(fraction=sample_fraction, seed=seed)
     if max_rows is not None:
-        feat = feat.limit(int(max_rows))
+        order = [c for c in ("url", "page_num", "bloc_ord") if c in feat.columns]
+        feat = feat.orderBy(*order).limit(int(max_rows))
     return feat.select(*columns).toPandas()
 
 
@@ -279,7 +283,9 @@ def classify_begin_last(blocs, models):
             good = ~pdf["error"].to_numpy()
             out = {}
             for out_col, rf in models.items():
-                vals = np.zeros(len(pdf), dtype=bool)
+                # error blocs keep None (like classify_forest's label=None)
+                # so "unknown" stays distinguishable from a confident False
+                vals = np.full(len(pdf), None, dtype=object)
                 if good.any():
                     vals[good] = rf.predict(_feature_matrix(pdf[good])) == "True"
                 out[out_col] = vals

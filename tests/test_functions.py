@@ -242,6 +242,8 @@ def test_minhash_arrow_equals_expression_path(spark):
             (100003, ""),
             (100004, "  A \t\n  b   C  "),
             (100005, None),
+            (100006, "\u00a0hello\u2003"),  # unicode WS: JVM trim keeps it
+            (100007, "\u00a0\u00a0"),
         ],
         "doc_id bigint, text string",
     )

@@ -134,3 +134,59 @@ def test_dedup_components_warns_without_convergence(spark):
     # converged run: one component labeled by the min id
     out = dedup_components(chain, max_iter=50).collect()
     assert {r["component_id"] for r in out} == {0}
+
+
+def test_lsh_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """A signature frame carrying the same id twice (e.g. one doc ingested
+    from two drops) must not emit id_a == id_b candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumped")],
+        "doc_id bigint, text string",
+    )
+    sig = minhash_signatures(docs)
+    dup = sig.unionByName(sig)  # every id appears twice
+    pairs = lsh_candidate_pairs(dup, rows_per_band=2, n_hashes=8).collect()
+    assert all(r.id_a != r.id_b for r in pairs)
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_lsh_neardup_empty_corpus_keeps_id_type(spark):
+    """The empty-corpus guard must return the SAME schema the non-empty
+    path would — string ids must not degrade to long on an empty day."""
+    from edspdf_spark.functions.similarity import lsh_neardup_pairs
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = lsh_neardup_pairs(empty)
+    assert dict(out.dtypes) == {"id_a": "string", "id_b": "string", "cos": "double"}
+    assert out.count() == 0
+
+
+def test_begin_last_error_blocs_stay_none(spark):
+    """Error blocs must keep is_begin/is_last = NULL (unknown), not a
+    confident False — mirroring classify_forest's label=None on errors."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.ml.forest import classify_begin_last, train_begin_last
+    from edspdf_spark.schemas import BLOC_SCHEMA
+
+    rows = [
+        ("u1", 0, i, 0.1, 0.1 * i + 0.1, 0.9, 0.1 * i + 0.15, f"t{i}", [], "body", False)
+        for i in range(4)
+    ]
+    blocs = spark.createDataFrame(rows, BLOC_SCHEMA)
+    truth = blocs.withColumn("is_begin", F.col("bloc_ord") == 0).withColumn(
+        "is_last", F.col("bloc_ord") == 3
+    )
+    model = train_begin_last(truth, n_trees=4, max_depth=4)
+    err_row = [("u2", None, None, None, None, None, None, None, [], None, True)]
+    mixed = blocs.unionByName(spark.createDataFrame(err_row, BLOC_SCHEMA))
+    out = classify_begin_last(mixed, model)
+    err = [r for r in out.collect() if r.error]
+    assert len(err) == 1
+    assert err[0].is_begin is None and err[0].is_last is None
+    ok = [r for r in out.collect() if not r.error]
+    assert all(r.is_begin is not None for r in ok)

@@ -177,10 +177,21 @@ def main():
 
     os.makedirs(BENCH_DIR, exist_ok=True)
     pair_path = os.path.join(BENCH_DIR, f"scaling_{LOW}_{HIGH}.json")
+    pinned_now = os.path.exists("/usr/bin/taskset")
     if os.path.exists(pair_path):
         prev = json.load(open(pair_path))
-        lo_runs = prev["low"]["runs"] + lo_runs
-        hi_runs = prev["high"]["runs"] + hi_runs
+        # wall times are only poolable when they measured the SAME job:
+        # same corpus size and same pinning mode — otherwise min()/median()
+        # over the mixed list and docs_per_sec = N_DOCS/seconds are garbage
+        if prev.get("n_docs") == N_DOCS and prev.get("pinned") == pinned_now:
+            lo_runs = prev["low"]["runs"] + lo_runs
+            hi_runs = prev["high"]["runs"] + hi_runs
+        else:
+            print(
+                f"note: discarding {pair_path} history "
+                f"(n_docs {prev.get('n_docs')} != {N_DOCS} or pinning changed)",
+                flush=True,
+            )
 
     lo_s, hi_s = min(lo_runs), min(hi_runs)
     lo_med, hi_med = _median(lo_runs), _median(hi_runs)
@@ -195,7 +206,7 @@ def main():
         "efficiency": eff,
         "efficiency_median": eff_median,
         "n_docs": N_DOCS,
-        "pinned": os.path.exists("/usr/bin/taskset"),
+        "pinned": pinned_now,
     }
     with open(pair_path, "w") as f:
         json.dump(result, f, indent=1)
