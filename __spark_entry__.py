@@ -1183,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_templates": eq.q_partition_templates,
         "dummy_classifier": eq.q_dummy_classifier,
         "pairwise_order_features": eq.q_pairwise_order_features,
+        "annotation_overlay": eq.q_annotation_overlay,
         # sources/sinks round-trip (S1/S2/S4/S5/S6)
         "source_roundtrip": _q_source_roundtrip,
         # structured streaming (stateful dedup, watermarked windows)
@@ -1259,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_templates": eq.partition_templates_oracle(),
         "dummy_classifier": eq.DUMMY_CLASSIFIER_ORACLE,
         "pairwise_order_features": eq.pairwise_order_oracle(),
+        "annotation_overlay": eq.annotation_overlay_oracle(),
         "source_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "stream_dedup_first_seen": _STREAM_DEDUP_ORACLE,
         "stream_window_metrics": _STREAM_METRICS_ORACLE,

@@ -104,15 +104,16 @@ def bench_box_embedding(spark, sf_dir):
 
 def bench_text_embedding(spark, sf_dir):
     """E3 tokenize + shape/affix features + hash embedding over the whole
-    documents corpus (JVM expressions end to end)."""
+    documents corpus — production path: the vectorized Arrow twin (zero
+    shuffle, identical rows to the oracle-checked expression path)."""
     from pyspark.sql import functions as F
 
-    from edspdf_spark.ml.embeddings import simple_text_embedding, simple_text_features
+    from edspdf_spark.ml.embeddings import text_embedding_arrow
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
-    materialize(simple_text_embedding(simple_text_features(docs), size=16))
+    materialize(text_embedding_arrow(docs, size=16))
 
 
 def main():

@@ -497,6 +497,56 @@ SELECT url, page_num, bloc_ord, 'body' AS label FROM blocs
 """
 
 
+def q_annotation_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization data half — first-occurrence label→CATEGORY20 color
+    assignment + pixel-space outline/text coordinates (reference
+    ``visualization/annotations.py:62-85``)."""
+    from edspdf_spark.operators.visualize import annotation_overlay
+
+    blocs = blocs_from_lineitem(spark, sf_dir).withColumn(
+        "label",
+        F.when(F.col("y0") < 0.15, "header")
+        .when(F.col("y0") > 0.5, "footer")
+        .otherwise("body"),
+    )
+    out = annotation_overlay(blocs, page_width=612.0, page_height=792.0)
+    return out.select(
+        "url", "page_num", "bloc_ord", "label", "color",
+        "rect_x0", "rect_y0", "rect_x1", "rect_y1", "text_x", "text_y",
+    )
+
+
+def annotation_overlay_oracle() -> str:
+    from edspdf_spark.operators.visualize import CATEGORY20
+
+    palette = ", ".join(f"'{c}'" for c in CATEGORY20)
+    return f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL}),
+labeled AS (
+  SELECT url, page_num, bloc_ord, x0, y0, x1, y1,
+    CASE WHEN y0 < 0.15 THEN 'header' WHEN y0 > 0.5 THEN 'footer' ELSE 'body' END AS label
+  FROM blocs
+),
+seen AS (
+  SELECT *,
+    MIN(CAST(page_num AS BIGINT) * {1 << 31} + bloc_ord)
+      OVER (PARTITION BY url, label) AS first_seen
+  FROM labeled
+),
+ranked AS (
+  SELECT *, DENSE_RANK() OVER (PARTITION BY url ORDER BY first_seen) AS lbl_rank
+  FROM seen
+)
+SELECT url, page_num, bloc_ord, label,
+  CASE WHEN lbl_rank <= {len(CATEGORY20)}
+       THEN ([{palette}])[lbl_rank] END AS color,
+  x0 * 612.0 - 2.0 AS rect_x0, y0 * 792.0 AS rect_y0,
+  x1 * 612.0 + 2.0 AS rect_x1, y1 * 792.0 AS rect_y1,
+  -10.0 + x0 * 612.0 AS text_x, y0 * 792.0 AS text_y
+FROM ranked
+"""
+
+
 def q_merged_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6's relational tail — per-(url,label) bounding-box aggregation."""
     blocs = blocs_from_lineitem(spark, sf_dir).withColumn(

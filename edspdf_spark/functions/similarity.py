@@ -221,11 +221,17 @@ def ivf_ann_topk(
     """
     if max_sample_rows is None:
         max_sample_rows = max(n_cells * 256, 20_000)
-    samp = corpus.select(vec_col)
+    samp = corpus.select(id_col, vec_col)
     if sample_fraction < 1.0:
         samp = samp.sample(fraction=sample_fraction, seed=seed)
+    # ordered limit (distributed top-k, not a full sort) — a bare limit
+    # takes whichever partitions answer first, making the trained quantizer
+    # (and thus every cell assignment) vary run to run
     sample = np.array(
-        [np.asarray(r[0], dtype=np.float64) for r in samp.limit(int(max_sample_rows)).collect()]
+        [
+            np.asarray(r[1], dtype=np.float64)
+            for r in samp.orderBy(id_col).limit(int(max_sample_rows)).collect()
+        ]
     )
     if not len(sample):
         return corpus.sparkSession.createDataFrame(

@@ -267,6 +267,206 @@ def simple_text_embedding(features: DataFrame, size: int = 16) -> DataFrame:
     return features.withColumn("emb", emb)
 
 
+def _shape_poly_scalar(tok: str) -> int:
+    """Scalar fallback: poly hash of the spaCy shape (ASCII classes,
+    run-cap 4, len>=100 → 'LONG') — used for rare long/non-ASCII tokens."""
+    if len(tok) >= 100:
+        s = "LONG"
+    else:
+        out, last, seq = [], "", 0
+        for ch in tok:
+            if "a" <= ch <= "z":
+                c = "x"
+            elif "A" <= ch <= "Z":
+                c = "X"
+            elif "0" <= ch <= "9":
+                c = "d"
+            else:
+                c = ch
+            if c == last:
+                seq += 1
+            else:
+                seq = 0
+                last = c
+            if seq < 4:
+                out.append(c)
+        s = "".join(out)
+    return _poly_scalar(s)
+
+
+def _poly_scalar(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MERSENNE
+    return h
+
+
+_LONG_SHAPE_HASH = _poly_scalar("LONG")
+_VEC_MAX_TOK = 256  # tokens longer than this go through the scalar path
+
+
+def _hash_features_vectorized(tokens):
+    """(h_shape, h_prefix, h_suffix) int64 arrays for a token list.
+
+    Tokens are packed into NumPy's fixed-width UTF-32 array, so the
+    codepoint matrix is one ``view``; every fold (shape classify + run-cap,
+    prefix/suffix/lower) is a column-wise vectorized op — no per-char
+    Python.  Rare tokens (> _VEC_MAX_TOK chars, embedded NUL, non-ASCII —
+    where the JVM's Unicode ``lower()`` differs from the +32 trick) drop to
+    the exact scalar path.
+    """
+    import numpy as np
+
+    n = len(tokens)
+    h_shape = np.zeros(n, dtype=np.int64)
+    h_pre = np.zeros(n, dtype=np.int64)
+    h_suf = np.zeros(n, dtype=np.int64)
+
+    scalar_idx = [
+        i
+        for i, t in enumerate(tokens)
+        if len(t) > _VEC_MAX_TOK or "\x00" in t or any(ord(c) > 127 for c in t)
+    ]
+    for i in scalar_idx:
+        low = tokens[i].lower()
+        h_shape[i] = _shape_poly_scalar(tokens[i])
+        h_pre[i] = _poly_scalar(low[:3])
+        h_suf[i] = _poly_scalar(low[-3:])
+    _sset = set(scalar_idx)
+    fast = [i for i in range(n) if i not in _sset] if scalar_idx else None
+    fast_toks = [tokens[i] for i in fast] if fast is not None else tokens
+    if not fast_toks:
+        return h_shape, h_pre, h_suf
+
+    arr = np.array(fast_toks, dtype="U")
+    W = max(arr.dtype.itemsize // 4, 1)
+    codes = arr.view(np.uint32).reshape(len(fast_toks), W).astype(np.int64)
+    lens = (codes != 0).sum(axis=1)  # no embedded NULs on this path
+    jidx = np.arange(W)
+
+    # ASCII lower (fast path is ASCII-only by construction)
+    low = np.where((codes >= 65) & (codes <= 90), codes + 32, codes)
+
+    def fold(mat, keep):
+        h = np.zeros(len(mat), dtype=np.int64)
+        for j in range(mat.shape[1]):
+            k = keep[:, j]
+            h = np.where(k, (h * 31 + mat[:, j]) % MERSENNE, h)
+        return h
+
+    in_tok = jidx[None, :] < lens[:, None]
+    hp = fold(low[:, :3], in_tok[:, :3])
+    # suffix: last 3 chars — gather with start = max(len-3, 0)
+    start = np.maximum(lens - 3, 0)
+    sidx = start[:, None] + np.arange(3)[None, :]
+    svalid = sidx < lens[:, None]
+    gathered = np.take_along_axis(low, np.minimum(sidx, W - 1), axis=1)
+    hu = fold(gathered, svalid)
+    # shape: classify, then run-cap 4 via run-start positions
+    cls = np.where(
+        (codes >= 97) & (codes <= 122),
+        120,  # 'x'
+        np.where(
+            (codes >= 65) & (codes <= 90),
+            88,  # 'X'
+            np.where((codes >= 48) & (codes <= 57), 100, codes),  # 'd'
+        ),
+    )
+    change = np.ones_like(cls, dtype=bool)
+    change[:, 1:] = cls[:, 1:] != cls[:, :-1]
+    run_start = np.maximum.accumulate(np.where(change, jidx[None, :], 0), axis=1)
+    keep_shape = ((jidx[None, :] - run_start) < 4) & in_tok
+    hs = fold(cls, keep_shape)
+    hs = np.where(lens >= 100, _LONG_SHAPE_HASH, hs)
+
+    if fast is None:
+        return hs, hp, hu
+    fa = np.array(fast)
+    h_shape[fa], h_pre[fa], h_suf[fa] = hs, hp, hu
+    return h_shape, h_pre, h_suf
+
+
+def text_embedding_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: Sequence[str] = ("url",),
+    size: int = 16,
+) -> DataFrame:
+    """Vectorized production twin of ``simple_text_features`` +
+    ``simple_text_embedding`` — identical token order and embedding values
+    (asserted in tests), different physical plan.
+
+    The expression path evaluates ``3 × size`` interpreted char-fold
+    hashes per token (projection collapse inlines the fold into every
+    channel).  This path tokenizes with the same pattern via the C regex
+    engine, computes the three feature hashes as column-wise NumPy folds
+    over the batch's UTF-32 codepoint matrix
+    (:func:`_hash_features_vectorized`), and emits all channels in one
+    ``((h*a + b) % p) / p * 2 - 1`` matrix op.  Zero shuffle — a pure
+    Arrow map stage.  Output: ``keep_cols + (tok_idx, tok, emb)``; the
+    debug feature STRINGS stay on the expression path.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    word_re = re.compile(WORD_PATTERN, re.ASCII)
+    params = _emb_params(size, 1), _emb_params(size, 2), _emb_params(size, 3)
+    A = [np.array([a for a, _ in ps], dtype=np.int64) for ps in params]
+    B = [np.array([b for _, b in ps], dtype=np.int64) for ps in params]
+    keep = list(keep_cols)
+    types = _spark_types(df, keep)
+
+    def run(iterator):
+        for pdf in iterator:
+            texts = pdf[text_col]
+            tok_lists = [
+                word_re.findall(t) if t is not None else None for t in texts
+            ]
+            counts = [len(l) for l in tok_lists if l is not None]
+            all_toks = [t for l in tok_lists if l is not None for t in l]
+            if not all_toks:
+                yield pd.DataFrame(
+                    {
+                        **{c: pd.Series(dtype=pdf[c].dtype) for c in keep},
+                        "tok_idx": pd.Series(dtype="int32"),
+                        "tok": pd.Series(dtype=object),
+                        "emb": pd.Series(dtype=object),
+                    }
+                )
+                continue
+            hs, hp, hu = _hash_features_vectorized(all_toks)
+            emb = np.zeros((len(all_toks), size))
+            for h, a, b in zip((hs, hp, hu), A, B):
+                emb += ((h[:, None] * a + b) % MERSENNE).astype(
+                    np.float64
+                ) / MERSENNE * 2.0 - 1.0
+            out = pd.DataFrame(
+                {
+                    **{
+                        c: np.repeat(
+                            pdf[c][[l is not None for l in tok_lists]].to_numpy(),
+                            counts,
+                        )
+                        for c in keep
+                    },
+                    "tok_idx": np.concatenate([np.arange(c) for c in counts]),
+                    "tok": all_toks,
+                    # row views of the matrix — Arrow takes ndarrays directly,
+                    # no per-row Python float lists
+                    "emb": list(emb),
+                }
+            )
+            yield out
+
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(keep, types)]
+        + ["tok_idx int", "tok string", "emb array<double>"]
+    )
+    return df.select(*keep, text_col).mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # E5 — embedding combiner
 # ---------------------------------------------------------------------------

@@ -159,3 +159,47 @@ def test_html_extractor_corrupt(spark):
     )
     out = extract_blocs_html(pages).collect()
     assert len(out) == 1 and out[0].error
+
+
+def test_annotation_overlay_color_assignment(spark):
+    """Colors follow FIRST-OCCURRENCE label order per document (reference
+    dict.fromkeys + zip, annotations.py:62-67); labels beyond the palette
+    get NULL (zip truncation); pixel rects carry the ±2 px x-padding."""
+    from edspdf_spark.operators.visualize import CATEGORY20, annotation_overlay
+    from edspdf_spark.schemas import BLOC_SCHEMA
+
+    rows = [
+        ("u", 0, 0, 0.1, 0.1, 0.2, 0.2, None, [], "beta", False),
+        ("u", 0, 1, 0.3, 0.3, 0.4, 0.4, None, [], "alpha", False),
+        ("u", 1, 0, 0.5, 0.5, 0.6, 0.6, None, [], "beta", False),
+    ]
+    # 20 extra labels on a second doc to exercise palette truncation
+    rows += [
+        ("v", 0, i, 0.01 * i, 0.1, 0.01 * i + 0.05, 0.2, None, [], f"l{i:02d}", False)
+        for i in range(20)
+    ]
+    out = annotation_overlay(
+        spark.createDataFrame(rows, BLOC_SCHEMA), page_width=100.0, page_height=200.0
+    ).collect()
+    u = {(r.page_num, r.bloc_ord): r for r in out if r.url == "u"}
+    # beta occurs first → first palette color, alpha second — NOT alphabetical
+    assert u[(0, 0)].color == CATEGORY20[0]
+    assert u[(0, 1)].color == CATEGORY20[1]
+    assert u[(1, 0)].color == CATEGORY20[0]  # same label, same color
+    v = sorted((r for r in out if r.url == "v"), key=lambda r: r.bloc_ord)
+    assert [r.color for r in v[:18]] == CATEGORY20
+    assert all(r.color is None for r in v[18:])  # zip truncation → no color
+    r0 = u[(0, 0)]
+    assert (r0.rect_x0, r0.rect_y0, r0.rect_x1, r0.rect_y1) == (
+        0.1 * 100 - 2, 0.1 * 200, 0.2 * 100 + 2, 0.2 * 200
+    )
+    assert (r0.text_x, r0.text_y) == (-10 + 0.1 * 100, 0.1 * 200)
+
+
+def test_render_pages_is_declared_stub():
+    import pytest as _pytest
+
+    from edspdf_spark.operators.visualize import render_pages
+
+    with _pytest.raises(NotImplementedError):
+        render_pages(b"%PDF", [])

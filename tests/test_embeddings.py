@@ -364,3 +364,49 @@ def test_to_doc_dicts_streams_all_urls(spark):
 def test_ld_to_dl():
     assert ld_to_dl([{"a": 1}, {"a": 2}]) == {"a": [1, 2]}
     assert ld_to_dl([]) == {}
+
+
+def test_text_embedding_arrow_equals_expression_path(spark):
+    """The vectorized Arrow twin must emit IDENTICAL rows (features AND
+    embedding values) to the oracle-checked expression path."""
+    from edspdf_spark.ml.embeddings import text_embedding_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        40
+    ).select(F.col("doc_id").cast("string").alias("url"), "text")
+    edge = spark.createDataFrame(
+        [
+            ("e1", "MiXeD123 CASE!! 3.14,2.71 x"),
+            ("e2", ""),
+            ("e3", None),
+            ("e4", "a" * 150 + " ok"),
+        ],
+        "url string, text string",
+    )
+    both = docs.unionByName(edge)
+    expr = simple_text_embedding(simple_text_features(both), size=16)
+    arrow = text_embedding_arrow(both, size=16)
+    key = lambda r: (r.url, r.tok_idx)
+    a = {key(r): (r.tok, tuple(r.emb)) for r in expr.collect()}
+    b = {key(r): (r.tok, tuple(r.emb)) for r in arrow.collect()}
+    assert set(a) == set(b)
+    mism = [k for k in a if a[k] != b[k]]
+    assert not mism, f"{len(mism)} mismatches, e.g. {a[mism[0]]} vs {b[mism[0]]}" if mism else ""
+
+
+def test_text_embedding_arrow_scalar_fallback_paths():
+    """Tokens that leave the vectorized fast path (long, non-ASCII,
+    embedded NUL) must hash identically to the scalar reference."""
+    from edspdf_spark.ml.embeddings import (
+        _hash_features_vectorized,
+        _poly_scalar,
+        _shape_poly_scalar,
+    )
+
+    toks = ["hello", "x" * 300, "café", "a\x00b", "WORLDWIDE", "3.14"]
+    hs, hp, hu = _hash_features_vectorized(toks)
+    for i, t in enumerate(toks):
+        low = t.lower()
+        assert hs[i] == _shape_poly_scalar(t), t
+        assert hp[i] == _poly_scalar(low[:3]), t
+        assert hu[i] == _poly_scalar(low[-3:]), t
