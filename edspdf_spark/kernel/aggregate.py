@@ -35,6 +35,20 @@ Line = Tuple[int, float, float, float, float, str, list, Optional[str]]
 # list of (italic, bold, begin, end, fontname)
 
 
+def _median_f64(vals: List[float]) -> float:
+    """np.median for small finite float64 lists without the ~50µs ndarray
+    overhead per call (measured 3% of the fused kernel); the even-n middle
+    average ``(a + b) / 2.0`` is the same float64 op np.median performs."""
+    for v in vals:
+        if v != v:  # NaN → defer to np.median's partition semantics
+            return float(np.median(np.asarray(vals, dtype=np.float64)))
+    s = sorted(vals)
+    mid = len(s) >> 1
+    if len(s) & 1:
+        return s[mid]
+    return (s[mid - 1] + s[mid]) / 2.0
+
+
 def aggregate_doc(
     lines: Sequence[Line],
     sort: bool = False,
@@ -84,10 +98,13 @@ def aggregate_doc(
             nxt[4] - cur[4] if nxt is not None and cur[0] == nxt[0] else None
             for cur, nxt in pairs
         ]
-        heights = np.asarray([b[4] - b[2] for b in group], dtype=np.float64)
-        # np.median of an empty array is nan — harmless: an empty group loops
-        # zero times, exactly like the reference (simple.py:145).
-        height = np.median(heights) if len(heights) else float("nan")
+        heights = [b[4] - b[2] for b in group]
+        # median of an empty list is nan — harmless: an empty group loops
+        # zero times, exactly like the reference (simple.py:145). Sorted
+        # python median == np.median for finite float64 ((a+b)/2 middle
+        # average); NaN heights fall back to np.median so the reference's
+        # partition-order NaN behavior is preserved bit for bit.
+        height = _median_f64(heights) if heights else float("nan")
         for (cur, nxt), dy in zip(pairs, dys):
             for s in cur[6]:
                 styles.append((s[0], s[1], s[2] + len(text), s[3] + len(text), s[4]))

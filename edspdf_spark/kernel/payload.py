@@ -106,15 +106,15 @@ def parse_payload(data: bytes):
     return pages, lines
 
 
-def extract_doc(
+def extract_doc_raw(
     html: Optional[bytes],
-    extract_style: bool = True,
-) -> Tuple[List[dict], List[Tuple[int, float, float]], bool]:
-    """Extract one document → (bloc dicts, pages, error).
+) -> Tuple[List[tuple], List[Tuple[int, float, float]], bool]:
+    """Extract one document → (bloc TUPLES, pages, error) — the
+    allocation-light kernel the fused production path consumes directly.
 
-    Bloc dicts carry normalized float64 coords, reading-order ``bloc_ord``
-    per page, folded text and style runs — the relational image of the
-    reference's ``doc.content_boxes`` after ``PdfMinerExtractor.__call__``.
+    Bloc tuple: ``(page_num, bloc_ord, x0, y0, x1, y1, text, props)`` with
+    ``props`` a list of ``(italic, bold, begin, end, fontname)`` StyleRuns
+    exactly as :func:`fold_runs` emits them.
     """
     if html is None:
         return [], [], True
@@ -130,7 +130,7 @@ def extract_doc(
             return [], [], True
         by_page[page_num].append((x0, y0, x1, y1, runs))
 
-    blocs: List[dict] = []
+    blocs: List[tuple] = []
     # Reference iterates pages in layout order and, per page, filters
     # out-of-bounds boxes then sorts by the fuzzy comparator
     # (pdfminer.py:140-184).
@@ -151,27 +151,45 @@ def extract_doc(
             b for b in page_boxes if b[1] >= 0 and b[2] >= 0 and b[3] <= 1 and b[4] <= 1
         ]
         for ord_, b in enumerate(sort_reading_order(in_bounds)):
-            blocs.append(
-                {
-                    "page_num": b[0],
-                    "bloc_ord": ord_,
-                    "x0": b[1],
-                    "y0": b[2],
-                    "x1": b[3],
-                    "y1": b[4],
-                    "text": b[5],
-                    "props": [
-                        {
-                            "italic": s[0],
-                            "bold": s[1],
-                            "begin": s[2],
-                            "end": s[3],
-                            "fontname": s[4],
-                        }
-                        for s in b[6]
-                    ]
-                    if extract_style
-                    else [],
-                }
-            )
+            blocs.append((b[0], ord_, b[1], b[2], b[3], b[4], b[5], b[6]))
     return blocs, pages, False
+
+
+def extract_doc(
+    html: Optional[bytes],
+    extract_style: bool = True,
+) -> Tuple[List[dict], List[Tuple[int, float, float]], bool]:
+    """Extract one document → (bloc dicts, pages, error).
+
+    Bloc dicts carry normalized float64 coords, reading-order ``bloc_ord``
+    per page, folded text and style runs — the relational image of the
+    reference's ``doc.content_boxes`` after ``PdfMinerExtractor.__call__``.
+    Thin dict view over :func:`extract_doc_raw` (the fused path skips the
+    dict materialization entirely).
+    """
+    raw, pages, error = extract_doc_raw(html)
+    blocs = [
+        {
+            "page_num": b[0],
+            "bloc_ord": b[1],
+            "x0": b[2],
+            "y0": b[3],
+            "x1": b[4],
+            "y1": b[5],
+            "text": b[6],
+            "props": [
+                {
+                    "italic": s[0],
+                    "bold": s[1],
+                    "begin": s[2],
+                    "end": s[3],
+                    "fontname": s[4],
+                }
+                for s in b[7]
+            ]
+            if extract_style
+            else [],
+        }
+        for b in raw
+    ]
+    return blocs, pages, error

@@ -32,22 +32,43 @@ _WS = re.compile(r"\s")
 StyleRun = Tuple[Optional[bool], Optional[bool], int, int, Optional[str]]
 # (italic, bold, begin, end, fontname) — field order matches PROPS_FIELD.
 
+# (fontname, upright) → (italic, bold): fonts repeat across millions of
+# lines, the two substring scans per char/run were ~10% of the fused
+# kernel. Bounded so a pathological corpus can't grow it unboundedly.
+_FONT_STYLE_CACHE: dict = {}
+
+
+def _font_style(fontname: Optional[str], upright: bool) -> Tuple[bool, bool]:
+    key = (fontname, upright)
+    st = _FONT_STYLE_CACHE.get(key)
+    if st is None:
+        lowered = (fontname or "").lower()
+        st = ((not upright) or ("italic" in lowered), "bold" in lowered)
+        if len(_FONT_STYLE_CACHE) < 4096:
+            _FONT_STYLE_CACHE[key] = st
+    return st
+
 
 def fold_line_chars(
     chars: Iterable[Tuple[str, str, bool]],
 ) -> Tuple[str, List[StyleRun]]:
-    """Fold ``(char, fontname, upright)`` triples into (text, style runs)."""
+    """Fold ``(char, fontname, upright)`` triples into (text, style runs).
+
+    Text accumulates as a parts list + running length (string
+    concatenation per char re-copies the prefix — O(n²) on long lines);
+    begin/end arithmetic is unchanged from the reference semantics.
+    """
     styles: List[list] = []
     current: Optional[list] = None  # [italic, bold, begin, end, fontname]
-    text = ""
+    parts: List[str] = []
+    tlen = 0
+    last_char = ""
     last: Optional[Tuple[Optional[str], Optional[bool], Optional[bool]]] = None
 
     for raw, fontname_in, upright in chars:
-        new_char = _WS.sub(" ", raw)
-        if not (new_char == " " and (text.endswith(" ") or text == "")):
-            new_text = text + new_char
-        else:
-            new_text = text
+        new_char = " " if _WS.match(raw) else raw
+        skip = new_char == " " and (last_char == " " or tlen == 0)
+        new_len = tlen if skip else tlen + 1
 
         if new_char == " ":
             if last is not None:
@@ -56,23 +77,24 @@ def fold_line_chars(
                 fontname, italic, bold = (None, None, None)
         else:
             fontname = fontname_in
-            lowered = (fontname_in or "").lower()
-            italic = (not upright) or ("italic" in lowered)
-            bold = "bold" in lowered
+            italic, bold = _font_style(fontname_in, upright)
 
         if (fontname, italic, bold) != last:
             if current is not None:
                 styles.append(current)
-            current = [italic, bold, len(text), len(new_text), fontname]
+            current = [italic, bold, tlen, new_len, fontname]
         elif new_char != " ":
-            current[3] = len(new_text)
-        text = new_text
+            current[3] = new_len
+        if not skip:
+            parts.append(new_char)
+            tlen = new_len
+            last_char = new_char
         last = (fontname, italic, bold)
 
     if current is not None:
         styles.append(current)
 
-    return text.rstrip(), [tuple(s) for s in styles]
+    return "".join(parts).rstrip(), [tuple(s) for s in styles]
 
 
 # A line needs the char-by-char fold only if it contains non-space
@@ -99,9 +121,7 @@ def fold_runs(
         # dominant case — avoid the generic all() scan
         fontname, upright, t = runs[0]
         if t and not _NEEDS_FOLD.search(t):
-            lowered = (fontname or "").lower()
-            italic = (not upright) or ("italic" in lowered)
-            bold = "bold" in lowered
+            italic, bold = _font_style(fontname, upright)
             return t, [(italic, bold, 0, len(t), fontname)]
         chars = [(ch, fontname, upright) for ch in t]
         return fold_line_chars(chars)
@@ -116,9 +136,7 @@ def fold_runs(
         pos = 0
         last = None
         for fontname, upright, t in runs:
-            lowered = (fontname or "").lower()
-            italic = (not upright) or ("italic" in lowered)
-            bold = "bold" in lowered
+            italic, bold = _font_style(fontname, upright)
             key = (fontname, italic, bold)
             end = pos + len(t)
             if key == last:

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 
 from edspdf_spark.kernel.aggregate import aggregate_doc
 from edspdf_spark.kernel.overlap import align_labels_kernel
-from edspdf_spark.kernel.payload import extract_doc
+from edspdf_spark.kernel.payload import extract_doc_raw
 from edspdf_spark.operators.aggregate import to_markdown
 from edspdf_spark.operators.classify import MASK_INF
 from edspdf_spark.schemas import AGG_SCHEMA
@@ -70,26 +70,26 @@ def run_pipeline_fused(
         for pdf in batches:
             out: Dict[str, list] = {c: [] for c in _AGG_COLS}
             for url, html in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
-                blocs, _pages, error = extract_doc(html, extract_style=extract_style)
+                # tuple-native extract — the dict view exists for the
+                # composed operator's schema; materializing it here just to
+                # unpack it again cost ~15% of the kernel
+                blocs, _pages, error = extract_doc_raw(html)
                 if error or not blocs:
                     continue
                 dst = np.array(
-                    [[b["x0"], b["x1"], b["y0"], b["y1"]] for b in blocs],
+                    [[b[2], b[4], b[3], b[5]] for b in blocs],
                     dtype=np.float64,
                 )
                 idx = align_labels_kernel(src, dst, threshold)
                 lines = [
                     (
-                        b["page_num"],
-                        b["x0"],
-                        b["y0"],
-                        b["x1"],
-                        b["y1"],
-                        b["text"],
-                        [
-                            (p["italic"], p["bold"], p["begin"], p["end"], p["fontname"])
-                            for p in b["props"]
-                        ],
+                        b[0],
+                        b[2],
+                        b[3],
+                        b[4],
+                        b[5],
+                        b[6],
+                        b[7] if extract_style else [],
                         src_labels[i] if i < len(src_labels) else None,
                     )
                     for b, i in zip(blocs, idx)
