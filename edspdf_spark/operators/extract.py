@@ -26,7 +26,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from edspdf_spark.kernel.payload import extract_doc
+from edspdf_spark.kernel.payload import extract_doc_raw
 from edspdf_spark.schemas import BLOC_SCHEMA
 
 _BLOC_COLS = [f.name for f in BLOC_SCHEMA.fields]
@@ -40,39 +40,31 @@ def _extract_batches(
         urls = pdf["url"].to_numpy()
         htmls = pdf["html"].to_numpy()
         for url, html in zip(urls, htmls):
-            blocs, _pages, error = extract_doc(html, extract_style=extract_style)
+            # tuple-native kernel; only the props structs stay dicts (the
+            # Arrow struct converter consumes mappings)
+            blocs, _pages, error = extract_doc_raw(html)
             if error:
                 rows.append(
-                    {
-                        "url": url,
-                        "page_num": None,
-                        "bloc_ord": None,
-                        "x0": None,
-                        "y0": None,
-                        "x1": None,
-                        "y1": None,
-                        "text": None,
-                        "props": [],
-                        "label": None,
-                        "error": True,
-                    }
+                    (url, None, None, None, None, None, None, None, [], None, True)
                 )
                 continue
             for b in blocs:
+                props = (
+                    [
+                        {
+                            "italic": s[0],
+                            "bold": s[1],
+                            "begin": s[2],
+                            "end": s[3],
+                            "fontname": s[4],
+                        }
+                        for s in b[7]
+                    ]
+                    if extract_style
+                    else []
+                )
                 rows.append(
-                    {
-                        "url": url,
-                        "page_num": b["page_num"],
-                        "bloc_ord": b["bloc_ord"],
-                        "x0": b["x0"],
-                        "y0": b["y0"],
-                        "x1": b["x1"],
-                        "y1": b["y1"],
-                        "text": b["text"],
-                        "props": b["props"],
-                        "label": None,
-                        "error": False,
-                    }
+                    (url, b[0], b[1], b[2], b[3], b[4], b[5], b[6], props, None, False)
                 )
         yield pd.DataFrame(rows, columns=_BLOC_COLS)
 
