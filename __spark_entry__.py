@@ -1161,6 +1161,38 @@ def _q_type_classifier(spark, sf_dir):
     )
 
 
+def _q_order_following(spark, sf_dir):
+    """P10 order-ba trainable head — binary forest on the 18 reference
+    pairwise geometry deltas (trainable_order_ba.py:206-221), served as
+    argmax-j following links (:348-384 forward / :443-466 postprocess).
+    Deterministic (seeded) but model inference is not expressible in SQL —
+    rows-only check; the agreement-vs-truth metric is asserted in
+    tests/test_order_and_config.py."""
+    from edspdf_spark.operators.order import order_followings, train_order_following
+
+    blocs = _blocs_for_classifiers(spark, sf_dir)
+    model = train_order_following(
+        blocs, seed=42, n_trees=4, max_depth=6, max_rows=50_000
+    )
+    return order_followings(blocs, model).select(
+        "url", "page_num", "ord_i", "follow_ord"
+    )
+
+
+def _q_order_rank(spark, sf_dir):
+    """P11 order-num trainable head — regression forest on E1 layout
+    features predicting the normalized per-line order score
+    (trainable_order_num.py:248-260 target, :289-307 forward); rows-only
+    check (model inference)."""
+    from edspdf_spark.operators.order import score_order_rank, train_order_rank
+
+    blocs = _blocs_for_classifiers(spark, sf_dir)
+    model = train_order_rank(blocs, seed=42, n_trees=4, max_depth=6)
+    return score_order_rank(blocs, model).select(
+        "url", "page_num", "bloc_ord", "pred_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from edspdf_spark import entry_embeddings as ee
     from edspdf_spark import entry_queries as eq
@@ -1237,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_classifier": _q_forest_classifier,
         "begin_last_classifier": _q_begin_last_classifier,
         "type_classifier": _q_type_classifier,
+        "order_following": _q_order_following,
+        "order_rank": _q_order_rank,
     }
 
 

@@ -158,11 +158,19 @@ def main():
         "text_embedding": lambda: bench_text_embedding(spark, SF_DIR),
     }
 
+    # min-of-N per query: this VM shows ±30-100% wall variance between
+    # minutes at full load (BENCH/BASELINE.md noise analysis), so a
+    # single-pass timing is a lottery draw — the minimum over a few
+    # back-to-back passes is the stable engine number.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     timings = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(time.perf_counter() - t0)
+        timings[name] = round(min(walls), 3)
 
     total_docs = n_documents + SYNTH_DOCS
     pipeline_secs = timings["pipeline_documents"] + timings["pipeline_synthetic_skewed"]

@@ -1,4 +1,9 @@
-from edspdf_spark.ml.forest import RandomForest, train_forest_on_masks, classify_forest
+from edspdf_spark.ml.forest import (
+    RandomForest,
+    RegressionForest,
+    train_forest_on_masks,
+    classify_forest,
+)
 from edspdf_spark.ml.embeddings import (
     box_layout_embedding,
     box_transformer_embedding,
@@ -14,6 +19,7 @@ from edspdf_spark.ml.embeddings import (
 
 __all__ = [
     "RandomForest",
+    "RegressionForest",
     "train_forest_on_masks",
     "classify_forest",
     "box_layout_embedding",

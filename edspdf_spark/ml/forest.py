@@ -36,28 +36,70 @@ class _Tree:
 
 
 def _gini_split(x_col, y, classes, min_leaf):
-    """Best threshold on one feature column by Gini impurity."""
+    """Best threshold on one feature column by Gini impurity.
+
+    Fully vectorized over the candidate split points (midpoints between
+    distinct consecutive sorted values) — ``np.argmin`` picks the first
+    minimal impurity exactly like the scalar loop it replaced, so seeded
+    forests are bit-identical across the rewrite."""
     order = np.argsort(x_col, kind="stable")
     xs, ys = x_col[order], y[order]
     n = len(ys)
-    # candidate split points: midpoints between distinct consecutive values
     counts = np.zeros((n + 1, len(classes)), dtype=np.int64)
     for ci, c in enumerate(classes):
         counts[1:, ci] = np.cumsum(ys == c)
     total = counts[-1]
-    best = (None, np.inf)
-    distinct = np.nonzero(xs[1:] != xs[:-1])[0] + 1
-    for i in distinct:
-        if i < min_leaf or n - i < min_leaf:
-            continue
-        lc, rc = counts[i], total - counts[i]
-        nl, nr = i, n - i
-        gl = 1.0 - ((lc / nl) ** 2).sum()
-        gr = 1.0 - ((rc / nr) ** 2).sum()
-        g = (nl * gl + nr * gr) / n
-        if g < best[1]:
-            best = ((xs[i - 1] + xs[i]) / 2.0, g)
-    return best
+    splits = np.nonzero(xs[1:] != xs[:-1])[0] + 1
+    splits = splits[(splits >= min_leaf) & (n - splits >= min_leaf)]
+    if not len(splits):
+        return (None, np.inf)
+    lc = counts[splits].astype(np.float64)
+    rc = (total - counts[splits]).astype(np.float64)
+    nl = splits.astype(np.float64)
+    nr = n - nl
+    gl = 1.0 - ((lc / nl[:, None]) ** 2).sum(axis=1)
+    gr = 1.0 - ((rc / nr[:, None]) ** 2).sum(axis=1)
+    g = (nl * gl + nr * gr) / n
+    k = int(np.argmin(g))
+    i = splits[k]
+    return ((xs[i - 1] + xs[i]) / 2.0, float(g[k]))
+
+
+def _leaf_nodes(tree, X):
+    """Vectorized array traversal: leaf node index per row of ``X``."""
+    n = len(X)
+    node = np.zeros(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    while active.any():
+        f = tree["feature"][node]
+        leaf = f < 0
+        active &= ~leaf
+        if not active.any():
+            break
+        idx = np.nonzero(active)[0]
+        go_left = X[idx, f[idx]] <= tree["threshold"][node[idx]]
+        node[idx] = np.where(go_left, tree["left"][node[idx]], tree["right"][node[idx]])
+    return node
+
+
+def _mse_split(x_col, y, min_leaf):
+    """Best threshold on one feature column by SSE reduction (vectorized:
+    prefix sums over the sorted column, no per-candidate Python loop)."""
+    order = np.argsort(x_col, kind="stable")
+    xs, ys = x_col[order], y[order]
+    n = len(ys)
+    cum = np.cumsum(ys)
+    cum2 = np.cumsum(ys * ys)
+    splits = np.nonzero(xs[1:] != xs[:-1])[0] + 1  # left size i
+    splits = splits[(splits >= min_leaf) & (n - splits >= min_leaf)]
+    if not len(splits):
+        return (None, np.inf)
+    sl, s2l = cum[splits - 1], cum2[splits - 1]
+    sr, s2r = cum[-1] - sl, cum2[-1] - s2l
+    sse = (s2l - sl * sl / splits) + (s2r - sr * sr / (n - splits))
+    k = int(np.argmin(sse))
+    i = splits[k]
+    return ((xs[i - 1] + xs[i]) / 2.0, float(sse[k]))
 
 
 class RandomForest:
@@ -126,22 +168,7 @@ class RandomForest:
         return self
 
     def _tree_proba(self, tree, X):
-        n = len(X)
-        node = np.zeros(n, dtype=np.int64)
-        active = np.ones(n, dtype=bool)
-        while active.any():
-            f = tree["feature"][node]
-            leaf = f < 0
-            active &= ~leaf
-            if not active.any():
-                break
-            go_left = np.zeros(n, dtype=bool)
-            idx = np.nonzero(active)[0]
-            go_left[idx] = X[idx, f[idx]] <= tree["threshold"][node[idx]]
-            node[idx] = np.where(
-                go_left[idx], tree["left"][node[idx]], tree["right"][node[idx]]
-            )
-        c = tree["counts"][node]
+        c = tree["counts"][_leaf_nodes(tree, X)]
         s = c.sum(axis=1, keepdims=True)
         s[s == 0] = 1
         return c / s
@@ -156,6 +183,83 @@ class RandomForest:
     def predict(self, X: np.ndarray) -> np.ndarray:
         p = self.predict_proba(X)
         return np.array(self.classes_, dtype=object)[p.argmax(axis=1)]
+
+
+class RegressionForest:
+    """Seeded CART *regression* ensemble (variance-reduction splits, leaf =
+    mean, prediction = tree average) — the P11 ``order-num`` head's scorer
+    (reference ``pipes/classifiers/trainable_order_num.py:289-307``: a
+    sigmoid MLP regressing a normalized per-line order score; re-expressed
+    as a forest since torch/sklearn are absent). Same flat-array tree
+    layout and vectorized traversal as :class:`RandomForest`."""
+
+    def __init__(
+        self,
+        n_trees: int = 8,
+        max_depth: int = 8,
+        min_leaf: int = 5,
+        max_features: Optional[int] = None,
+        seed: int = 42,
+    ):
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+        self.min_leaf = min_leaf
+        self.max_features = max_features
+        self.seed = seed
+        self.trees: List[dict] = []
+
+    def _build(self, X, y, rng, depth, nodes):
+        node_id = len(nodes)
+        nodes.append(
+            {"feature": -1, "threshold": 0.0, "left": -1, "right": -1,
+             "mean": float(y.mean()) if len(y) else 0.0}
+        )
+        if depth >= self.max_depth or len(y) < 2 * self.min_leaf or np.ptp(y) == 0.0:
+            return node_id
+        n_feat = X.shape[1]
+        k = self.max_features or max(1, int(np.sqrt(n_feat)))
+        feats = rng.choice(n_feat, size=min(k, n_feat), replace=False)
+        best = (None, None, np.inf)
+        for f in feats:
+            thr, sse = _mse_split(X[:, f], y, self.min_leaf)
+            if thr is not None and sse < best[2]:
+                best = (f, thr, sse)
+        if best[0] is None:
+            return node_id
+        f, thr, _ = best
+        mask = X[:, f] <= thr
+        nodes[node_id]["feature"] = int(f)
+        nodes[node_id]["threshold"] = float(thr)
+        nodes[node_id]["left"] = self._build(X[mask], y[mask], rng, depth + 1, nodes)
+        nodes[node_id]["right"] = self._build(X[~mask], y[~mask], rng, depth + 1, nodes)
+        return node_id
+
+    def fit(self, X: np.ndarray, y) -> "RegressionForest":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.trees = []
+        for t in range(self.n_trees):
+            rng = np.random.default_rng(self.seed + t)
+            boot = rng.integers(0, len(y), size=len(y))
+            nodes: list = []
+            self._build(X[boot], y[boot], rng, 0, nodes)
+            self.trees.append(
+                {
+                    "feature": np.array([n["feature"] for n in nodes]),
+                    "threshold": np.array([n["threshold"] for n in nodes]),
+                    "left": np.array([n["left"] for n in nodes]),
+                    "right": np.array([n["right"] for n in nodes]),
+                    "mean": np.array([n["mean"] for n in nodes]),
+                }
+            )
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        out = np.zeros(len(X))
+        for tree in self.trees:
+            out += tree["mean"][_leaf_nodes(tree, X)]
+        return out / len(self.trees)
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +280,7 @@ def _feature_matrix(pdf: pd.DataFrame) -> np.ndarray:
 TRAIN_MAX_ROWS = 200_000
 
 
-def _bounded_training_pdf(feat, columns, sample_fraction, seed, max_rows):
+def _bounded_training_pdf(feat, columns, sample_fraction, seed, max_rows, order_cols=None):
     """Collect a bounded, deterministic training sample to the driver.
 
     ``sample_fraction`` < 1 takes a Bernoulli sample first; the cap is
@@ -188,7 +292,9 @@ def _bounded_training_pdf(feat, columns, sample_fraction, seed, max_rows):
     if sample_fraction < 1.0:
         feat = feat.sample(fraction=sample_fraction, seed=seed)
     if max_rows is not None:
-        order = [c for c in ("url", "page_num", "bloc_ord") if c in feat.columns]
+        order = order_cols or [
+            c for c in ("url", "page_num", "bloc_ord") if c in feat.columns
+        ]
         feat = feat.orderBy(*order).limit(int(max_rows))
     return feat.select(*columns).toPandas()
 

@@ -15,6 +15,14 @@ from edspdf_spark.operators.align import (
     partition_lines,
 )
 from edspdf_spark.operators.fused import run_pipeline_fused
+from edspdf_spark.operators.order import (
+    pairwise_order_features,
+    train_order_following,
+    order_followings,
+    append_following_to_labels,
+    train_order_rank,
+    score_order_rank,
+)
 from edspdf_spark.operators.merge import merge_boxes
 from edspdf_spark.operators.features import with_layout_features, FEATURE_COLS
 
@@ -34,6 +42,12 @@ __all__ = [
     "partition_lines",
     "merge_boxes",
     "run_pipeline_fused",
+    "pairwise_order_features",
+    "train_order_following",
+    "order_followings",
+    "append_following_to_labels",
+    "train_order_rank",
+    "score_order_rank",
     "with_layout_features",
     "FEATURE_COLS",
 ]

@@ -158,3 +158,137 @@ def test_embedding_pipeline_from_config(spark, tmp_path):
     out = reloaded(pages).collect()
     assert len(out) > 0
     assert all(len(r.emb) == 24 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# P10/P11 trainable heads
+# ---------------------------------------------------------------------------
+
+
+def _stacked_corpus(spark, n_docs=12, n_pages=2, n_lines=8):
+    """Deterministic multi-page corpus of vertically stacked lines whose
+    width/height VARY with the line rank. The size variation is load-
+    bearing: the reference's 18 pairwise features use half-extent
+    "centres" and a min-corner union, so for equal-size boxes every
+    feature is exactly 0 (position-blind — see
+    ``operators/order.py`` faithfulness notes); sizes encoding rank makes
+    the following link / rank targets geometrically learnable, as they
+    are on real pages where line extents vary."""
+    from edspdf_spark.schemas import BLOC_SCHEMA
+
+    rows = []
+    for d in range(n_docs):
+        for p in range(n_pages):
+            y0 = 0.05
+            for i in range(n_lines):
+                w = 0.35 + 0.045 * i + 0.002 * (d % 4)
+                h = 0.05 + 0.006 * ((i * 3) % 7)
+                x0 = 0.08 + 0.01 * (d % 5)
+                rows.append(
+                    (f"doc{d}", p, i, x0, y0, x0 + w, y0 + h,
+                     f"line{i}", [], None, False)
+                )
+                y0 += h + 0.02
+    return spark.createDataFrame(rows, BLOC_SCHEMA)
+
+
+def test_order_following_recovers_reading_order(spark):
+    from edspdf_spark.operators.order import order_followings, train_order_following
+
+    blocs = _stacked_corpus(spark)
+    model = train_order_following(blocs, seed=42, n_trees=4, max_depth=6)
+    out = order_followings(blocs, model).collect()
+    assert out, "no following predictions"
+    scored = [r for r in out if r["ord_i"] < 7]  # last line's true follower
+    hits = sum(1 for r in scored if r["follow_ord"] == r["ord_i"] + 1)
+    assert hits / len(scored) >= 0.8, f"follow agreement {hits}/{len(scored)}"
+
+
+def test_order_following_tie_breaks_to_smallest_j(spark):
+    """Constant scorer → argmax must pick the smallest ord_j (torch argmax
+    returns the first maximal index, trainable_order_ba.py:434-443)."""
+    import numpy as np
+
+    from edspdf_spark.operators.order import order_followings
+
+    class Flat:
+        classes_ = ["F", "O"]
+
+        def predict_proba(self, X):
+            return np.full((len(X), 2), 0.5)
+
+    blocs = _stacked_corpus(spark, n_docs=2, n_pages=1, n_lines=4)
+    out = order_followings(blocs, Flat()).collect()
+    for r in out:
+        expect = 0 if r["ord_i"] != 0 else 1  # smallest j != i
+        assert r["follow_ord"] == expect
+
+
+def test_append_following_to_labels(spark):
+    from edspdf_spark.operators.order import (
+        order_followings,
+        append_following_to_labels,
+        train_order_following,
+    )
+    from pyspark.sql import functions as F
+
+    blocs = _stacked_corpus(spark, n_docs=4)
+    model = train_order_following(blocs, seed=42, n_trees=2, max_depth=5)
+    composite = blocs.withColumn(
+        "label", F.concat_ws("|", F.lit("body"), F.lit("0"), F.col("bloc_ord"))
+    )
+    out = append_following_to_labels(composite, order_followings(blocs, model))
+    labels = [r["label"] for r in out.collect()]
+    assert all(len(l.split("|")) == 4 for l in labels)
+    assert all(l.split("|")[3].lstrip("-").isdigit() for l in labels)
+
+
+def test_order_rank_regression_recovers_order(spark):
+    from edspdf_spark.operators.order import score_order_rank, train_order_rank
+
+    blocs = _stacked_corpus(spark)
+    model = train_order_rank(blocs, seed=42, n_trees=4, max_depth=6)
+    out = score_order_rank(blocs, model).collect()
+    assert out
+    assert all(r["rank_score"] is not None for r in out)
+    hits = sum(1 for r in out if r["pred_rank"] == r["bloc_ord"])
+    assert hits / len(out) >= 0.8, f"rank agreement {hits}/{len(out)}"
+
+
+def test_order_serving_plans_are_vectorized(spark):
+    """Neither head may fall back to per-group pandas: following = join +
+    mapInPandas + max_by agg; rank = mapInPandas + window."""
+    from edspdf_spark.operators.order import (
+        order_followings,
+        score_order_rank,
+        train_order_following,
+        train_order_rank,
+    )
+
+    blocs = _stacked_corpus(spark, n_docs=3)
+    f_plan = order_followings(
+        blocs, train_order_following(blocs, seed=1, n_trees=2, max_depth=4)
+    )._jdf.queryExecution().executedPlan().toString()
+    r_plan = score_order_rank(
+        blocs, train_order_rank(blocs, seed=1, n_trees=2, max_depth=4)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in f_plan
+    assert "FlatMapGroupsInPandas" not in r_plan
+
+
+def test_regression_forest_numpy_contract():
+    import numpy as np
+
+    from edspdf_spark.ml.forest import RegressionForest
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, size=(600, 3))
+    y = 2.0 * X[:, 0] + 0.1 * X[:, 2]
+    model = RegressionForest(seed=3, n_trees=6, max_depth=8).fit(X, y)
+    pred = model.predict(X)
+    assert pred.shape == (600,)
+    mse = float(((pred - y) ** 2).mean())
+    assert mse < 0.05, mse  # var(y) ≈ 0.34 — the fit explains >85% of it
+    # determinism: same seed, same fit, identical predictions
+    pred2 = RegressionForest(seed=3, n_trees=6, max_depth=8).fit(X, y).predict(X)
+    assert np.array_equal(pred, pred2)
