@@ -28,7 +28,14 @@ def main():
         shuffle_partitions=max(cores, 8),
         # tmpfs shuffle: this box's /tmp disk adds minutes of cold-cache IO
         # variance; real clusters shuffle to local NVMe
-        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark-local",
+            # 32 concurrent scan tasks over snappy parquet with ~100 KB html
+            # blobs exhaust the default 8g heap (GCLocker allocation
+            # failures killed whole runs and inflated hi-level dispersion);
+            # a real 32-core executor would be provisioned with far more.
+            "spark.driver.memory": os.environ.get("SCALE_DRIVER_MEMORY", "48g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -57,9 +57,16 @@ def run_level(cores: int, corpus: str) -> dict:
            str(cores), corpus, str(N_DOCS)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    last_err = None
+    for attempt in range(2):  # one retry: a lost level must not kill the pair
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        if out.returncode == 0:
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+        last_err = out.stderr[-2000:]
+        print(f"run_level(cores={cores}) attempt {attempt} failed:\n{last_err}",
+              file=sys.stderr, flush=True)
+    raise RuntimeError(f"scale_job cores={cores} failed twice; last stderr:\n{last_err}")
 
 
 def _median(xs):
