@@ -76,6 +76,7 @@ def dedup_stream_first_seen(
     out_dir: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    state_ttl_minutes: Optional[int] = None,
 ):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     cross-batch url dedup lineage — per url, the state store carries
@@ -88,8 +89,19 @@ def dedup_stream_first_seen(
     counter).
 
     State is keyed by url — at scale the state store shards with the
-    shuffle; a processing-time timeout could bound it (unbounded here:
-    availableNow batch replays).
+    shuffle. ``state_ttl_minutes`` bounds it: with a TTL the operator runs
+    under ``ProcessingTimeTimeout`` and evicts urls idle longer than the
+    TTL (a url that reappears later restarts its lineage — the standard
+    web-crawl trade: bounded state vs exact all-time dedup). ``None``
+    keeps state forever (exact mode; fine for availableNow replays).
+
+    Trigger pairing: a TTL is meant for CONTINUOUS runs
+    (``trigger_available_now=False``). Under availableNow, Spark does not
+    terminate while timeouts are armed — it keeps scheduling "no new data
+    but cleaning up state" batches until every timeout fires (observed
+    live: batch ids climbing with ``numInputRows=0`` for the whole TTL),
+    so a bounded replay with a TTL must be ``stop()``-ed by the caller
+    after its data batches commit.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -111,7 +123,14 @@ def dedup_stream_first_seen(
         ]
     )
 
+    ttl_ms = None if state_ttl_minutes is None else int(state_ttl_minutes) * 60_000
+
     def dedup(key, pdf_iter, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict — the url's lineage restarts if it
+            # ever reappears. No output row (nothing new arrived).
+            state.remove()
+            return
         if state.exists:
             seen, first_us, lang0 = state.get
         else:
@@ -139,6 +158,9 @@ def dedup_stream_first_seen(
         if seen == 0 and new:
             first_us, lang0 = batch_first_us, batch_lang
         state.update((seen + new, first_us, lang0))
+        if ttl_ms is not None:
+            # must be re-armed after every update (Spark clears it)
+            state.setTimeoutDuration(ttl_ms)
         if new:
             yield pd.DataFrame(
                 {
@@ -159,7 +181,11 @@ def dedup_stream_first_seen(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
     writer = (

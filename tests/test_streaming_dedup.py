@@ -86,3 +86,51 @@ def test_dedup_min_ts_across_state_chunks(spark, tmp_path):
     assert len(got) == 1
     assert got[0].n_dups_so_far == 899
     assert got[0].first_seen == dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=700)
+
+
+def test_dedup_stream_with_state_ttl(spark, tmp_path):
+    """TTL mode (ProcessingTimeTimeout) must produce the same output as
+    exact mode for the data batches — the timeout only changes how long
+    idle state survives — and exercises the timeout-arming wiring.
+
+    A query with armed processing-time timeouts does NOT terminate under
+    availableNow: Spark keeps scheduling 'no new data but cleaning up
+    state' batches until every timeout fires (observed live; see the
+    operator docstring). So this test polls the sink for the data batch's
+    output and then stops the query, rather than awaiting termination."""
+    import time
+
+    from edspdf_spark.streaming.stream import (
+        dedup_stream_first_seen,
+        read_pages_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("u1", _ts(2), b"x", "", "en"),
+            ("u1", _ts(1), b"x", "", "en"),
+            ("u3", _ts(4), b"x", "", "de"),
+        ],
+    )
+    q = dedup_stream_first_seen(
+        read_pages_stream(spark, src), out, ckpt, state_ttl_minutes=60
+    )
+    try:
+        rows = {}
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and len(rows) < 2:
+            time.sleep(1.0)
+            try:
+                rows = {r["url"]: r for r in spark.read.parquet(out).collect()}
+            except Exception:  # sink not committed yet
+                rows = {}
+    finally:
+        q.stop()
+    assert rows["u1"]["n_dups_so_far"] == 1
+    assert rows["u1"]["first_seen"] == _ts(1)
+    assert rows["u3"]["lang"] == "de"
