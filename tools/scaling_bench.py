@@ -150,15 +150,25 @@ understating efficiency; pinning simulates a real N-core worker. Best
 AND median wall per level reported.
 
 {body}
-Noise analysis: this sandbox VM shows ±30-100% wall-time variance between
-minutes at full 32-core load with identical inputs (repeated identical
-runs measured 31.4 s, 58.5 s, 31.6 s back-to-back; `vmstat` shows
-mostly-idle CPU with context-switch storms during slow phases and nonzero
-steal). The hardware itself scales: a pure-python multiprocess run of the
-same parse kernel achieves 0.96 efficiency at 32 processes on this box,
-and JVM GC totals under 2 s per job, so the saturating pair's gap is
-dominated by environment noise — which is why the below-saturation pair
-is the primary evidence.
+Machine attribution (`tools/machine_probe.py`, results in
+`BENCH/machine_probe.json`): with NO Spark/JVM involved, pinned 8-vs-32
+process runs on this box measure (a) the exact fused per-document kernel
+at **0.836** efficiency (614 → 514 docs/s/core), and (b) raw memory
+bandwidth at **0.426** (104.5 GB/s aggregate at 8 procs vs 178.2 GB/s at
+32 — the box's memory subsystem tops out near ~180 GB/s, so 32 cores
+cannot draw 4× the bandwidth of 8). The Spark pipeline's measured
+saturating-pair efficiency lands ON the bandwidth probe's ceiling: the
+single box, not the engine's plan, stops scaling past ~8 cores. On a real
+cluster the 4N level brings 4× nodes and therefore 4× memory bandwidth —
+exactly the resource this shared-box measurement cannot grant — which is
+why the below-saturation pair (both levels far from the bandwidth wall)
+is the primary engine evidence.
+
+Noise analysis: this sandbox VM additionally shows ±30-100% wall-time
+variance between minutes at full 32-core load with identical inputs
+(repeated identical runs measured 31.4 s, 58.5 s, 31.6 s back-to-back;
+`vmstat` shows mostly-idle CPU with context-switch storms during slow
+phases and nonzero steal). JVM GC totals under 2 s per job.
 
 Context: the composed (unfused) operator chain measures ~3500 docs/s at
 local[32] on 120k docs; the fused path removes its blocs-table shuffle,
