@@ -43,15 +43,21 @@ def bench_pipeline_documents(spark, sf_dir):
 
 def bench_pipeline_synthetic(spark, corpus_path):
     """Synthetic skewed corpus (pre-written parquet) through the PRODUCTION
-    path: salted skew repartition + the fused zero-shuffle pipeline."""
+    path: scan-partition-sized read (zero shuffle) + the fused pipeline —
+    skew.py's measured default; salted repartition stays the fallback for
+    giants clustered within files."""
     from edspdf_spark.operators import run_pipeline_fused
-    from edspdf_spark.skew import repartition_pages
+    from edspdf_spark.skew import apply_scan_partitioning, local_parquet_bytes
 
-    pages = spark.read.parquet(corpus_path)
-    pages = repartition_pages(pages, CPUS * 4)
-    materialize(
-        run_pipeline_fused(pages, [("body", 0.2, 0.3, 0.9, 0.6)], threshold=0.1)
-    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    apply_scan_partitioning(spark, local_parquet_bytes(corpus_path), CPUS)
+    try:
+        pages = spark.read.parquet(corpus_path)
+        materialize(
+            run_pipeline_fused(pages, [("body", 0.2, 0.3, 0.9, 0.6)], threshold=0.1)
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
 def bench_mask_argmax(spark, sf_dir):
@@ -124,12 +130,14 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # pre-generate the synthetic corpus outside the timed section
-    corpus_path = f"/tmp/edspdf_bench_corpus_{SYNTH_DOCS}"
+    # pre-generate the synthetic corpus outside the timed section; many
+    # small files (one row group each) so scan-partition sizing can hit
+    # its target split count (path versioned by layout)
+    corpus_path = f"/tmp/edspdf_bench_corpus_{SYNTH_DOCS}_p{CPUS * 8}"
     if not os.path.exists(corpus_path + "/_SUCCESS"):
         from edspdf_spark.fixtures import write_corpus
 
-        write_corpus(spark, corpus_path, SYNTH_DOCS, partitions=CPUS * 2)
+        write_corpus(spark, corpus_path, SYNTH_DOCS, partitions=CPUS * 8)
 
     n_documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 

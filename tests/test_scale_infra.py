@@ -24,6 +24,44 @@ def test_repartition_pages_balances_bytes(spark):
     assert max(sizes) <= 4 * (sum(sizes) / len(sizes))
 
 
+def test_scan_partition_bytes_targets_waves():
+    from edspdf_spark.skew import ONE_MB, scan_partition_bytes
+
+    # 9 GB at 32 cores × 8 waves → ~36 MB splits
+    nine_gb = 9 * 1024 * ONE_MB
+    got = scan_partition_bytes(nine_gb, cores=32, waves=8)
+    assert got == nine_gb // 256
+    assert ONE_MB * 30 < got < ONE_MB * 40
+    # clamps: tiny corpus floors at 1 MB, huge one ceils at Spark's 128 MB
+    assert scan_partition_bytes(10 * ONE_MB, cores=32) == ONE_MB
+    assert scan_partition_bytes(10**15, cores=32) == 128 * ONE_MB
+
+
+def test_apply_scan_partitioning_sizes_the_scan(spark, tmp_path):
+    from edspdf_spark.skew import (
+        apply_scan_partitioning,
+        local_parquet_bytes,
+        scan_partition_bytes,
+    )
+
+    path = str(tmp_path / "pages")
+    build_pages_df(spark, 800, partitions=16).write.parquet(path)
+    total = local_parquet_bytes(path)
+    assert total > 0
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        chosen = apply_scan_partitioning(spark, total, cores=4, waves=8)
+        assert chosen == scan_partition_bytes(total, 4, 8)
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(chosen)
+        n_parts = spark.read.parquet(path).rdd.getNumPartitions()
+        # 16 files, 1 MB floor >> file size → files pack into ≤16 splits,
+        # and the scan must still see every row exactly once
+        assert 1 <= n_parts <= 16
+        assert spark.read.parquet(path).count() == 800
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
 def test_extract_with_metrics(spark):
     from edspdf_spark.metrics import extract_blocs_with_metrics
 

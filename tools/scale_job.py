@@ -40,13 +40,17 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from edspdf_spark.operators import run_pipeline_fused
-    from edspdf_spark.skew import repartition_pages
+    from edspdf_spark.skew import apply_scan_partitioning, local_parquet_bytes
 
+    # production skew handling: scan-partition sizing, zero shuffle
+    # (skew.py module doc has the measured comparison vs salted shuffle)
+    chosen = apply_scan_partitioning(spark, local_parquet_bytes(corpus), cores)
+    print(f"maxPartitionBytes={chosen}", file=sys.stderr, flush=True)
     pages = spark.read.parquet(corpus)
 
     def job():
         out = run_pipeline_fused(
-            repartition_pages(pages, cores * 4),
+            pages,
             [("body", 0.2, 0.3, 0.9, 0.6)],
             threshold=0.1,
         )

@@ -47,7 +47,10 @@ def ensure_corpus(path: str) -> None:
 
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    write_corpus(spark, path, N_DOCS, partitions=64)
+    # ~6k docs (~28 MB) per file = one row group per file, so the scan can
+    # split at the granularity scan_partition_bytes asks for (a 128 MB row
+    # group is the smallest unit a scan can assign otherwise)
+    write_corpus(spark, path, N_DOCS, partitions=max(64, N_DOCS // 6000))
     spark.stop()
 
 
