@@ -138,7 +138,9 @@ measurement noise, not engine behavior.
 
 Job: the production fused pipeline (`run_pipeline_fused` — extract →
 overlap-argmax mask classify → ordered aggregate in one Arrow stage, zero
-data shuffle) behind the salted skew repartition. Input: deterministic
+data shuffle) over size-targeted parquet scan splits (`skew.apply_scan_partitioning`
+— no pre-parse shuffle; salted repartition remains the fallback for giants
+clustered within files). Input: deterministic
 synthetic pages (skewed: every 97th doc 50× pages, every 501st corrupt),
 identical at both levels of a pair; the per-pair doc count is chosen so
 the FASTER level still runs ~100 s (a short full-machine run is dominated
