@@ -1,0 +1,213 @@
+"""Physical-plan audit for the headline queries → PLANS.md.
+
+For each headline query this renders the formatted Catalyst physical plan
+plus an automated audit: parquet pushdown (PushedFilters / ReadSchema —
+a scan that reads all columns for a 2-column projection is wrong),
+whole-stage-codegen span count, and the number of exchanges (every
+shuffle is a cluster-scale cost; the audit names which key each one is
+for, so a reviewer can check it's a *required* shuffle, not an accident).
+
+Run: ``python tools/dump_plans.py`` (writes /root/repo/PLANS.md; uses the
+sf0.01 tables so it finishes in seconds — plan SHAPE is scale-invariant,
+which is the point of auditing plans rather than timings).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+MAX_LINE = 300
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def clip(plan: str) -> str:
+    """Clip pathological plan lines for the report (the literal-mask argmax
+    inlines per-mask CASE chains into single lines tens of KB long); the
+    audit regexes run on the FULL text."""
+    out = []
+    for line in plan.splitlines():
+        if len(line) > MAX_LINE:
+            line = f"{line[:MAX_LINE]}… (+{len(line) - MAX_LINE} chars)"
+        out.append(line)
+    return "\n".join(out)
+
+
+def audit(plan: str) -> str:
+    """Extract the scale-relevant facts from a formatted physical plan.
+
+    Formatted mode prints each operator twice (tree + detail block); scans
+    are counted by their ReadSchema detail, codegen spans by the
+    ``[codegen id : N]`` stage tags, and exchanges by their detail block's
+    Arguments line (where the partitioning key lives).
+    """
+    lines = []
+    # each scan detail block: PushedFilters (optional) + ReadSchema
+    scan_blocks = re.findall(
+        r"\(\d+\) Scan parquet ?\n(.*?)(?=\n\(\d+\)|\Z)", plan, flags=re.S
+    )
+    lines.append(f"- parquet scans: {len(scan_blocks)}")
+    for i, block in enumerate(scan_blocks):
+        read = re.search(r"ReadSchema: struct<([^\n]*)>", block)
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        cols = re.findall(r"(\w+):", read.group(1)) if read else []
+        p = pushed.group(1).strip() if pushed else ""
+        lines.append(
+            f"  - scan {i}: reads {len(cols)} col(s) `{','.join(cols)}`"
+            + (f", pushed filters `[{p}]`" if p else ", no pushed filters")
+        )
+    wsc = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    lines.append(f"- whole-stage-codegen spans: {len(wsc)}")
+    # exchange detail blocks carry the partitioning in their Arguments line
+    ex_args = re.findall(
+        r"\(\d+\) Exchange ?\n.*?Arguments: (\w+)\(([^)]*)\)", plan, flags=re.S
+    )
+    if ex_args:
+        for kind, key in ex_args:
+            key_short = re.sub(r"#\d+L?", "", key.split(",")[0])
+            lines.append(f"- exchange: {kind}({key_short}, …)")
+    else:
+        lines.append("- exchanges: NONE (zero-shuffle plan)")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from edspdf_spark import get_spark
+    from edspdf_spark import entry_queries as eq
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_arrow,
+    )
+    from edspdf_spark.functions.similarity import cosine_topk
+    from edspdf_spark.operators import (
+        aggregate_simple,
+        classify_mask,
+        extract_blocs,
+        run_pipeline_fused,
+    )
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    # AQE stays ON in production; for plan INSPECTION a static plan is the
+    # honest artifact — AdaptiveSparkPlan(isFinalPlan=false) hides codegen
+    # ids and final exchange placement until execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    pages = pages_from_documents(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.length("text") >= 5
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    entries = [
+        (
+            "pipeline_fused (production path)",
+            "extract → overlap-argmax classify → ordered aggregate in ONE "
+            "Arrow stage. A per-document pipeline never needs to move lines "
+            "across the cluster to regroup them by the document they came "
+            "from, so the only acceptable plan is scan → mapInPandas → sink "
+            "with no exchange; skew is handled upstream by scan-split "
+            "sizing (`skew.apply_scan_partitioning`), which shapes the scan, "
+            "not the plan.",
+            run_pipeline_fused(pages, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1),
+        ),
+        (
+            "pipeline_composed (operator chain)",
+            "Same semantics as the fused path through separate operators. "
+            "Expected: ONE exchange total — the aggregate's repartition(url) "
+            "(regrouping lines by document is the operator's semantics); "
+            "extract + the literal-mask classifier must stay in the scan's "
+            "stage (classify is a pure projection, zero-shuffle).",
+            aggregate_simple(
+                classify_mask(
+                    extract_blocs(pages), [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1
+                )
+            ),
+        ),
+        (
+            "mask_argmax (driver query)",
+            "Literal masks compile to per-mask overlap scores + greatest() "
+            "+ first-match argmax — a pure projection, no join, no shuffle "
+            "from the CLASSIFIER itself (the one exchange below is the "
+            "entry query's `SELECT DISTINCT` blocs derivation, which guards "
+            "against the test corpus's duplicated lineitem row; on a real "
+            "blocs table the classifier adds zero exchanges to the scan).",
+            eq.q_mask_argmax(spark, SF_DIR),
+        ),
+        (
+            "minhash_lsh (dedup production path)",
+            "Vectorized Arrow signatures (zero shuffle) → band explode → "
+            "groupBy(band bucket) with collect_list + in-bucket pair "
+            "expansion. Expected: one data exchange keyed on the LSH bucket "
+            "(the theoretical minimum — candidates ARE the bucket groups) "
+            "plus one small exchange on the pair key for the cross-band "
+            "`distinct` (a pair can collide in several bands; this exchange "
+            "moves candidate PAIRS, a tiny fraction of corpus bytes).",
+            lsh_candidate_pairs(
+                minhash_signatures_arrow(docs, k=5, n_hashes=8),
+                rows_per_band=2,
+                n_hashes=8,
+            ),
+        ),
+        (
+            "ann_cosine_topk (similarity production path)",
+            "Partition-local BLAS top-k then a k-rows-per-partition window "
+            "— the shuffle moves only k·partitions candidate rows, never "
+            "the corpus.",
+            cosine_topk(emb, emb.filter(F.col("vec_id") % 97 == 0), k=10),
+        ),
+        (
+            "pricing_summary (relational)",
+            "Filter must reach the scan (PushedFilters) and the scan must "
+            "read only the aggregated/grouping columns; partial (map-side) "
+            "aggregation before the single group-key exchange.",
+            __import__("__spark_entry__")._q_pricing_summary(spark, SF_DIR),
+        ),
+    ]
+
+    sections = []
+    for name, expect, df in entries:
+        plan = formatted_plan(df)
+        sections.append(
+            f"## {name}\n\n{expect}\n\n**Audit (automated):**\n\n{audit(plan)}\n\n"
+            f"<details><summary>formatted plan</summary>\n\n```\n{clip(plan).strip()}\n```\n\n</details>\n"
+        )
+
+    body = "\n".join(sections)
+    out = f"""# PLANS — physical-plan audit of the headline queries
+
+Generated by `python tools/dump_plans.py` on the sf0.01 tables (plan
+shape is scale-invariant; timings live in BENCH/). Each section states
+what the plan MUST look like for the operator to survive 100× scale,
+then shows the automated audit and the actual `explain("formatted")`
+output. `tests/test_plans.py` asserts the load-bearing properties
+(column pruning, zero-shuffle classify, single-exchange aggregate) so
+plan regressions fail CI, not just this report.
+
+{body}"""
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write(out)
+    print(f"wrote PLANS.md ({len(entries)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
