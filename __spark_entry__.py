@@ -146,6 +146,85 @@ FROM documents GROUP BY 1
 """
 
 
+def _q_training_prep(spark, sf_dir):
+    """Composite training-data prep: quality/lang gate → exact dedup (keep
+    the canonical doc per content group) → token stats, chained through the
+    real operators. The test corpus has no exact duplicates, so a shifted
+    copy of every 7th doc is unioned in deterministically — the dedup stage
+    must then collapse each copied group to its lowest doc_id. Plan shape:
+    one md5-keyed aggregation (map-side partial, 32-byte keys) + one
+    doc_id equi-join of the group table back to the gated corpus; the gates
+    are pure scan-stage projections."""
+    from edspdf_spark.functions.dedup import dedup_exact
+    from edspdf_spark.functions.text import with_lang_guess, with_token_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(dups)
+    kept = (
+        with_lang_guess(corpus)
+        .filter((F.length("text") >= 150) & (F.col("lang_guess") != "und"))
+        .select("doc_id", "text", "lang_guess")
+    )
+    groups = dedup_exact(kept).select(
+        F.col("keep_id").alias("doc_id"), "n_dups"
+    )
+    canon = kept.join(groups, on="doc_id")
+    return with_token_stats(canon).select(
+        "doc_id",
+        "lang_guess",
+        F.length("text").cast("long").alias("doc_len"),
+        "n_tokens",
+        "n_dups",
+    )
+
+
+_TRAINING_PREP_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+scored AS (
+  SELECT doc_id, text,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('der','die','und','ist','das'))) AS score_de,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('the','and','of','to','is'))) AS score_en,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('el','los','las','es','una'))) AS score_es,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        w -> w IN ('le','la','les','et','est'))) AS score_fr
+  FROM corpus
+),
+guessed AS (
+  SELECT doc_id, text,
+    CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+         WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+         WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+         ELSE 'fr' END AS lang_guess
+  FROM scored
+),
+kept AS (
+  SELECT doc_id, text, lang_guess FROM guessed
+  WHERE length(text) >= 150 AND lang_guess <> 'und'
+),
+grp AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+  FROM kept GROUP BY md5(text)
+)
+SELECT k.doc_id, k.lang_guess,
+  CAST(length(k.text) AS BIGINT) AS doc_len,
+  CAST(CASE WHEN trim(k.text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(k.text), '\s+')) END AS BIGINT) AS n_tokens,
+  g.n_dups
+FROM kept k JOIN grp g ON k.doc_id = g.keep_id
+"""
+
+
 def _minhash_poly_sql(k: int = 5) -> str:
     h = "0"
     for j in range(1, k + 1):
@@ -1240,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
+        "training_prep": _q_training_prep,
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1312,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_normalized": _DEDUP_NORM_ORACLE,
+        "training_prep": _TRAINING_PREP_ORACLE,
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidate_pairs": _lsh_pairs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -252,3 +252,24 @@ def test_minhash_arrow_equals_expression_path(spark):
     b = {r.doc_id: tuple(r)[1:] for r in minhash_signatures_arrow(both).collect()}
     assert a == b
     assert 100005 not in a  # null text drops in both paths
+
+
+def test_training_prep_composite(spark):
+    """The composite prep query: gates filter, dedup collapses the shifted
+    copies onto the lowest doc_id, token stats ride the survivors."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod._q_training_prep(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "gates must keep a non-trivial subset"
+    by_id = {r.doc_id: r for r in rows}
+    # canonical rows only: a shifted copy (doc_id >= 100000) can never be
+    # the keep_id because its original (same text, lower id) also survives
+    assert all(r.doc_id < 100000 for r in rows)
+    # every kept doc divisible by 7 had a surviving identical copy → n_dups 2
+    for r in rows:
+        assert r.n_dups == (2 if r.doc_id % 7 == 0 else 1), r
+    # gates actually applied
+    assert all(r.doc_len >= 150 and r.lang_guess != "und" for r in rows)
+    # token count is the whitespace tokenization of a non-empty text
+    assert all(r.n_tokens > 0 for r in rows)
