@@ -763,6 +763,39 @@ def _q_pipeline_e2e(spark, sf_dir):
     return aggregate_simple(labeled).select("url", "label", "text")
 
 
+def _q_extract_metrics(spark, sf_dir):
+    """In-band lineage/metrics (metrics.py): the extract stage emits one
+    metrics row per scan partition in the SAME pass as the blocs (union-typed
+    frame, no second job, no accumulator loss on retry). Partition-level rows
+    depend on the scan split layout, so the oracle checks the
+    partitioning-INDEPENDENT aggregate: total docs/blocs/errors across all
+    partitions, which the deterministic page layout (6 words/line) makes
+    SQL-derivable from documents.text."""
+    from edspdf_spark.fixtures import pages_from_documents
+    from edspdf_spark.metrics import extract_blocs_with_metrics
+
+    pages = pages_from_documents(spark, sf_dir)
+    _blocs, metrics = extract_blocs_with_metrics(pages, run_id="driver")
+    return metrics.groupBy("run_id").agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("n_blocs").alias("total_blocs"),
+        F.sum("n_errors").alias("total_errors"),
+    )
+
+
+_EXTRACT_METRICS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT 'driver' AS run_id,
+  (SELECT COUNT(*) FROM documents) AS total_docs,
+  (SELECT CAST(SUM(CAST(ceil(len(w) / 6.0) AS BIGINT)) AS BIGINT) FROM words)
+    AS total_blocs,
+  CAST(0 AS BIGINT) AS total_errors
+"""
+
+
 _PIPELINE_E2E_ORACLE = r"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -1279,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship pipeline, byte-identity oracle-checked end-to-end
         "pipeline_e2e": _q_pipeline_e2e,
+        "extract_metrics": _q_extract_metrics,
         "pipeline_e2e_fused": _q_pipeline_fused,
         "pipeline_markdown": _q_pipeline_markdown,
         "html_boilerplate": _q_html_boilerplate,
@@ -1360,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pipeline_e2e": _PIPELINE_E2E_ORACLE,
+        "extract_metrics": _EXTRACT_METRICS_ORACLE,
         "pipeline_e2e_fused": _PIPELINE_E2E_ORACLE,
         "pipeline_markdown": _PIPELINE_MARKDOWN_ORACLE,
         "html_boilerplate": _HTML_BOILERPLATE_ORACLE,
