@@ -763,6 +763,50 @@ def _q_pipeline_e2e(spark, sf_dir):
     return aggregate_simple(labeled).select("url", "label", "text")
 
 
+def _q_pipeline_pdf_bytes(spark, sf_dir):
+    """Real-PDF byte ingestion end-to-end: render each documents.text row
+    into genuine %PDF- bytes (FlateDecode streams, Type0/Identity-H font,
+    multi-page tree — sources/pdfgen.py), then run the full
+    extract→classify→aggregate pipeline on those bytes through the pure-
+    Python PDF parser (kernel/pdf.py ≙ pdfminer semantics,
+    edspdf/pipes/extractors/pdfminer.py:117-194). The generator's geometry
+    (5pt font, 6pt leading, 5-line pages) pins the aggregator separators:
+    dy/median_height = 1.2 → '\\n' inside a page, page break → '\\n\\n'
+    (aggregators/simple.py:156-164) — so the aggregated text is
+    SQL-predictable from documents.text alone."""
+    from edspdf_spark.operators import aggregate_simple, classify_dummy, extract_blocs
+    from edspdf_spark.sources.pdfgen import documents_to_pdfs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdfs = documents_to_pdfs(docs, words_per_line=8, lines_per_page=5)
+    labeled = classify_dummy(extract_blocs(pdfs), "body")
+    return aggregate_simple(labeled).select("url", "label", "text")
+
+
+_PIPELINE_PDF_BYTES_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i, ws[i] AS w, (i-1)//8 AS line_idx
+  FROM words, UNNEST(generate_series(1, len(ws))) AS g(i)
+),
+lines AS (
+  SELECT doc_id, line_idx, string_agg(w, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, line_idx
+),
+pages AS (
+  SELECT doc_id, line_idx // 5 AS page_num,
+         string_agg(line, chr(10) ORDER BY line_idx) AS ptext
+  FROM lines GROUP BY doc_id, line_idx // 5
+)
+SELECT 'doc://' || doc_id AS url, 'body' AS label,
+       string_agg(ptext, chr(10) || chr(10) ORDER BY page_num) AS text
+FROM pages GROUP BY doc_id
+"""
+
+
 def _q_extract_metrics(spark, sf_dir):
     """In-band lineage/metrics (metrics.py): the extract stage emits one
     metrics row per scan partition in the SAME pass as the blocs (union-typed
@@ -1312,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship pipeline, byte-identity oracle-checked end-to-end
         "pipeline_e2e": _q_pipeline_e2e,
+        "pipeline_pdf_bytes": _q_pipeline_pdf_bytes,
         "extract_metrics": _q_extract_metrics,
         "pipeline_e2e_fused": _q_pipeline_fused,
         "pipeline_markdown": _q_pipeline_markdown,
@@ -1394,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pipeline_e2e": _PIPELINE_E2E_ORACLE,
+        "pipeline_pdf_bytes": _PIPELINE_PDF_BYTES_ORACLE,
         "extract_metrics": _EXTRACT_METRICS_ORACLE,
         "pipeline_e2e_fused": _PIPELINE_E2E_ORACLE,
         "pipeline_markdown": _PIPELINE_MARKDOWN_ORACLE,

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 from urllib.parse import quote, unquote
 
+from edspdf_spark.kernel.pdf import PdfParseError, is_pdf, parse_pdf
 from edspdf_spark.kernel.reading_order import sort_reading_order
 from edspdf_spark.kernel.style import fold_runs
 
@@ -119,8 +120,16 @@ def extract_doc_raw(
     if html is None:
         return [], [], True
     try:
-        pages, lines = parse_payload(bytes(html))
-    except PayloadError:
+        raw_bytes = bytes(html)
+        if is_pdf(raw_bytes):
+            # real PDF bytes (reference test fixtures & any %PDF- payload):
+            # the pure-Python parser emits the same (pages, lines) shape,
+            # so normalization / bounds filter / reading order below are
+            # shared with the synthetic-payload path.
+            pages, lines = parse_pdf(raw_bytes)
+        else:
+            pages, lines = parse_payload(raw_bytes)
+    except (PayloadError, PdfParseError):
         return [], [], True
 
     by_page: Dict[int, list] = {p[0]: [] for p in pages}

@@ -1,0 +1,201 @@
+"""Real-PDF byte ingestion: the pure-Python parser vs the reference's own
+golden fixtures (``/root/reference/tests/pipes/extractors/
+blocks_ground_truth.py`` + ``tests/resources/*.pdf``), plus the
+deterministic PDF generator round-trip.
+
+The reference asserts coords with ``nested_approx(..., abs=5e-2)`` and
+exact text (``tests/pipes/extractors/test_pdfminer.py:8-13``); the style
+test asserts the exact (text-slice, style) pair set
+(``tests/pipes/aggregators/test_simple.py:64-116``). Both are replicated
+here from actual PDF bytes — no synthesized payloads.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from pathlib import Path
+
+import pytest
+
+from edspdf_spark.kernel.payload import extract_doc
+from edspdf_spark.kernel.pdf import PdfParseError, is_pdf, parse_pdf
+from edspdf_spark.sources.pdfgen import make_pdf, paginate, split_lines
+
+RESOURCES = Path("/root/reference/tests/resources")
+GROUND_TRUTH = Path("/root/reference/tests/pipes/extractors/blocks_ground_truth.py")
+
+pytestmark = pytest.mark.skipif(
+    not RESOURCES.exists(), reason="reference fixtures not available"
+)
+
+_TEXTBOX_RE = re.compile(
+    r"TextBox\(page_num=(\d+), x0=([\d.e-]+), x1=([\d.e-]+), "
+    r"y0=([\d.e-]+), y1=([\d.e-]+), text=('.*?')\)",
+    re.S,
+)
+
+
+def _golden(var: str):
+    """Parse golden TextBox literals out of blocks_ground_truth.py without
+    importing the reference package (edspdf is not installed here)."""
+    src = GROUND_TRUTH.read_text()
+    start = src.index(f"{var} = [")
+    end = src.index("]", start)
+    while src[start:end].count("(") != src[start:end].count(")"):
+        end = src.index("]", end + 1)
+    out = []
+    for m in _TEXTBOX_RE.finditer(src[start:end]):
+        out.append(
+            (
+                int(m.group(1)),
+                float(m.group(2)),
+                float(m.group(4)),
+                float(m.group(3)),
+                float(m.group(5)),
+                ast.literal_eval(m.group(6)),
+            )
+        )
+    return out  # (page_num, x0, y0, x1, y1, text)
+
+
+def _extract(name: str):
+    blocs, pages, error = extract_doc((RESOURCES / name).read_bytes())
+    return blocs, pages, error
+
+
+@pytest.mark.parametrize(
+    "name,var,n",
+    [("test.pdf", "pdf_blocks", 41), ("styles.pdf", "styles_blocks", 2)],
+)
+def test_golden_blocks_from_real_bytes(name, var, n):
+    golden = _golden(var)
+    assert len(golden) == n
+    blocs, _pages, error = _extract(name)
+    assert not error
+    assert len(blocs) == len(golden)
+    for got, want in zip(blocs, golden):
+        page, x0, y0, x1, y1, text = want
+        assert got["page_num"] == page
+        assert got["text"] == text
+        for k, v in (("x0", x0), ("y0", y0), ("x1", x1), ("y1", y1)):
+            assert abs(got[k] - v) < 5e-2, (k, got[k], v)
+
+
+def test_blank_pdf():
+    blocs, pages, error = _extract("blank.pdf")
+    assert not error
+    assert len(pages) == 1
+    assert blocs == []
+
+
+def test_error_pdf_sets_error_flag():
+    blocs, pages, error = _extract("error.pdf")
+    assert error and blocs == [] and pages == []
+    with pytest.raises(PdfParseError):
+        parse_pdf((RESOURCES / "error.pdf").read_bytes())
+
+
+def test_letter_pdf_extracts_text():
+    blocs, pages, error = _extract("letter.pdf")
+    assert not error
+    assert len(pages) == 1 and abs(pages[0][1] - 595.32) < 0.01
+    texts = [b["text"] for b in blocs]
+    assert "Groupe Hospitalier Henri Mondor" in texts
+    assert any("CRETEIL" in t for t in texts)
+
+
+def test_styles_pdf_style_pairs():
+    """Exact (text-slice, style) set of the reference style test, derived
+    from real styles.pdf bytes (test_simple.py:64-116)."""
+    blocs, _pages, error = _extract("styles.pdf")
+    assert not error
+    pairs = set()
+    for b in blocs:
+        for p in b["props"]:
+            style = " ".join(
+                filter(
+                    bool,
+                    (
+                        "italic" if p["italic"] else "",
+                        "bold" if p["bold"] else "",
+                    ),
+                )
+            )
+            pairs.add((b["text"][p["begin"] : p["end"]], style))
+    assert pairs == {
+        ("This is a", ""),
+        ("test", "bold"),
+        ("to check EDS-PDF’s", ""),
+        ("ability", "italic"),
+        ("to detect changing styles.", ""),
+        ("Let’s up the stakes, with", ""),
+        ("intra", "italic"),
+        ("-word change. Or better yet,", ""),
+        ("this mi", "bold"),
+        ("ght be hard.", ""),
+    }
+
+
+def test_generated_pdf_roundtrip():
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    lines = split_lines(text, 4)
+    pdf = make_pdf(paginate(lines, 2))
+    assert is_pdf(pdf)
+    blocs, pages, error = extract_doc(pdf)
+    assert not error
+    assert [p[0] for p in pages] == [0, 1]
+    assert [b["text"] for b in blocs] == lines
+    assert [(b["page_num"], b["bloc_ord"]) for b in blocs] == [
+        (0, 0),
+        (0, 1),
+        (1, 0),
+    ]
+
+
+def test_generated_pdf_aggregate_separators(spark):
+    """6pt dy on a 5pt font → dy/median_height = 1.2 → '\\n' joins inside a
+    page, page break → '\\n\\n' (reference simple.py:156-164)."""
+    from edspdf_spark.operators import aggregate_simple, classify_dummy, extract_blocs
+    from edspdf_spark.sources.pdfgen import documents_to_pdfs
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")], ["doc_id", "text"]
+    )
+    pdfs = documents_to_pdfs(docs, words_per_line=2, lines_per_page=3)
+    agg = (
+        aggregate_simple(classify_dummy(extract_blocs(pdfs), "body"))
+        .select("text")
+        .collect()
+    )
+    assert agg[0]["text"] == "w1 w2\nw3 w4\nw5 w6\n\nw7 w8\nw9 w10\nw11 w12"
+
+
+def test_fused_path_matches_composed_on_pdf_bytes(spark):
+    from edspdf_spark.operators import (
+        aggregate_simple,
+        classify_mask,
+        extract_blocs,
+        run_pipeline_fused,
+    )
+    from edspdf_spark.sources.pdfgen import documents_to_pdfs
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} second third fourth fifth sixth seventh eighth ninth")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    pdfs = documents_to_pdfs(docs).cache()
+    masks = [("body", 0.0, 0.0, 1.0, 1.0)]
+    composed = (
+        aggregate_simple(classify_mask(extract_blocs(pdfs), masks, threshold=0.1))
+        .select("url", "label", "text")
+        .collect()
+    )
+    fused = (
+        run_pipeline_fused(pdfs, masks, threshold=0.1)
+        .select("url", "label", "text")
+        .collect()
+    )
+    assert sorted(map(tuple, composed)) == sorted(map(tuple, fused))
+    pdfs.unpersist()
