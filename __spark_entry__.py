@@ -612,16 +612,82 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= {k}
 
 
 def _q_ivf_ann(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer + nprobe cell search) — the
-    index-build is iterative NumPy, not SQL-expressible; rows-only check.
-    Recall vs brute force is asserted in tests/test_functions.py."""
-    from edspdf_spark.functions.similarity import ivf_ann_topk
+    """IVF serve path (cell assignment argmax → nprobe probe cells →
+    in-cell exact top-k), value-level oracle-checked with a DETERMINISTIC
+    codebook: the 16 lowest-vec_id embeddings stand in for trained
+    centroids (the codebook is an input to the serve plan, so correctness
+    of the serve half is independent of how it was trained). The k-means
+    trained twin (ivf_ann_topk) runs the same serve join with learned
+    centroids + BLAS scoring; its recall vs brute force is asserted in
+    tests/test_functions.py."""
+    from edspdf_spark.functions.similarity import ivf_serve_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") % 53 == 0)
-    return ivf_ann_topk(emb, q, k=5, n_cells=16, nprobe=4).select(
-        "query_id", "rank", "vec_id"
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c_emb"))
     )
+    q = emb.filter(F.col("vec_id") % 53 == 0)
+    return ivf_serve_topk(emb, cent, q, k=5, nprobe=4)
+
+
+def _ivf_serve_oracle(dim: int = 64) -> str:
+    def cos(a: str, b: str) -> str:
+        dot = " + ".join(
+            f"CAST({a}.embedding[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+            for j in range(1, dim + 1)
+        )
+        na = " + ".join(
+            f"CAST({a}.embedding[{j}] AS DOUBLE) * CAST({a}.embedding[{j}] AS DOUBLE)"
+            for j in range(1, dim + 1)
+        )
+        nb = " + ".join(
+            f"CAST({b}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+            for j in range(1, dim + 1)
+        )
+        return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos('e', 'c.c_emb')} DESC, c.cid ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {cos('e', 'c.c_emb')} DESC, c.cid ASC
+      ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % 53 = 0
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, v.vec_id, {cos('v', 'q.embedding')} AS cosine
+  FROM probes p
+  JOIN cells cl ON cl.cell = p.cell
+  JOIN embeddings v ON v.vec_id = cl.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE v.vec_id != p.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def _q_embedding_neardup(spark, sf_dir):
@@ -1467,6 +1533,8 @@ def oracle_sql() -> dict[str, str]:
         "hf_windowing": ee.hf_windowing_oracle(),
         "layoutlm_bbox": ee.layoutlm_bbox_oracle(),
         "line_pooling": ee.line_pooling_oracle(),
+        "cnn_pooled_embedding": ee.cnn_pooled_embedding_oracle(),
+        "box_transformer_emb": ee.box_transformer_oracle(),
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_signals": _QUALITY_ORACLE,
         "lang_guess": _LANG_GUESS_ORACLE,
@@ -1485,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "lsh_neardup": _lsh_neardup_oracle(),
         "lsh_ann_topk": _lsh_ann_oracle(),
+        "ivf_ann_topk": _ivf_serve_oracle(),
         "pricing_summary": _PRICING_ORACLE,
         "topk_join": _TOPK_JOIN_ORACLE,
         "running_sum": _RUNNING_SUM_ORACLE,

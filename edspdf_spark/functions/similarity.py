@@ -317,6 +317,91 @@ def ivf_ann_topk(
     )
 
 
+def _cos_expr(a_col: str, b_col: str, dim: int):
+    """Cosine as pure Catalyst expressions with left-assoc sums — the SAME
+    operation order as the DuckDB oracle, so rankings are bit-identical."""
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    for j in range(dim):
+        ae = F.element_at(F.col(a_col), j + 1).cast("double")
+        be = F.element_at(F.col(b_col), j + 1).cast("double")
+        dot = dot + ae * be
+        na = na + ae * ae
+        nb = nb + be * be
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def ivf_serve_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = None,
+) -> DataFrame:
+    """IVF serve half with a GIVEN coarse quantizer.
+
+    ``centroids``: small DataFrame ``(cid int, c_emb array)`` — e.g. the
+    output of :func:`kmeans_fit` registered as a DataFrame, or any
+    deterministic codebook. Serve plan, zero Python:
+
+    * cell assignment — corpus × broadcast(centroids) cosine, argmax via
+      ``max_by`` groupBy (partial-aggregatable map-side combine, NOT a
+      window sort over the corpus);
+    * query probes — top-``nprobe`` cells per query (windowed, query side
+      is small);
+    * candidates — probe⨝cell equi-join, exact in-cell cosine, window
+      top-``k``.
+
+    All scores are left-assoc expression sums (``_cos_expr``) so the
+    DuckDB oracle ranks bit-identically. The trained twin
+    (:func:`ivf_ann_topk`) swaps in k-means centroids + BLAS scoring.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    cent = F.broadcast(centroids.select("cid", "c_emb"))
+
+    # corpus → (vec_id, embedding, cell): argmax cosine, ties → lowest cid
+    # (np.argmax first-max semantics)
+    cells = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(cent)
+        .withColumn("sim", _cos_expr(vec_col, "c_emb", dim))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cell"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+        .crossJoin(cent)
+        .withColumn("sim", _cos_expr("q_emb", "c_emb", dim))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", F.col("cid").alias("cell"))
+    )
+
+    cand = probes.join(cells, on="cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.withColumn("cosine", _cos_expr("q_emb", vec_col, dim))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col)
+    )
+
+
 def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim))
 

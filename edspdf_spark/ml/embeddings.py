@@ -543,6 +543,7 @@ def cnn_pool_embeddings(
     output_size: int = 16,
     in_dim: int = 16,
     seed: int = 11,
+    weights=None,
 ) -> DataFrame:
     """E4 — pool per-token embeddings into one per-group embedding.
 
@@ -551,10 +552,14 @@ def cnn_pool_embeddings(
     operators/aggregate.py — NOT groupBy.applyInPandas, which materializes
     one pandas frame per group).  Groups spanning Arrow batch boundaries are
     carried over between batches.
+
+    ``weights``: optional pre-built ``(convs, lin_w, lin_b)`` triple (e.g.
+    decimal-quantized weights shared with a SQL oracle); defaults to the
+    seeded gaussian init.
     """
     import pandas as pd
 
-    convs, lin_w, lin_b = _cnn_weights(
+    convs, lin_w, lin_b = weights if weights is not None else _cnn_weights(
         in_dim, out_channels, kernel_sizes, output_size, seed
     )
     gcols = list(group_cols)
@@ -667,12 +672,18 @@ def box_transformer_embedding(
     n_heads: int = 4,
     n_layers: int = 1,
     seed: int = 13,
+    weights=None,
 ) -> DataFrame:
     """E6 — contextualize per-line embeddings within each (url, page_num)
-    via relative attention.  Same streaming sorted-partition plan as E4."""
+    via relative attention.  Same streaming sorted-partition plan as E4.
+
+    ``weights``: optional list of per-layer weight dicts (e.g. decimal-
+    quantized weights shared with a SQL oracle); defaults to seeded init.
+    """
     import pandas as pd
 
-    weights = [_transformer_weights(dim, n_heads, seed + i) for i in range(n_layers)]
+    if weights is None:
+        weights = [_transformer_weights(dim, n_heads, seed + i) for i in range(n_layers)]
     gcols = ["url", "page_num"]
     schema = ", ".join(
         [f"{c} {t}" for c, t in zip(gcols + ["bloc_ord"], _spark_types(blocs, gcols + ["bloc_ord"]))]
