@@ -478,6 +478,7 @@ pairs AS (
     LEAST(i.x1, j.x1) AS ux1, LEAST(i.y1, j.y1) AS uy1
   FROM blocs i JOIN blocs j
     ON i.url = j.url AND i.page_num = j.page_num AND i.bloc_ord != j.bloc_ord
+  WHERE i.x1 > i.x0 AND i.y1 > i.y0 AND j.x1 > j.x0 AND j.y1 > j.y0
 )
 SELECT url, page_num, ord_i, ord_j, {cols} FROM pairs
 """

@@ -395,77 +395,117 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    strict: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup candidate-pair graph —
     the canonical-document step of web-scale dedup: every document in a
     component keeps ``component_id = min(doc ids in component)``; the
     canonical doc is the one with ``doc_id == component_id``.
 
-    Algorithm: iterative min-label propagation (each round, every node
-    takes the min label among itself and its neighbors) with a driver-side
-    convergence check — rounds needed = graph diameter, which for LSH
-    near-dup clusters is tiny. Each round is one join + groupBy; the label
-    frame is ``localCheckpoint``-ed per round, which truncates lineage (a
-    bare ``persist`` would still grow the logical plan every iteration and
-    blow up driver-side analysis at scale). Exiting via ``max_iter``
-    without convergence warns — partial labels are an upper bound on the
-    true components. At 10^12 ids the same loop runs with the labels
-    bucketed by id (this is the standard large-star/small-star family's
-    simple cousin).
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, independently implemented): each round contracts the graph
+    toward per-component stars rooted at the minimum id, converging in
+    O(log n) rounds even on diameter-Θ(n) path graphs, where plain
+    min-label propagation needs Θ(diameter) rounds. Each half-round is one
+    groupBy-min + join; the edge frame is ``localCheckpoint``-ed per round
+    to truncate lineage (a bare ``persist`` would still grow the logical
+    plan every iteration and blow up driver-side analysis at scale).
+
+    ``strict=True`` raises on ``max_iter`` exhaustion instead of
+    warn-and-return, so a downstream canonical-dedup can never silently
+    consume over-segmented labels.
     """
     import warnings
+
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .persist()
+    )
+    # undirected edge set, canonical (lo, hi) orientation, self-loops out
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        """Attach every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("lo"),
+                F.greatest(F.col("v"), F.col("m")).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        """Attach every ≤-neighbor of u (and u itself) to the local min."""
+        dir_ = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mins = dir_.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        moved = (
+            dir_.join(mins, on="u")
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("lo"),
+                F.greatest(F.col("v"), F.col("m")).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+        )
+        self_edge = mins.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+        return moved.union(self_edge).distinct()
+
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # localCheckpoint materializes AND truncates lineage — the next
-        # round's plan starts from the checkpointed data, not a 50-deep tree
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        # converged when the canonical edge set is a fixpoint
+        n_new = new_edges.count()
+        if n_new == edges.count():
+            delta = (
+                new_edges.join(edges, on=["lo", "hi"], how="left_anti")
+                .limit(1)
+                .count()
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
+            if delta == 0:
+                converged = True
+                edges = new_edges
+                break
+        edges = new_edges
+
     if not converged:
-        warnings.warn(
+        msg = (
             f"dedup_components: hit max_iter={max_iter} before convergence; "
-            "returned labels over-segment components (labels are an upper "
-            "bound). Raise max_iter or pre-contract the graph.",
-            RuntimeWarning,
+            "labels would over-segment components. Raise max_iter or "
+            "pre-contract the graph."
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning)
+
+    # fixpoint edges are stars (root=lo); every node labels itself with its
+    # root, isolated-in-pairs nodes label themselves
+    roots = edges.select(F.col("hi").alias("node"), F.col("lo").alias("root"))
+    labels = nodes.join(roots, on="node", how="left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("node")).alias("component_id"),
+    )
+    out = labels.localCheckpoint()
+    nodes.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -113,16 +113,27 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     ``cos(a, b) > threshold`` and ``id_a < id_b``.
 
     Expression-based (left-associated ``element_at`` sums, never BLAS) so
     the cosine is bit-identical to a sequential-SQL oracle — this is the
-    exactness baseline, O(n²) by definition. At corpus scale use
+    EXACTNESS BASELINE, O(n²) by definition, and it broadcasts the corpus:
+    ``max_rows`` hard-caps the input and RAISES on overflow (the same
+    contract as ``cosine_topk.max_queries``) so it can never be pointed at
+    a real corpus by accident. The production near-dup path is
     :func:`lsh_neardup_pairs`, which generates candidates within LSH sign
-    buckets and rescores them with this same exact kernel.
+    buckets and rescores only those with this same exact kernel.
     """
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs is the O(n²) exactness baseline and got "
+            f"{n} rows (max_rows={max_rows}); use lsh_neardup_pairs for "
+            "corpus-scale near-dup detection"
+        )
     head = corpus.select(vec_col).head(1)
     if not head:
         t = _id_type(corpus, id_col)

@@ -80,7 +80,15 @@ def pairwise_order_features(
     feature DataFrame to one with a ``score`` column — the slot where the
     reference's pairwise model would run as a broadcast Pandas UDF."""
     cols = ["url", "page_num", "bloc_ord", "x0", "y0", "x1", "y1"]
-    base = blocs.filter(~F.col("error")).select(*cols)
+    # degenerate (zero-extent) boxes are dropped up front: the reference's
+    # torch path would emit inf/nan features for them (division by the
+    # extent, log of the ratio) while Spark SQL division-by-zero yields
+    # NULL — silently different semantics feeding forest training. Real
+    # extractor output always has positive extents (fold drops empty
+    # lines), so the filter is a no-op on the production path.
+    base = blocs.filter(
+        ~F.col("error") & (F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0"))
+    ).select(*cols)
     i = base.select(
         "url", "page_num", F.col("bloc_ord").alias("ord_i"),
         F.col("x0").alias("ix0"), F.col("y0").alias("iy0"),

@@ -107,6 +107,18 @@ def dedup_stream_first_seen(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    if state_ttl_minutes is not None and trigger_available_now:
+        # the combination documented above hangs awaitTermination() for the
+        # full TTL (empty state-cleanup batches until every timeout fires)
+        # — refuse it instead of letting the caller discover the hang
+        raise ValueError(
+            "state_ttl_minutes requires a continuous trigger: under "
+            "availableNow Spark keeps scheduling empty state-cleanup "
+            "batches until every armed timeout fires, so awaitTermination "
+            "hangs for the whole TTL. Pass trigger_available_now=False for "
+            "TTL mode, or drop the TTL for bounded replays."
+        )
+
     out_schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),

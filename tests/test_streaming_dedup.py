@@ -96,8 +96,10 @@ def test_dedup_stream_with_state_ttl(spark, tmp_path):
     A query with armed processing-time timeouts does NOT terminate under
     availableNow: Spark keeps scheduling 'no new data but cleaning up
     state' batches until every timeout fires (observed live; see the
-    operator docstring). So this test polls the sink for the data batch's
-    output and then stops the query, rather than awaiting termination."""
+    operator docstring). The operator now REFUSES that combination (also
+    asserted here), so TTL mode runs under the continuous trigger and this
+    test polls the sink for the data batch's output, then stops the
+    query."""
     import time
 
     from edspdf_spark.streaming.stream import (
@@ -117,8 +119,19 @@ def test_dedup_stream_with_state_ttl(spark, tmp_path):
             ("u3", _ts(4), b"x", "", "de"),
         ],
     )
+    import pytest
+
+    with pytest.raises(ValueError, match="availableNow"):
+        dedup_stream_first_seen(
+            read_pages_stream(spark, src), out, ckpt, state_ttl_minutes=60
+        )
+
     q = dedup_stream_first_seen(
-        read_pages_stream(spark, src), out, ckpt, state_ttl_minutes=60
+        read_pages_stream(spark, src),
+        out,
+        ckpt,
+        trigger_available_now=False,
+        state_ttl_minutes=60,
     )
     try:
         rows = {}
