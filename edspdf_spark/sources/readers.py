@@ -48,12 +48,23 @@ def read_files_binary(
     path: str,
     glob: str = "*.pdf",
     recursive: bool = True,
+    load_annotations: bool = False,
 ) -> DataFrame:
     """S1 — directory of payload files → pages-shaped DataFrame.
 
     ``binaryFile`` scans in parallel per file (≙ the reference's one-task-
     per-file ``read_in_worker``); filename becomes the url (reference
     FILENAME converter key, ``data/converters.py:19-20``).
+
+    ``load_annotations=True`` left-joins each payload's sibling ``.json``
+    (same stem) as a raw-JSON ``annotations`` string column, matching the
+    reference ``FileReader.read_worker`` (``data/files.py:97-103``): a
+    payload without a sibling keeps ``annotations = NULL``. (The
+    reference's file-list pre-filter at ``files.py:80-83`` tests the
+    DIRECTORY path instead of the file — an always-true no-op — so
+    attach-if-present is the actual reference behavior.) One distributed
+    binaryFile scan per side + a stem equi-join; no driver-side file
+    listing.
     """
     df = (
         spark.read.format("binaryFile")
@@ -61,13 +72,38 @@ def read_files_binary(
         .option("recursiveFileLookup", str(recursive).lower())
         .load(path)
     )
-    return df.select(
+    out = df.select(
         F.col("path").alias("url"),
         F.col("modificationTime").alias("warc_ts"),
         F.col("content").alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+    if load_annotations:
+        import re as _re
+
+        # strip exactly the payload glob's extension (urls may contain
+        # dots elsewhere); generic trailing-extension strip as fallback
+        if glob.startswith("*.") and len(glob) > 2:
+            ext_re = _re.escape(glob[1:]) + "$"
+        else:
+            ext_re = r"\.[^./]+$"
+        ann = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.json")
+            .option("recursiveFileLookup", str(recursive).lower())
+            .load(path)
+            .select(
+                F.regexp_replace(F.col("path"), r"\.json$", "").alias("_stem"),
+                F.col("content").cast("string").alias("annotations"),
+            )
+        )
+        out = (
+            out.withColumn("_stem", F.regexp_replace(F.col("url"), ext_re, ""))
+            .join(ann, on="_stem", how="left")
+            .drop("_stem")
+        )
+    return out
 
 
 def from_pandas(spark: SparkSession, pdf) -> DataFrame:

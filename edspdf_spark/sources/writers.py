@@ -41,10 +41,23 @@ def to_iterable(df: DataFrame) -> Iterator:
     return df.toLocalIterator()
 
 
-def write_files(df: DataFrame, path: str, content_col: str = "html") -> None:
+def write_files(
+    df: DataFrame,
+    path: str,
+    content_col: str = "html",
+    annotations_col: Optional[str] = None,
+    suffix: str = "",
+) -> None:
     """S2 — write each row's payload back as ``<urlsafe-id>`` files,
-    executor-side (reference ``data/files.py:110-181``)."""
+    executor-side (reference ``data/files.py:110-181``).
+
+    ``annotations_col`` (a JSON string column) additionally writes the
+    sibling ``<urlsafe-id>.json`` per row where non-null — the reference
+    FileWriter's annotation sidecar, re-read by
+    ``read_files_binary(load_annotations=True)``.
+    """
     os.makedirs(path, exist_ok=True)
+    cols = ["url", content_col] + ([annotations_col] if annotations_col else [])
 
     def dump(rows):
         import re
@@ -53,8 +66,12 @@ def write_files(df: DataFrame, path: str, content_col: str = "html") -> None:
             content = r[content_col]
             if content is None:
                 continue
-            safe = re.sub(r"[^A-Za-z0-9._-]+", "_", r["url"])[:200]
-            with open(os.path.join(path, safe), "wb") as f:
+            stem = re.sub(r"[^A-Za-z0-9._-]+", "_", r["url"])[:200]
+            with open(os.path.join(path, stem + suffix), "wb") as f:
                 f.write(bytes(content))
+            if annotations_col is not None and r[annotations_col] is not None:
+                # reference layout: <stem>.pdf + <stem>.json siblings
+                with open(os.path.join(path, stem + ".json"), "w") as f:
+                    f.write(r[annotations_col])
 
-    df.select("url", content_col).foreachPartition(dump)
+    df.select(*cols).foreachPartition(dump)

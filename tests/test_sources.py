@@ -81,3 +81,33 @@ def test_scan_pruning_pushdown(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
     assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_annotation_sidecar_roundtrip(spark, tmp_path):
+    """S1 sidecar: write <stem>.pdf + <stem>.json, read back with
+    load_annotations=True → annotations attached where present, NULL
+    elsewhere (reference data/files.py:97-103 attach-if-present)."""
+    import json
+
+    from edspdf_spark.sources.readers import read_files_binary
+    from edspdf_spark.sources.writers import write_files
+
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.test/one", b"PAYLOAD-1", json.dumps({"label": "body"})),
+            ("https://b.test/two.x", b"PAYLOAD-2", None),  # no sidecar
+        ],
+        "url string, html binary, annotations string",
+    )
+    out = str(tmp_path / "files")
+    write_files(pages, out, annotations_col="annotations", suffix=".pdf")
+
+    back = read_files_binary(spark, out, glob="*.pdf", load_annotations=True)
+    rows = {bytes(r["html"]): r for r in back.collect()}
+    assert len(rows) == 2
+    assert json.loads(rows[b"PAYLOAD-1"]["annotations"]) == {"label": "body"}
+    assert rows[b"PAYLOAD-2"]["annotations"] is None
+    # the .json sidecars themselves must not appear as payload rows
+    assert all(not r["url"].endswith(".json") for r in rows.values())
