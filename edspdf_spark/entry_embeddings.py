@@ -363,6 +363,71 @@ FROM toks GROUP BY doc_id
 """
 
 
+def q_text_features_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 composite — tokenizer/word-shape/affix features AND the
+    shape+prefix+suffix hash-embedding signature per token in one frame
+    (one scan through the real operators; previously two driver slots)."""
+    docs = _docs(spark, sf_dir, 20).select("doc_id", "text")
+    feats = simple_text_features(docs, "text", keep_cols=("doc_id",))
+    emb = simple_text_embedding(feats, size=E3_EMB_SIZE)
+    sig = F.concat_ws(",", *[_micro(F.col("emb")[i]) for i in range(E3_EMB_SIZE)])
+    return emb.select(
+        "doc_id", "tok_idx", "tok", "shape", "prefix", "suffix", "norm",
+        sig.alias("emb_sig"),
+    )
+
+
+def text_features_embedding_oracle() -> str:
+    cte = _TOKS_CTE.replace("{modulo}", "20")
+    shape_v = _hash_vec_sqls(_SHAPE_SQL, salt=1)
+    prefix_v = _hash_vec_sqls("substring(lower(tok), 1, 3)", salt=2)
+    suffix_v = _hash_vec_sqls("right(lower(tok), 3)", salt=3)
+    chans = ", ".join(
+        _micro_sql(f"({s}) + ({p}) + ({u})")
+        for s, p, u in zip(shape_v, prefix_v, suffix_v)
+    )
+    return f"""
+WITH {cte}
+SELECT doc_id, tok_idx, tok, {_SHAPE_SQL} AS shape,
+       substring(lower(tok), 1, 3) AS prefix,
+       right(lower(tok), 3) AS suffix,
+       lower(tok) AS norm,
+       array_to_string([{chans}], ',') AS emb_sig
+FROM toks
+"""
+
+
+def q_layoutlm_line_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 composite — LayoutLM bbox rescale rows + per-line max-pooled
+    embedding rows, union-tagged (previously two driver slots)."""
+    bbox = q_layoutlm_bbox(spark, sf_dir).select(
+        F.lit("bbox").alias("probe"),
+        F.col("url"),
+        "page_num",
+        "bloc_ord",
+        F.concat_ws(",", "bb_x0", "bb_y0", "bb_x1", "bb_y1").alias("sig"),
+    )
+    pool = q_line_pooling(spark, sf_dir).select(
+        F.lit("pool").alias("probe"),
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(-1).alias("page_num"),
+        F.lit(-1).alias("bloc_ord"),
+        F.col("emb_sig").alias("sig"),
+    )
+    return bbox.unionAll(pool)
+
+
+def layoutlm_line_pooling_oracle() -> str:
+    return f"""
+SELECT 'bbox' AS probe, url, page_num, bloc_ord,
+       bb_x0 || ',' || bb_y0 || ',' || bb_x1 || ',' || bb_y1 AS sig
+FROM ({layoutlm_bbox_oracle()})
+UNION ALL
+SELECT 'pool', CAST(doc_id AS VARCHAR), -1, -1, emb_sig
+FROM ({line_pooling_oracle()})
+"""
+
+
 # E4 oracle shape: small enough that the weight literals stay readable,
 # structurally identical to the production default (multi-kernel same-pad
 # conv → relu → channel concat → max-pool → linear).

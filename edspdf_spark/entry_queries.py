@@ -397,6 +397,35 @@ FROM matched
 """
 
 
+def q_align_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + A4 in one frame: vocabulary label and composite
+    ``{label}|{node_num}|{rank}`` label per bloc, joined on the bloc key
+    (both run the real operators; previously two driver slots)."""
+    from edspdf_spark.operators.align import align_composite, align_plain
+
+    blocs = blocs_from_lineitem(spark, sf_dir)
+    src = src_boxes_for(spark, blocs)
+    vocab = align_plain(
+        blocs, src, threshold=_ALIGN_THRESHOLD, pollution_label="pollution"
+    ).select("url", "page_num", "bloc_ord", F.col("label").alias("vocab_label"))
+    comp = align_composite(blocs, src, threshold=_ALIGN_THRESHOLD).select(
+        "url", "page_num", "bloc_ord", F.col("label").alias("composite_label")
+    )
+    return vocab.join(comp, on=["url", "page_num", "bloc_ord"])
+
+
+def align_variants_oracle() -> str:
+    return f"""
+WITH {_matched_cte()}
+SELECT url, page_num, bloc_ord,
+  CASE WHEN catch_score > pair_score THEN 'pollution' ELSE s_label END AS vocab_label,
+  CASE WHEN catch_score > pair_score THEN 'pollution|-1|-1'
+       ELSE s_label || '|' || CAST(s_node AS VARCHAR) || '|' || CAST(s_rankv AS VARCHAR)
+  END AS composite_label
+FROM matched
+"""
+
+
 def q_partition_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — per matched src box, assemble the block text with the
     label-dependent templates (reference utils/lines_partition.py:88-107);
