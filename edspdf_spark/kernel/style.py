@@ -29,6 +29,16 @@ from typing import Iterable, List, Optional, Tuple
 
 _WS = re.compile(r"\s")
 
+# O(1) whitespace test for the hot fold: every ``\s`` codepoint is ≤
+# U+3000 (IDEOGRAPHIC SPACE is the highest Unicode whitespace), so one
+# import-time sweep enumerates them all; higher codepoints fall back to
+# the regex defensively.
+_WS_SET = frozenset(chr(c) for c in range(0x3001) if _WS.match(chr(c)))
+
+
+def _is_ws(ch: str) -> bool:
+    return ch in _WS_SET or (ch > "　" and _WS.match(ch) is not None)
+
 StyleRun = Tuple[Optional[bool], Optional[bool], int, int, Optional[str]]
 # (italic, bold, begin, end, fontname) — field order matches PROPS_FIELD.
 
@@ -54,6 +64,21 @@ def fold_line_chars(
 ) -> Tuple[str, List[StyleRun]]:
     """Fold ``(char, fontname, upright)`` triples into (text, style runs).
 
+    Thin adapter over :func:`_fold_run_chars` (one single-char run per
+    triple) kept for the test-suite's reference-shaped char stream.
+    """
+    return _fold_run_chars([(f, u, c) for c, f, u in chars])
+
+
+def _fold_run_chars(
+    runs: Iterable[Tuple[str, bool, str]],
+) -> Tuple[str, List[StyleRun]]:
+    """The exact char-by-char reference fold, iterated RUN-wise: fontname/
+    upright are constant within a run, so the style tuple and the
+    substring scans happen once per run instead of once per char
+    (equivalence with the reference semantics is asserted by
+    tests/test_kernel.py golden + hypothesis cases).
+
     Text accumulates as a parts list + running length (string
     concatenation per char re-copies the prefix — O(n²) on long lines);
     begin/end arithmetic is unchanged from the reference semantics.
@@ -64,32 +89,42 @@ def fold_line_chars(
     tlen = 0
     last_char = ""
     last: Optional[Tuple[Optional[str], Optional[bool], Optional[bool]]] = None
+    ws = _WS_SET
 
-    for raw, fontname_in, upright in chars:
-        new_char = " " if _WS.match(raw) else raw
-        skip = new_char == " " and (last_char == " " or tlen == 0)
-        new_len = tlen if skip else tlen + 1
-
-        if new_char == " ":
-            if last is not None:
-                fontname, italic, bold = last[0], last[1], last[2]
+    for fontname_in, upright, text in runs:
+        r_italic, r_bold = _font_style(fontname_in, upright)
+        run_key = (fontname_in, r_italic, r_bold)
+        for raw in text:
+            if raw in ws or (raw > "　" and _WS.match(raw)):
+                # space inherits the previous char's style (line start →
+                # the reference's (None, None, None) zero-width run)
+                key = last if last is not None else (None, None, None)
+                if last_char == " " or tlen == 0:  # skip double/leading
+                    if key != last or last is None:
+                        if current is not None:
+                            styles.append(current)
+                        current = [key[1], key[2], tlen, tlen, key[0]]
+                    last = key
+                    continue
+                if key != last:
+                    if current is not None:
+                        styles.append(current)
+                    current = [key[1], key[2], tlen, tlen + 1, key[0]]
+                parts.append(" ")
+                tlen += 1
+                last_char = " "
+                last = key
             else:
-                fontname, italic, bold = (None, None, None)
-        else:
-            fontname = fontname_in
-            italic, bold = _font_style(fontname_in, upright)
-
-        if (fontname, italic, bold) != last:
-            if current is not None:
-                styles.append(current)
-            current = [italic, bold, tlen, new_len, fontname]
-        elif new_char != " ":
-            current[3] = new_len
-        if not skip:
-            parts.append(new_char)
-            tlen = new_len
-            last_char = new_char
-        last = (fontname, italic, bold)
+                if run_key != last:
+                    if current is not None:
+                        styles.append(current)
+                    current = [r_italic, r_bold, tlen, tlen + 1, fontname_in]
+                else:
+                    current[3] = tlen + 1
+                parts.append(raw)
+                tlen += 1
+                last_char = raw
+                last = run_key
 
     if current is not None:
         styles.append(current)
@@ -123,8 +158,7 @@ def fold_runs(
         if t and not _NEEDS_FOLD.search(t):
             italic, bold = _font_style(fontname, upright)
             return t, [(italic, bold, 0, len(t), fontname)]
-        chars = [(ch, fontname, upright) for ch in t]
-        return fold_line_chars(chars)
+        return _fold_run_chars(runs)
     if runs and all(t and not _NEEDS_FOLD.search(t) for _, _, t in runs):
         # Every run is clean, so no whitespace collapses and no space
         # crosses a run boundary (clean runs neither start nor end with
@@ -148,7 +182,4 @@ def fold_runs(
             pos = end
             last = key
         return "".join(text_parts), styles
-    chars = [
-        (ch, fontname, upright) for fontname, upright, text in runs for ch in text
-    ]
-    return fold_line_chars(chars)
+    return _fold_run_chars(runs)

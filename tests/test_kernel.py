@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from edspdf_spark.kernel.aggregate import aggregate_doc
 from edspdf_spark.kernel.overlap import align_labels_kernel
@@ -352,3 +354,67 @@ class TestReadingOrderFastPath:
             shuffled = [boxes[i] for i in order]
             expected = sorted(shuffled, key=cmp_to_key(_cmp))
             assert sort_reading_order(shuffled) == expected, trial
+
+
+class TestFoldMatchesVerbatimReference:
+    """_fold_run_chars (the run-hoisted rewrite) vs a VERBATIM transcription
+    of the reference extract_properties_from_line loop
+    (pdfminer.py:197-249) — property-based differential."""
+
+    @staticmethod
+    def _reference_fold(char_stream):
+        import re as _re
+
+        styles = []
+        current_style = None
+        text = ""
+        last = None
+        for raw, fontname_in, upright in char_stream:
+            new_char_text = _re.sub(r"\s", " ", raw)
+            if not (new_char_text == " " and (text.endswith(" ") or text == "")):
+                new_text = text + new_char_text
+            else:
+                new_text = text
+            if new_char_text == " ":
+                if last is not None:
+                    fontname, italic, bold = last
+                else:
+                    fontname, italic, bold = (None, None, None)
+            else:
+                fontname = fontname_in
+                italic = (not upright) or ("italic" in (fontname_in or "").lower())
+                bold = "bold" in (fontname_in or "").lower()
+            if (fontname, italic, bold) != last:
+                if current_style is not None:
+                    styles.append(current_style)
+                current_style = [italic, bold, len(text), len(new_text), fontname]
+            elif new_char_text != " ":
+                current_style[3] = len(new_text)
+            text = new_text
+            last = (fontname, italic, bold)
+        if current_style is not None:
+            styles.append(current_style)
+        return text.rstrip(), [tuple(s) for s in styles]
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["Font-A", "Font-Bold", "x-italic", ""]),
+                st.booleans(),
+                st.text(
+                    alphabet=st.characters(
+                        whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Cc"),
+                        max_codepoint=0x3002,
+                    ),
+                    max_size=12,
+                ),
+            ),
+            max_size=6,
+        )
+    )
+    @settings(max_examples=400, deadline=None)
+    def test_differential(self, runs):
+        from edspdf_spark.kernel.style import _fold_run_chars
+
+        chars = [(ch, f, u) for f, u, t in runs for ch in t]
+        assert _fold_run_chars(runs) == self._reference_fold(chars)
