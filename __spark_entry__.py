@@ -730,7 +730,12 @@ def _q_lsh_neardup(spark, sf_dir):
     from edspdf_spark.functions.similarity import lsh_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_neardup_pairs(emb, threshold=0.4, n_bits=6, n_tables=2, seed=42)
+    # vectorized=False: the expression twin whose arithmetic is left-assoc
+    # identical to the oracle; the Arrow production twin is parity-asserted
+    # in tests/test_functions.py and carries the bench
+    return lsh_neardup_pairs(
+        emb, threshold=0.4, n_bits=6, n_tables=2, seed=42, vectorized=False
+    )
 
 
 def _lsh_neardup_oracle(

@@ -83,6 +83,28 @@ def bench_minhash_lsh(spark, sf_dir):
     materialize(lsh_candidate_pairs(sig, rows_per_band=2, n_hashes=8))
 
 
+def bench_lsh_neardup(spark, sf_dir):
+    """Embedding near-dup at scale: sign-bucket LSH candidates + exact
+    in-bucket rescoring — the PRODUCTION near-dup path (the O(n²)
+    crossJoin baseline is capped and test-only)."""
+    from edspdf_spark.functions.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    materialize(lsh_neardup_pairs(emb, threshold=0.4, n_bits=6, n_tables=2, seed=42))
+
+
+def bench_pdf_bytes(spark, corpus_path):
+    """Real %PDF- byte ingestion: pure-Python PDF parse (object scan,
+    FlateDecode, content interpret, line grouping) → classify → aggregate
+    over a pre-generated PDF corpus."""
+    from edspdf_spark.operators import run_pipeline_fused
+
+    pages = spark.read.parquet(corpus_path)
+    materialize(
+        run_pipeline_fused(pages, [("body", 0.0, 0.0, 1.0, 1.0)], threshold=0.1)
+    )
+
+
 def bench_ann(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -141,6 +163,31 @@ def main():
 
     n_documents = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
+    # pre-generate the real-PDF corpus once (replicated documents texts →
+    # genuine multi-page Flate PDFs); generation is a test-data producer,
+    # only the parse side is benched
+    pdf_docs = int(os.environ.get("BENCH_PDF_DOCS", "8000"))
+    pdf_corpus = f"/tmp/edspdf_bench_pdfs_{pdf_docs}"
+    if not os.path.exists(pdf_corpus + "/_SUCCESS"):
+        from pyspark.sql import functions as F
+
+        from edspdf_spark.sources.pdfgen import documents_to_pdfs
+
+        base_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        reps = max(1, pdf_docs // max(1, n_documents))
+        replicated = base_docs
+        for r in range(1, reps):
+            replicated = replicated.unionAll(
+                base_docs.select(
+                    (F.col("doc_id") + r * 1_000_000).alias("doc_id"), "text"
+                )
+            )
+        documents_to_pdfs(replicated.repartition(CPUS)).write.mode(
+            "overwrite"
+        ).parquet(pdf_corpus)
+
     # warmup: JVM/codegen init plus one python worker per core, so timings
     # below are steady-state (a cold first query would otherwise absorb
     # 32 worker fork+import costs)
@@ -158,8 +205,10 @@ def main():
         "pipeline_synthetic_skewed": lambda: bench_pipeline_synthetic(
             spark, corpus_path
         ),
+        "pdf_bytes": lambda: bench_pdf_bytes(spark, pdf_corpus),
         "mask_argmax": lambda: bench_mask_argmax(spark, SF_DIR),
         "minhash_lsh": lambda: bench_minhash_lsh(spark, SF_DIR),
+        "lsh_neardup": lambda: bench_lsh_neardup(spark, SF_DIR),
         "ann_cosine_topk": lambda: bench_ann(spark, SF_DIR),
         "pricing_summary": lambda: bench_pricing(spark, SF_DIR),
         "box_embedding": lambda: bench_box_embedding(spark, SF_DIR),

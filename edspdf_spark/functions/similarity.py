@@ -445,12 +445,25 @@ def lsh_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 10_000,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs AT SCALE: candidates from
     random-hyperplane sign buckets (``n_tables`` independent tables boost
     recall), then exact cosine rescoring — the same bit-identical
     expression kernel as :func:`cosine_neardup_pairs` — within candidates
     only.
+
+    ``vectorized=True`` (production default) computes the sign buckets and
+    the rescore as Arrow-batched NumPy matvecs — the 768-term bucket
+    expression and 192-term cosine expression overflow whole-stage
+    codegen's 64KB method limit and fall back to interpreted eval, costing
+    ~10 s of fixed plan/compile/interpret overhead per run.
+    ``vectorized=False`` keeps the pure-expression twin whose arithmetic
+    is left-assoc-identical to the DuckDB oracle;
+    tests/test_functions.py asserts both paths emit the SAME pairs (they
+    diverge only if a dot product sits within ~1e-15 of a sign/threshold
+    boundary).
 
     This replaces the O(n²) cross join of the exact baseline: candidate
     volume is Σ_buckets |bucket|²/2 per table, i.e. ~n²/2^bits on a
@@ -467,40 +480,110 @@ def lsh_neardup_pairs(
         )
     dim = len(head[0][0])
 
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _sign_bucket(vec_col, hyperplanes(dim, n_bits, seed + t), n_bits).alias(
-                    "bucket"
+    if vectorized:
+        H = np.stack([hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)])
+        pows = (1 << np.arange(n_bits)).astype(np.int64)
+        id_t = _id_type(corpus, id_col)
+
+        def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                ids = pdf[id_col].to_numpy()
+                out_ids = np.repeat(ids, n_tables)
+                tables = np.tile(np.arange(n_tables), len(pdf))
+                # (n, tables, bits) sign bits → integer bucket ids
+                dots = np.einsum("nd,tbd->ntb", mat, H)
+                bks = ((dots > 0) @ pows).reshape(-1)
+                yield pd.DataFrame(
+                    {id_col: out_ids, "table": tables, "bucket": bks}
+                )
+
+        tagged = corpus.select(id_col, vec_col).mapInPandas(
+            tag, schema=f"{id_col} {id_t}, table int, bucket long"
+        )
+    else:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _sign_bucket(
+                        vec_col, hyperplanes(dim, n_bits, seed + t), n_bits
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        tagged = corpus.select(
+            F.col(id_col), F.explode(buckets).alias("tb")
+        ).select(
+            id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+
+    # ONE scan + ONE bucket-keyed shuffle: collect each bucket's sorted id
+    # list and expand pairs with array HOFs. (A bucket SELF-JOIN evaluates
+    # the 768-term sign expressions twice — Catalyst does not reuse the
+    # exchange across self-join sides, measured on the minhash path.)
+    # Buckets above max_bucket_size are dropped like lsh_candidate_pairs'
+    # hot-bucket cap — a degenerate bucket cannot go quadratic.
+    bucketed = tagged.groupBy("table", "bucket").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    bucketed = bucketed.filter(
+        (F.size("_ids") >= 2) & (F.size("_ids") <= int(max_bucket_size))
+    )
+    pair_arrays = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
                 ),
             )
-            for t in range(n_tables)
-        ]
+        ),
+        lambda p: p["id_a"] < p["id_b"],
     )
-    tagged = corpus.select(
-        F.col(id_col), F.explode(buckets).alias("tb")
-    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-
-    l, r = tagged.alias("l"), tagged.alias("r")
     cand = (
-        l.join(
-            r,
-            on=[
-                F.col("l.table") == F.col("r.table"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        bucketed.select(F.explode(pair_arrays).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .distinct()
     )
 
     ea = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
     eb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
     scored = cand.join(ea, "id_a").join(eb, "id_b")
+
+    if vectorized:
+        thr = float(threshold)
+
+        def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = _normalize(
+                    np.array([np.asarray(v, dtype=np.float64) for v in pdf["emb_a"]])
+                )
+                b = _normalize(
+                    np.array([np.asarray(v, dtype=np.float64) for v in pdf["emb_b"]])
+                )
+                cosv = (a * b).sum(axis=1)
+                keep = cosv > thr
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                        "cos": cosv[keep],
+                    }
+                )
+
+        id_t = _id_type(corpus, id_col)
+        return scored.mapInPandas(
+            rescore, schema=f"id_a {id_t}, id_b {id_t}, cos double"
+        )
 
     dot = F.lit(0.0)
     na = F.lit(0.0)

