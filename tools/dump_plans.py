@@ -181,6 +181,36 @@ def main() -> None:
             "aggregation before the single group-key exchange.",
             __import__("__spark_entry__")._q_pricing_summary(spark, SF_DIR),
         ),
+        (
+            "lsh_neardup (vectorized production path)",
+            "Arrow sign-bucket tagging (zero shuffle) → ONE bucket-keyed "
+            "exchange for the groupBy collect_list + in-bucket pair "
+            "expansion → one small pair-keyed exchange for the cross-table "
+            "distinct → id joins + Arrow BLAS rescore. No self-join (the "
+            "textbook shape evaluates the bucket stage twice — Catalyst "
+            "does not reuse exchanges across self-join sides), no cross "
+            "join anywhere.",
+            __import__("edspdf_spark.functions.similarity", fromlist=["x"])
+            .lsh_neardup_pairs(emb, threshold=0.4, n_bits=6, n_tables=2, seed=42),
+        ),
+        (
+            "ivf_serve_topk (ANN serve path)",
+            "Cell assignment must be a broadcast nested-loop against the "
+            "tiny codebook followed by a partial-aggregatable max_by "
+            "groupBy (map-side combine — NOT a window sort over the "
+            "corpus); candidates come from the probe⨝cell equi-join; the "
+            "only corpus-keyed exchange is the cell-assignment groupBy.",
+            (lambda _sim: _sim.ivf_serve_topk(
+                emb,
+                emb.orderBy("vec_id").limit(16).select(
+                    F.col("vec_id").cast("int").alias("cid"),
+                    F.col("embedding").alias("c_emb"),
+                ),
+                emb.filter(F.col("vec_id") % 53 == 0),
+                k=5,
+                nprobe=4,
+            ))(__import__("edspdf_spark.functions.similarity", fromlist=["x"])),
+        ),
     ]
 
     sections = []
