@@ -87,16 +87,71 @@ def annotation_overlay(
     )
 
 
-def render_pages(pdf: bytes, overlay_rows, colors=None):  # pragma: no cover
-    """Pixel rendering — needs ``pypdfium2`` + ``PIL``, neither of which
-    ships in this sandbox; the overlay DataFrame above carries every value
-    this call would draw (reference ``annotations.py:60-100``)."""
-    try:
-        import pypdfium2  # noqa: F401
-        from PIL import ImageDraw  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "render_pages needs pypdfium2/PIL (not in sandbox); consume "
-            "annotation_overlay()'s columns with any renderer"
-        ) from e
-    raise NotImplementedError("pixel rendering is out of engine scope")
+def _hex_to_rgb(color: str):
+    c = color.lstrip("#")
+    return tuple(int(c[i : i + 2], 16) for i in (0, 2, 4))
+
+
+def render_pages(pdf_bytes: bytes, overlay_rows=None, dpi: int = 200):
+    """Deterministic page rasterizer — the structural half of the
+    reference's pypdfium2 render (``pipes/extractors/pdfminer.py:186-192``
+    + ``visualization/annotations.py:60-100``).
+
+    Returns one ``uint8 ndarray (H, W, 3)`` per page with the EXACT
+    pypdfium2 geometry (``scale = dpi/72``, dimensions rounded like
+    pdfium's bitmap: ``int(w*scale + 0.5)`` — test.pdf at 200 dpi →
+    (2339, 1654, 3), matching the reference's image-shape test): white
+    page, extracted text lines drawn as gray boxes, and, when
+    ``overlay_rows`` (the :func:`annotation_overlay` columns as dicts) are
+    given, their label colors drawn as 2-px outline rectangles. Glyph-
+    accurate rasterization would need pypdfium2 (not in this sandbox) —
+    this keeps the shape/scale/overlay plumbing real and testable.
+    """
+    import numpy as np
+
+    from edspdf_spark.kernel.payload import extract_doc
+
+    blocs, pages, error = extract_doc(pdf_bytes)
+    scale = dpi / 72.0
+    images = []
+    by_page: dict = {}
+    for b in blocs:
+        by_page.setdefault(b["page_num"], []).append(b)
+    overlays: dict = {}
+    for r in overlay_rows or []:
+        overlays.setdefault(r.get("page_num", 0), []).append(r)
+
+    for page_num, width, height in pages:
+        w_px = int(width * scale + 0.5)
+        h_px = int(height * scale + 0.5)
+        img = np.full((h_px, w_px, 3), 255, dtype=np.uint8)
+
+        def clip_x(v):
+            return max(0, min(w_px, int(v)))
+
+        def clip_y(v):
+            return max(0, min(h_px, int(v)))
+
+        for b in by_page.get(page_num, []):
+            x0, x1 = clip_x(b["x0"] * w_px), clip_x(b["x1"] * w_px)
+            y0, y1 = clip_y(b["y0"] * h_px), clip_y(b["y1"] * h_px)
+            img[y0:y1, x0:x1] = 64  # text line → gray box stand-in
+
+        for r in overlays.get(page_num, []):
+            color = r.get("color")
+            if not color:
+                continue
+            rgb = np.array(_hex_to_rgb(color), dtype=np.uint8)
+            x0 = clip_x(r["rect_x0"] * scale)
+            x1 = clip_x(r["rect_x1"] * scale)
+            y0 = clip_y(r["rect_y0"] * scale)
+            y1 = clip_y(r["rect_y1"] * scale)
+            t = 2  # outline thickness (reference stroke width)
+            img[y0 : min(y0 + t, h_px), x0:x1] = rgb
+            img[max(y1 - t, 0) : y1, x0:x1] = rgb
+            img[y0:y1, x0 : min(x0 + t, w_px)] = rgb
+            img[y0:y1, max(x1 - t, 0) : x1] = rgb
+        images.append(img)
+    if error:
+        return []
+    return images

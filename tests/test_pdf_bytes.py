@@ -199,3 +199,89 @@ def test_fused_path_matches_composed_on_pdf_bytes(spark):
     )
     assert sorted(map(tuple, composed)) == sorted(map(tuple, fused))
     pdfs.unpersist()
+
+
+def test_markdown_e2e_from_styles_pdf_bytes():
+    """The reference's full-recipe E2E (tests/recipes/
+    test_markdown_aggregator.py:39-61): real styles.pdf bytes → extract →
+    mask-classify (x 0.1-0.9 / y 0.1-0.9, threshold 1.0) → markdown
+    aggregate → EXACT output string. Line 1 clips the mask's top edge
+    (y0≈0.093 < 0.1) so only line 2 is body — byte-identical to the
+    reference assertion."""
+    import numpy as np
+
+    from edspdf_spark.kernel.aggregate import aggregate_doc
+    from edspdf_spark.kernel.overlap import align_labels_kernel
+    from edspdf_spark.operators.aggregate import to_markdown
+
+    blocs, _pages, error = _extract("styles.pdf")
+    assert not error and len(blocs) == 2
+
+    src = np.array([[0.1, 0.9, 0.1, 0.9]])  # [x0, x1, y0, y1]
+    dst = np.array([[b["x0"], b["x1"], b["y0"], b["y1"]] for b in blocs])
+    idx = align_labels_kernel(src, dst, threshold=1.0)
+    lines = [
+        (
+            b["page_num"], b["x0"], b["y0"], b["x1"], b["y1"], b["text"],
+            [(p["italic"], p["bold"], p["begin"], p["end"], p["fontname"])
+             for p in b["props"]],
+            "body" if i == 0 else "pollution",
+        )
+        for b, i in zip(blocs, idx)
+    ]
+    agg = aggregate_doc(lines)
+    text, props = agg["body"]
+    md = to_markdown(
+        text,
+        [
+            {"italic": it, "bold": bo, "begin": bg, "end": en}
+            for (it, bo, bg, en, _fn) in props
+        ],
+    )
+    assert md == (
+        "Let’s up the stakes, with _intra_-word change. Or better yet, "
+        "**this mi**ght be hard."
+    )
+
+
+def test_render_pages_reference_image_shapes():
+    """Deterministic rasterizer must reproduce the reference's pypdfium2
+    image geometry (tests/pipes/extractors/test_pdfminer.py:16-22):
+    test.pdf (2339, 1654, 3), styles.pdf (2200, 1700, 3), blank.pdf
+    (2339, 1654, 3) at 200 dpi."""
+    from edspdf_spark.operators.visualize import render_pages
+
+    for name, shape in (
+        ("test.pdf", (2339, 1654, 3)),
+        ("styles.pdf", (2200, 1700, 3)),
+        ("blank.pdf", (2339, 1654, 3)),
+    ):
+        imgs = render_pages((RESOURCES / name).read_bytes(), dpi=200)
+        assert imgs, name
+        assert imgs[0].shape == shape, (name, imgs[0].shape)
+    # content sanity: text boxes darken pixels, blank page stays white
+    imgs = render_pages((RESOURCES / "test.pdf").read_bytes(), dpi=200)
+    assert (imgs[0] == 64).any()
+    blank = render_pages((RESOURCES / "blank.pdf").read_bytes(), dpi=200)
+    assert (blank[0] == 255).all()
+
+
+def test_render_pages_overlay_outline():
+    from edspdf_spark.operators.visualize import render_pages
+
+    pdf = make_pdf([["hello world"]])
+    rows = [
+        {
+            "page_num": 0,
+            "color": "#1f77b4",
+            "rect_x0": 100.0,
+            "rect_y0": 100.0,
+            "rect_x1": 300.0,
+            "rect_y1": 200.0,
+        }
+    ]
+    imgs = render_pages(pdf, overlay_rows=rows, dpi=72)
+    img = imgs[0]
+    assert tuple(img[100, 150]) == (0x1F, 0x77, 0xB4)  # top edge
+    assert tuple(img[150, 100]) == (0x1F, 0x77, 0xB4)  # left edge
+    assert tuple(img[150, 150]) == (255, 255, 255)  # interior untouched
