@@ -107,6 +107,10 @@ def render_md() -> str:
             "reported as measured."
         )
         gate = " (gate: ≥ 0.8) ✓" if eff >= 0.8 else " as measured"
+        if eff > 1.0:
+            gate += (" — a best-of over noisy walls can exceed 1.0 when the N"
+                     " level's fastest run still carries VM slowdown; the"
+                     " median column is the central estimate")
         eff_med = p.get("efficiency_median")
         med_line = (
             f"**Scaling efficiency (N → 4N): best-of-N {eff:.3f}{gate}; "
@@ -156,14 +160,17 @@ AND median wall per level reported.
 
 {body}
 Machine attribution (`tools/machine_probe.py`, results in
-`BENCH/machine_probe.json`): with NO Spark/JVM involved, pinned 8-vs-32
-process runs on this box measure (a) the exact fused per-document kernel
-at **0.836** efficiency (614 → 514 docs/s/core), and (b) raw memory
-bandwidth at **0.426** (104.5 GB/s aggregate at 8 procs vs 178.2 GB/s at
-32 — the box's memory subsystem tops out near ~180 GB/s, so 32 cores
-cannot draw 4× the bandwidth of 8). The Spark pipeline's measured
-saturating-pair efficiency lands ON the bandwidth probe's ceiling: the
-single box, not the engine's plan, stops scaling past ~8 cores. On a real
+`BENCH/machine_probe.json`, re-measured on the round-3 kernel): with NO
+Spark/JVM involved, pinned 8-vs-32 process runs on this box measure (a)
+the exact fused per-document kernel at **0.62** efficiency (875 → 543
+docs/s/core — the faster round-3 kernel demands MORE bandwidth per core,
+so its single-box 8→32 ratio is lower than the old kernel's 0.836), and
+(b) raw memory bandwidth at **0.41** (123 GB/s aggregate at 8 procs vs
+202 GB/s at 32 — the box's memory subsystem tops out near ~200 GB/s, so
+32 cores cannot draw 4× the bandwidth of 8). The Spark pipeline's
+saturating-pair best (0.699) sits ABOVE the bare no-JVM kernel replica's
+own 8→32 ratio (0.62): the plan adds nothing to the machine's limit —
+the single box, not the engine, stops scaling past ~8 cores. On a real
 cluster the 4N level brings 4× nodes and therefore 4× memory bandwidth —
 exactly the resource this shared-box measurement cannot grant — which is
 why the below-saturation pair (both levels far from the bandwidth wall)
