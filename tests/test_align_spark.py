@@ -196,10 +196,11 @@ def test_annotation_overlay_color_assignment(spark):
     assert (r0.text_x, r0.text_y) == (-10 + 0.1 * 100, 0.1 * 200)
 
 
-def test_render_pages_is_declared_stub():
-    import pytest as _pytest
-
+def test_render_pages_handles_unparseable_bytes():
+    """render_pages is a real rasterizer since round 3
+    (tests/test_pdf_bytes.py has the reference image-shape checks);
+    unparseable bytes follow the extractor's error contract — no pages,
+    no images, no raise."""
     from edspdf_spark.operators.visualize import render_pages
 
-    with _pytest.raises(NotImplementedError):
-        render_pages(b"%PDF", [])
+    assert render_pages(b"%PDF", []) == []
