@@ -766,26 +766,16 @@ def rescale_bboxes(df: DataFrame, width_col: str = "page_width", height_col: str
     )
 
 
-def strided_windows(
+def _window_candidates(
     tokens: DataFrame,
-    page_cols: Sequence[str] = ("url", "page_num"),
-    tok_col: str = "tok_idx",
-    window: int = 510,
-    stride: int = 255,
+    pc: list,
+    tok_col: str,
+    window: int,
+    stride: int,
 ) -> DataFrame:
-    """E7 windowing (huggingface_embedding.py:218-227 + 20-28, 244-258):
-    split each page's interior token sequence (CLS/SEP handled implicitly —
-    ``tok_idx`` here indexes interior tokens 0..L-3) into windows of
-    ``window`` tokens every ``stride``; for a token in several windows keep
-    the occurrence with the best contextualization score
-    ``min(pos, win_len - 1 - pos)`` (pos counts the CLS at 0), ties → the
-    LATER window (the reference's amax on score*n+index keeps the largest
-    flat index).
-
-    Output: one row per token with its chosen window and score.  Pure
-    expressions — sequence/explode + one per-token argmax (max_by struct).
-    """
-    pc = list(page_cols)
+    """All (token, window) memberships with within-window position and
+    contextualization score — shared by :func:`strided_windows` (per-token
+    argmax) and :func:`hf_encoder_embedding` (per-window forward)."""
     w_page = Window.partitionBy(*pc)
     t = tokens.withColumn("_n_interior", F.count(F.lit(1)).over(w_page))
     # n_windows = 1 + max(0, ceil((L - 2 - window) / stride)); L-2 = interior
@@ -806,7 +796,30 @@ def strided_windows(
         F.lit(window), F.col("_n_interior") - F.col("win") * F.lit(stride)
     )
     score = F.greatest(F.least(pos, win_len - F.lit(1) - pos), F.lit(0))
-    scored = cand.withColumn("score", score)
+    return cand.withColumn("pos", pos).withColumn("score", score)
+
+
+def strided_windows(
+    tokens: DataFrame,
+    page_cols: Sequence[str] = ("url", "page_num"),
+    tok_col: str = "tok_idx",
+    window: int = 510,
+    stride: int = 255,
+) -> DataFrame:
+    """E7 windowing (huggingface_embedding.py:218-227 + 20-28, 244-258):
+    split each page's interior token sequence (CLS/SEP handled implicitly —
+    ``tok_idx`` here indexes interior tokens 0..L-3) into windows of
+    ``window`` tokens every ``stride``; for a token in several windows keep
+    the occurrence with the best contextualization score
+    ``min(pos, win_len - 1 - pos)`` (pos counts the CLS at 0), ties → the
+    LATER window (the reference's amax on score*n+index keeps the largest
+    flat index).
+
+    Output: one row per token with its chosen window and score.  Pure
+    expressions — sequence/explode + one per-token argmax (max_by struct).
+    """
+    pc = list(page_cols)
+    scored = _window_candidates(tokens, pc, tok_col, window, stride)
     best = scored.groupBy(*pc, tok_col).agg(
         F.max(F.struct(F.col("score"), F.col("win"))).alias("_best")
     )
@@ -854,11 +867,127 @@ def pool_line_embeddings(
     )
 
 
+def hf_encoder_embedding(
+    tokens: DataFrame,
+    emb_col: str = "emb",
+    page_cols: Sequence[str] = ("url", "page_num"),
+    tok_col: str = "tok_idx",
+    dim: int = 12,
+    n_heads: int = 2,
+    n_layers: int = 1,
+    window: int = 64,
+    stride: int = 32,
+    seed: int = 17,
+) -> DataFrame:
+    """E7 encoder forward — a structural, seeded stand-in for the
+    pretrained transformer call (``huggingface_embedding.py:260-310``).
+
+    Reference dataflow replicated end-to-end:
+
+    * every (token, window) membership is computed (``_window_candidates``
+      — the same formulas the oracle-checked ``strided_windows`` uses);
+    * each window runs a full self-attention encoder over ALL its tokens
+      (input = the caller's per-token embedding + a closed-form sinusoidal
+      within-window position embedding; the attention kernel is
+      :func:`box_transformer_page` with zero boxes — the constant relative
+      bias is softmax-invariant, i.e. plain multi-head attention);
+    * each token keeps its output from the BEST-contextualization window
+      (``min(pos, win_len-1-pos)``, ties → later window) — exactly the
+      recombination ``strided_windows`` scores.
+
+    What this is NOT: the pretrained LayoutLM weights — ``transformers``
+    cannot ship in this sandbox, so weights are seeded gaussians (swap in
+    :func:`hf_model_forward` where real serving exists). Everything a
+    Spark engine owns — windowing, per-window batch assembly, Arrow batch
+    shapes, recombination — is the real production dataflow, on the same
+    streaming sorted-partition plan as E4/E6.
+    """
+    import pandas as pd
+
+    pc = list(page_cols)
+    weights = [_transformer_weights(dim, n_heads, seed + i) for i in range(n_layers)]
+    divs = sinusoidal_div_terms(max(1, dim // 2))
+
+    cand = _window_candidates(tokens, pc, tok_col, window, stride)
+    best = cand.groupBy(*pc, tok_col).agg(F.max(F.struct("score", "win")).alias("_b"))
+    cand = cand.join(
+        best.select(*pc, tok_col, F.col("_b.win").alias("_best_win")),
+        on=pc + [tok_col],
+    )
+
+    gcols = pc + ["win"]
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(gcols + [tok_col], _spark_types(cand, gcols + [tok_col]))]
+        + ["emb array<double>"]
+    )
+
+    def run(iterator):
+        carry = None
+        for pdf in iterator:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            keys = pdf[gcols].astype(str).agg("|".join, axis=1).to_numpy()
+            boundary = np.nonzero(keys[:-1] != keys[1:])[0]
+            last_start = (boundary[-1] + 1) if len(boundary) else 0
+            carry = pdf.iloc[last_start:]
+            body = pdf.iloc[:last_start]
+            if len(body):
+                yield _encode_window_frame(body, gcols, tok_col, emb_col, weights, n_heads, divs)
+        if carry is not None and len(carry):
+            yield _encode_window_frame(carry, gcols, tok_col, emb_col, weights, n_heads, divs)
+
+    ordered = cand.repartition(*[F.col(c) for c in gcols]).sortWithinPartitions(
+        *gcols, "pos"
+    )
+    return ordered.mapInPandas(run, schema=schema)
+
+
+def _encode_window_frame(pdf, gcols, tok_col, emb_col, weights, n_heads, divs):
+    import pandas as pd
+
+    rows = []
+    keys = pdf[gcols].astype(str).agg("|".join, axis=1).to_numpy()
+    starts = np.concatenate([[0], np.nonzero(keys[:-1] != keys[1:])[0] + 1])
+    ends = np.concatenate([starts[1:], [len(pdf)]])
+    for s, e in zip(starts, ends):
+        grp = pdf.iloc[s:e]
+        embs = np.asarray([np.asarray(v, dtype=np.float64) for v in grp[emb_col]])
+        n, d = embs.shape
+        pos = grp["pos"].to_numpy(dtype=np.float64)[:, None]
+        # closed-form sinusoidal position embedding, interleaved sin/cos
+        pe = np.zeros((n, d))
+        for i, div in enumerate(divs):
+            if 2 * i < d:
+                pe[:, 2 * i] = np.sin(pos[:, 0] * div)
+            if 2 * i + 1 < d:
+                pe[:, 2 * i + 1] = np.cos(pos[:, 0] * div)
+        x = embs + pe
+        zero_boxes = np.zeros((n, 4))
+        for w in weights:
+            x = box_transformer_page(x, zero_boxes, w, n_heads)
+        keep = grp["win"].to_numpy() == grp["_best_win"].to_numpy()
+        for i in np.nonzero(keep)[0]:
+            rows.append(
+                [
+                    *grp[gcols].iloc[0].tolist(),
+                    grp[tok_col].iloc[i],
+                    [float(v) for v in x[i]],
+                ]
+            )
+    cols = [*gcols, tok_col, "emb"]
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    return pd.DataFrame(rows, columns=cols)
+
+
 def hf_model_forward(*args, **kwargs):  # pragma: no cover - declared stub
-    """Transformer forward pass — requires ``transformers``/GPU serving,
-    neither of which ships in this sandbox.  The windowing, pooling and
-    bbox plumbing above are the Spark engine's share of E7; the model call
-    itself is out of scope (SURVEY.md §7.3)."""
+    """PRETRAINED transformer forward — requires ``transformers``/GPU
+    serving, neither of which ships in this sandbox.
+    :func:`hf_encoder_embedding` above runs the full windowed-encoder
+    DATAFLOW with seeded weights; this symbol is where real pretrained
+    serving plugs in (SURVEY.md §7.3)."""
     try:
         import transformers  # noqa: F401
     except ImportError as e:

@@ -410,3 +410,107 @@ def test_text_embedding_arrow_scalar_fallback_paths():
         assert hs[i] == _shape_poly_scalar(t), t
         assert hp[i] == _poly_scalar(low[:3]), t
         assert hu[i] == _poly_scalar(low[-3:]), t
+
+
+class TestHfEncoderForward:
+    """E7 encoder forward (seeded stand-in): full windowed self-attention
+    with best-window recombination, checked against a local NumPy replica
+    that enumerates windows by hand."""
+
+    def _tokens(self, spark, n, dim=12, pages=1):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for p in range(pages):
+            for t in range(n):
+                rows.append(("u1", p, t, [float(x) for x in rng.standard_normal(dim)]))
+        return spark.createDataFrame(
+            rows, "url string, page_num int, tok_idx int, emb array<double>"
+        )
+
+    def _local_expected(self, tok_rows, dim, n_heads, n_layers, window, stride, seed):
+        import numpy as np
+
+        from edspdf_spark.ml.embeddings import (
+            _transformer_weights,
+            box_transformer_page,
+            sinusoidal_div_terms,
+        )
+
+        weights = [_transformer_weights(dim, n_heads, seed + i) for i in range(n_layers)]
+        divs = sinusoidal_div_terms(max(1, dim // 2))
+        L = len(tok_rows)
+        n_win = 1 + max(0, -(-(L - window) // stride))
+        best = {}
+        outs = {}
+        for w in range(n_win):
+            members = [t for t in range(L) if w * stride <= t < w * stride + window]
+            if not members:
+                continue
+            embs = np.array([tok_rows[t] for t in members])
+            pe = np.zeros_like(embs)
+            for i, div in enumerate(divs):
+                pos = np.array([t - w * stride + 1 for t in members], dtype=float)
+                if 2 * i < dim:
+                    pe[:, 2 * i] = np.sin(pos * div)
+                if 2 * i + 1 < dim:
+                    pe[:, 2 * i + 1] = np.cos(pos * div)
+            x = embs + pe
+            for wt in weights:
+                x = box_transformer_page(x, np.zeros((len(members), 4)), wt, n_heads)
+            win_len = 2 + min(window, L - w * stride)
+            for i, t in enumerate(members):
+                pos = t - w * stride + 1
+                score = max(min(pos, win_len - 1 - pos), 0)
+                key = (score, w)
+                if t not in best or key >= best[t]:
+                    best[t] = key
+                    outs[t] = x[i]
+        return outs
+
+    def test_matches_local_replica_across_window_boundary(self, spark):
+        import numpy as np
+
+        from edspdf_spark.ml.embeddings import hf_encoder_embedding
+
+        dim, n, window, stride = 12, 23, 8, 4  # several overlapping windows
+        df = self._tokens(spark, n, dim)
+        out = hf_encoder_embedding(
+            df, dim=dim, n_heads=2, n_layers=1, window=window, stride=stride, seed=17
+        ).collect()
+        assert len(out) == n  # exactly one row per token
+        tok_rows = [
+            r["emb"] for r in sorted(
+                df.collect(), key=lambda r: r["tok_idx"]
+            )
+        ]
+        expected = self._local_expected(tok_rows, dim, 2, 1, window, stride, 17)
+        for r in out:
+            np.testing.assert_allclose(
+                np.array(r["emb"]), expected[r["tok_idx"]], rtol=1e-10, atol=1e-12
+            )
+
+    def test_contextuality(self, spark):
+        """The same input embedding in different windows/contexts must get
+        different contextual outputs (the whole point of the encoder)."""
+        import numpy as np
+
+        from edspdf_spark.ml.embeddings import hf_encoder_embedding
+
+        rng = np.random.default_rng(5)
+        base = [float(x) for x in rng.standard_normal(12)]
+        ctx1 = [float(x) for x in rng.standard_normal(12)]
+        ctx2 = [float(x) for x in rng.standard_normal(12)]
+        rows = [
+            ("a", 0, 0, base), ("a", 0, 1, ctx1),
+            ("b", 0, 0, base), ("b", 0, 1, ctx2),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, page_num int, tok_idx int, emb array<double>"
+        )
+        out = {
+            (r["url"], r["tok_idx"]): np.array(r["emb"])
+            for r in hf_encoder_embedding(df, dim=12, window=8, stride=4).collect()
+        }
+        assert not np.allclose(out[("a", 0)], out[("b", 0)])
