@@ -309,3 +309,52 @@ def test_lsh_neardup_vectorized_matches_expression_path(spark):
     vec_pairs = {(r.id_a, r.id_b) for r in vec_rows}
     assert vec_pairs == expr_pairs
     assert all(r.cos > 0.4 for r in vec_rows)
+
+
+def test_dedup_components_random_graphs_match_union_find(spark):
+    """Property check: large-star/small-star labels == brute-force
+    union-find components on random graphs (several seeds/densities)."""
+    import numpy as np
+
+    from edspdf_spark.functions.dedup import dedup_components
+
+    def union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id label per component
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(vs) for _r, vs in comp.items() for v in vs}
+
+    for seed, n, m in ((0, 40, 25), (1, 60, 90), (2, 30, 10)):
+        rng = np.random.default_rng(seed)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(m, 2))
+        ]
+        pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup_components(pairs, max_iter=15, strict=True).collect()
+        }
+        nodes = {v for e in edges for v in e}
+        want_all = union_find(n, [e for e in edges if e[0] != e[1]])
+        want = {v: want_all[v] for v in nodes}
+        # union-find roots are min ids only within TOUCHED nodes; recompute
+        # mins over the actual node set
+        by_root = {}
+        for v in nodes:
+            by_root.setdefault(want[v], set()).add(v)
+        want = {v: min(vs) for _r, vs in by_root.items() for v in vs}
+        assert got == want, (seed, {k: (got.get(k), want.get(k)) for k in nodes if got.get(k) != want.get(k)})

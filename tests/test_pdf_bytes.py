@@ -285,3 +285,39 @@ def test_render_pages_overlay_outline():
     assert tuple(img[100, 150]) == (0x1F, 0x77, 0xB4)  # top edge
     assert tuple(img[150, 100]) == (0x1F, 0x77, 0xB4)  # left edge
     assert tuple(img[150, 150]) == (255, 255, 255)  # interior untouched
+
+
+class TestPdfRoundtripFuzz:
+    """Property-based: arbitrary (sanitized) text → make_pdf → parse_pdf →
+    extract must reproduce the generator's line layout exactly."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd", "Pc", "Pd"),
+                    max_codepoint=0x2FF,
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip(self, words, wpl, lpp):
+        text = " ".join(words)
+        lines = split_lines(text, wpl)
+        blocs, pages, error = extract_doc(make_pdf(paginate(lines, lpp)))
+        assert not error
+        assert [b["text"] for b in blocs] == lines
+        # page/ord layout must match the generator contract
+        for i, b in enumerate(blocs):
+            assert b["page_num"] == i // lpp
+            assert b["bloc_ord"] == i % lpp
