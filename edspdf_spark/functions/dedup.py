@@ -514,10 +514,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     normalized: bool = True,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle explode + equi-join on shingle
-    (linear in total shingles + output pairs; use only on pre-filtered /
-    bucketed candidates at scale)."""
+    (linear in total shingles + OUTPUT pairs — but a shingle shared by m
+    documents emits m²/2 intersection rows, so a common trigram makes this
+    quadratic on a raw corpus). This is the EXACT-scoring baseline for
+    candidate sets: ``max_rows`` hard-caps the input and RAISES on
+    overflow, same contract as ``cosine_neardup_pairs`` — at corpus scale
+    generate candidates with MinHash-LSH (``lsh_candidate_pairs``) and
+    rescore only those."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the exact all-pairs baseline and got "
+            f"{n} rows (max_rows={max_rows}); generate candidates with "
+            "lsh_candidate_pairs and rescore those instead"
+        )
     base = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
     ex = df.select(
         F.col(id_col), F.explode(shingles(base, k)).alias("sh")
