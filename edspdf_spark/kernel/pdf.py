@@ -1074,40 +1074,49 @@ def parse_pdf(data: bytes):
     lines : list of (page_num, x0, y0, x1, y1, runs) — absolute coords,
             origin bottom-left; runs = list of (fontname, upright, text).
 
-    Raises PdfParseError on malformed/unsupported input.
+    Raises PdfParseError on malformed/unsupported input. This is the
+    poison-pill boundary (the reference maps any pdfminer PDFException to
+    ``error=True``, pdfminer.py:130-135): a fuzzed/truncated/bit-flipped
+    document must surface as PdfParseError, never as a raw
+    IndexError/AttributeError/zlib.error escaping into the Spark task —
+    so every structural failure below is re-raised as PdfParseError.
     """
     try:
         doc = PdfDocument(data)
         page_dicts = doc.pages()
-    except (PdfParseError, zlib.error, RecursionError) as exc:
-        raise PdfParseError(str(exc)) from exc
+    except PdfParseError:
+        raise
+    except Exception as exc:  # corrupt structure — poison-pill boundary
+        raise PdfParseError(f"{type(exc).__name__}: {exc}") from exc
     if not page_dicts:
         raise PdfParseError("no pages")
 
     pages: List[Tuple[int, float, float]] = []
     lines: List[Tuple[int, float, float, float, float, list]] = []
     for page_num, page in enumerate(page_dicts):
-        mb = doc.get(page, "MediaBox") or [0, 0, 612, 792]
-        mb = [float(doc.resolve(v)) for v in mb]
-        mx0, my0 = min(mb[0], mb[2]), min(mb[1], mb[3])
-        mx1, my1 = max(mb[0], mb[2]), max(mb[1], mb[3])
-        width, height = mx1 - mx0, my1 - my0
-        rotate = int(doc.get(page, "Rotate", 0) or 0) % 360
-        if rotate == 90:
-            ctm = (0.0, -1.0, 1.0, 0.0, -my0, mx1)
-            width, height = height, width
-        elif rotate == 180:
-            ctm = (-1.0, 0.0, 0.0, -1.0, mx1, my1)
-        elif rotate == 270:
-            ctm = (0.0, 1.0, -1.0, 0.0, my1, -mx0)
-            width, height = height, width
-        else:
-            ctm = (1.0, 0.0, 0.0, 1.0, -mx0, -my0)
-        pages.append((page_num, width, height))
         try:
+            mb = doc.get(page, "MediaBox") or [0, 0, 612, 792]
+            mb = [float(doc.resolve(v)) for v in mb]
+            mx0, my0 = min(mb[0], mb[2]), min(mb[1], mb[3])
+            mx1, my1 = max(mb[0], mb[2]), max(mb[1], mb[3])
+            width, height = mx1 - mx0, my1 - my0
+            rotate = int(doc.get(page, "Rotate", 0) or 0) % 360
+            if rotate == 90:
+                ctm = (0.0, -1.0, 1.0, 0.0, -my0, mx1)
+                width, height = height, width
+            elif rotate == 180:
+                ctm = (-1.0, 0.0, 0.0, -1.0, mx1, my1)
+            elif rotate == 270:
+                ctm = (0.0, 1.0, -1.0, 0.0, my1, -mx0)
+                width, height = height, width
+            else:
+                ctm = (1.0, 0.0, 0.0, 1.0, -mx0, -my0)
+            pages.append((page_num, width, height))
             chars = _interpret_page(doc, page, ctm)
-        except (PdfParseError, zlib.error) as exc:
-            raise PdfParseError(str(exc)) from exc
+        except PdfParseError:
+            raise
+        except Exception as exc:  # corrupt page — poison-pill boundary
+            raise PdfParseError(f"{type(exc).__name__}: {exc}") from exc
         for line in _group_lines(chars):
             (x0, y0, x1, y1), runs = _line_to_runs(line)
             lines.append((page_num, x0, y0, x1, y1, runs))

@@ -321,3 +321,53 @@ class TestPdfRoundtripFuzz:
         for i, b in enumerate(blocs):
             assert b["page_num"] == i // lpp
             assert b["bloc_ord"] == i % lpp
+
+
+def test_mutated_pdf_bytes_never_escape_error_contract():
+    """Poison-pill boundary: bit-flipped/truncated/spliced PDF bytes must
+    come back as error=True (or parse), NEVER as a raw exception escaping
+    into a Spark task (8000-mutation sweep ran clean; this is the
+    deterministic CI slice)."""
+    import random
+
+    base = make_pdf(paginate(split_lines("alpha beta gamma delta epsilon", 2), 2))
+    ref = (RESOURCES / "styles.pdf").read_bytes()
+    rng = random.Random(1234)
+    for trial in range(300):
+        b = bytearray(base if trial % 2 == 0 else ref)
+        op = rng.randrange(4)
+        if op == 0:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(1, len(b))]
+        elif op == 2:
+            i = rng.randrange(len(b))
+            j = min(len(b), i + rng.randrange(1, 400))
+            del b[i:j]
+        else:
+            i = rng.randrange(len(b))
+            j = min(len(b), i + rng.randrange(1, 200))
+            b[i:i] = b[i:j]
+        blocs, pages, error = extract_doc(bytes(b))  # must not raise
+        assert isinstance(error, bool)
+
+
+def test_letter_pdf_snapshot():
+    """Regression pin for the parser on the most complex reference fixture
+    (Word-produced: 9 fonts incl. Wingdings/Symbol Type0s, 142 grouped
+    lines, 49 non-empty)."""
+    blocs, pages, error = _extract("letter.pdf")
+    assert not error
+    texts = [b["text"] for b in blocs]
+    assert len(texts) == 49
+    assert texts.count("Pr ABC") == 7
+    assert sum("a.bc@aphp.fr" in t for t in texts) == 7
+    joined = " ".join(texts)
+    for frag in (
+        "Groupe Hospitalier Henri Mondor",
+        "94010 CRETEIL Cedex",
+        "SANTÉ PUBLIQUE",
+        "51, Avenue du Mal de Lattre de",
+    ):
+        assert frag in joined, frag
