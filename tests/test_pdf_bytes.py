@@ -371,3 +371,51 @@ def test_letter_pdf_snapshot():
         "51, Avenue du Mal de Lattre de",
     ):
         assert frag in joined, frag
+
+
+def test_rotated_page_geometry():
+    """/Rotate 90: page dims swap to landscape and the CTM maps content
+    coords (x, y) → (y, W - x); rotated glyphs are non-upright and stack
+    vertically (pdfminer detect_vertical=False groups them as separate
+    one-char lines — replicated)."""
+    import zlib
+
+    from edspdf_spark.kernel.pdf import parse_pdf
+
+    content = b"BT /F1 10 Tf 1 0 0 1 100 700 Tm <00480069> Tj ET"
+    comp = zlib.compress(content)
+    tou = zlib.compress(b"1 beginbfrange <0000> <FFFF> <0000> endbfrange")
+    objs = [
+        b"<</Filter/FlateDecode/Length %d>>\nstream\n%s\nendstream" % (len(comp), comp),
+        b"<</Type/FontDescriptor/FontName/F/Flags 4/FontBBox[0 -200 500 800]"
+        b"/ItalicAngle 0/Ascent 800/Descent -200/StemV 80>>",
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/F"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/FontDescriptor 2 0 R/DW 500/CIDToGIDMap/Identity>>",
+        b"<</Filter/FlateDecode/Length %d>>\nstream\n%s\nendstream" % (len(tou), tou),
+        b"<</Type/Font/Subtype/Type0/BaseFont/F/Encoding/Identity-H"
+        b"/DescendantFonts[3 0 R]/ToUnicode 4 0 R>>",
+        b"<</Type/Page/Parent 7 0 R/MediaBox[0 0 612 792]/Rotate 90"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 1 0 R>>",
+        b"<</Type/Pages/Kids[6 0 R]/Count 1>>",
+        b"<</Type/Catalog/Pages 7 0 R>>",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = [0]
+    for i, b in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<</Size %d/Root 8 0 R>>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref,
+    )
+
+    pages, lines = parse_pdf(bytes(out))
+    assert pages == [(0, 792.0, 612.0)]  # landscape swap
+    assert [l[5][0][2] for l in lines] == ["H", "i"]
+    (hx0, hy0, hx1, hy1) = lines[0][1:5]
+    assert abs(hx0 - 698.0) < 1e-6 and abs(hy1 - 512.0) < 1e-6  # (y, W - x)
+    assert lines[0][5][0][1] is False  # rotated glyph → not upright
