@@ -7,11 +7,14 @@ Pattern: media rides as an opaque ``BinaryType`` column; decode /
 feature-extract / resize / frame-sample are Arrow-batched ``mapInPandas``
 stages so payload bytes never cross a Python row-at-a-time boundary.
 
-Container formats here are deterministic stand-ins (documented below) because
-no image/audio codec library is installed in this sandbox; the Spark-side
-plumbing — schema, UDF signature, batch shape, partition expansion for frame
-sampling — is real and tested. Pixel/PCM decode of real formats is stubbed
-behind ``decode_image_pixels`` (import-gated PIL → ``NotImplementedError``).
+Container formats here are deterministic stand-ins (documented below); the
+Spark-side plumbing — schema, UDF signature, batch shape, partition
+expansion for frame sampling — is real and tested. ``decode_image_pixels``
+is a real decode stage: **PNG decodes natively** (stdlib zlib + the PDF
+engine's PNG row un-predictor, 8-bit gray/GA/RGB/RGBA), the synthetic
+container passes its plane through, and codecs needing an imaging library
+(JPEG via PIL) degrade to NULL pixels + a ``codec`` tag instead of killing
+the partition.
 
 Header layouts (big-endian)::
 
@@ -183,18 +186,155 @@ def sample_frame_indices(
     )
 
 
-def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real-codec pixel decode — STUB. No imaging library ships in this
-    sandbox; with PIL/pyarrow-image available this becomes a mapInPandas
-    stage yielding ``array<binary>`` row-major pixel planes with the exact
-    same signature as :func:`with_media_meta`."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "pixel decode requires an imaging library (PIL) not present in "
-            "this environment; metadata decode (with_media_meta), feature "
-            "extraction (with_byte_histogram), resize planning (resize_plan) "
-            "and frame sampling (sample_frame_indices) are fully implemented"
+# ---------------------------------------------------------------------------
+# real codec: PNG (pure stdlib — zlib inflate + PNG row un-predict)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """uint8 (H, W) / (H, W, 3) / (H, W, 4) → PNG bytes (filter 0 rows,
+    one zlib IDAT). Stdlib-only writer for fixtures and sinks."""
+    import binascii
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """PNG bytes → uint8 ndarray (H, W, C). Supports 8-bit gray / gray+A /
+    RGB / RGBA, non-interlaced (the overwhelming majority of training-data
+    PNGs); palette/16-bit/interlaced raise ValueError. Reuses the PDF
+    engine's PNG row un-predictor (all five filter types)."""
+    import zlib
+
+    from edspdf_spark.kernel.pdf import _png_unpredict
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    ctype = depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}): 8-bit non-interlaced gray/GA/RGB/RGBA only"
         )
-    raise NotImplementedError("PIL present but codec path intentionally ungated in v1")
+    channels = _PNG_CHANNELS[ctype]
+    raw = _png_unpredict(zlib.decompress(bytes(idat)), channels, 8, width)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if len(arr) != width * height * channels:
+        raise ValueError("PNG pixel payload size mismatch")
+    return arr.reshape(height, width, channels)
+
+
+def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Pixel decode as an Arrow-batched stage: PNG decodes NATIVELY
+    (stdlib zlib + the engine's PNG un-predictor — no imaging library
+    needed); JPEG/WebP/other codecs decode via PIL when available, else
+    their rows come back with ``codec`` set and NULL pixels so the
+    pipeline can route or quarantine them (poison-pill tolerance — one
+    undecodable blob must never kill a partition).
+
+    Output per row: ``codec, px_w, px_h, px_c, pixels`` (row-major uint8
+    plane as binary).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("codec", T.StringType(), True),
+            T.StructField("px_w", T.IntegerType(), True),
+            T.StructField("px_h", T.IntegerType(), True),
+            T.StructField("px_c", T.IntegerType(), True),
+            T.StructField("pixels", T.BinaryType(), True),
+        ]
+    )
+    out_schema = T.StructType(df.schema.fields + schema.fields)
+
+    try:
+        import PIL.Image as _pil  # noqa: N813
+    except ImportError:
+        _pil = None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codecs, ws, hs, cs, px = [], [], [], [], []
+            for blob in pdf[media_col]:
+                codec = w = h = c = None
+                pixels = None
+                try:
+                    b = bytes(blob) if blob is not None else b""
+                    if b[:8] == _PNG_SIG:
+                        codec = "png"
+                        arr = decode_png(b)
+                        h, w, c = arr.shape
+                        pixels = arr.tobytes()
+                    elif b[:2] == b"\xff\xd8":
+                        codec = "jpeg"
+                        if _pil is not None:  # pragma: no cover - no PIL here
+                            import io
+
+                            arr = np.asarray(_pil.open(io.BytesIO(b)))
+                            h, w = arr.shape[:2]
+                            c = arr.shape[2] if arr.ndim == 3 else 1
+                            pixels = arr.tobytes()
+                    elif b[:4] == MAGIC_IMAGE:
+                        # synthetic container: payload bytes ARE the plane
+                        codec = "img0"
+                        meta = _parse_one(b)
+                        w, h, c = meta["width"], meta["height"], meta["channels"]
+                        plane = b[13:]
+                        need = (w or 0) * (h or 0) * (c or 0)
+                        pixels = plane[:need] if len(plane) >= need else None
+                    else:
+                        codec = "unknown"
+                except Exception:
+                    codec, w, h, c, pixels = "corrupt", None, None, None, None
+                codecs.append(codec)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                px.append(pixels)
+            pdf = pdf.copy()
+            pdf["codec"] = codecs
+            pdf["px_w"] = pd.array(ws, dtype="Int32")
+            pdf["px_h"] = pd.array(hs, dtype="Int32")
+            pdf["px_c"] = pd.array(cs, dtype="Int32")
+            pdf["pixels"] = pd.Series(px, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

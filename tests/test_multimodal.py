@@ -86,12 +86,139 @@ def test_sample_frame_indices(media_df):
     assert dict(by_id[3])[10] == int(10 * 1000 * 1000 / 29970)
 
 
-def test_pixel_decode_is_stubbed(media_df):
-    with pytest.raises(NotImplementedError):
-        decode_image_pixels(media_df)
+def test_pixel_decode_routes_synthetic_container(media_df):
+    """decode_image_pixels is a real stage since round 3 (PNG decodes
+    natively — TestPngCodec); the synthetic IMG0 container routes through
+    with its payload plane or NULL pixels when the payload is short."""
+    out = decode_image_pixels(media_df)
+    assert {"codec", "px_w", "px_h", "px_c", "pixels"} <= set(out.columns)
+    assert out.filter(out.codec.isin("img0", "unknown", "corrupt")).count() == out.count()
 
 
 def test_meta_decode_pushes_passthrough_columns(media_df):
     out = with_media_meta(media_df.withColumn("extra", F.col("id") * 2))
     row = out.filter(F.col("id") == 0).collect()[0]
     assert row.extra == 0 and row.media_type == "image"
+
+
+class TestPngCodec:
+    def test_roundtrip_all_channel_counts(self):
+        import numpy as np
+
+        from edspdf_spark.functions.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(0)
+        for c in (1, 2, 3, 4):
+            arr = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+            out = decode_png(encode_png(arr))
+            np.testing.assert_array_equal(out, arr)
+
+    def test_all_filter_types_decode(self):
+        """Hand-build a PNG whose rows use filters 1-4 (Sub/Up/Avg/Paeth)
+        to exercise the un-predictor beyond the writer's filter-0 rows."""
+        import binascii
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from edspdf_spark.functions.multimodal import _PNG_SIG, decode_png
+
+        w, h, c = 6, 5, 3
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        raw = bytearray()
+        prev = np.zeros(w * c, dtype=np.int16)
+        for y in range(h):
+            row = img[y].reshape(-1).astype(np.int16)
+            ft = y % 5
+            if ft == 0:
+                enc = row.copy()
+            elif ft == 1:  # Sub
+                left = np.concatenate([np.zeros(c, np.int16), row[:-c]])
+                enc = (row - left) % 256
+            elif ft == 2:  # Up
+                enc = (row - prev) % 256
+            elif ft == 3:  # Average
+                left = np.concatenate([np.zeros(c, np.int16), row[:-c]])
+                enc = (row - ((left + prev) // 2)) % 256
+            else:  # Paeth
+                left = np.concatenate([np.zeros(c, np.int16), row[:-c]])
+                ul = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                enc = (row - pred) % 256
+            raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+            prev = row
+
+        def chunk(tag, body):
+            crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(png), img)
+
+    def test_unsupported_pngs_raise(self):
+        import struct
+        import zlib
+        import binascii
+
+        import pytest
+
+        from edspdf_spark.functions.multimodal import _PNG_SIG, decode_png
+
+        def chunk(tag, body):
+            crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+            return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+        pal = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(pal)
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"JUNK")
+
+    def test_decode_image_pixels_stage(self, spark):
+        """Arrow stage: PNG decodes natively, the synthetic IMG0 container
+        passes its plane through, corrupt/unknown rows survive as NULL
+        pixels (poison-pill tolerance)."""
+        import numpy as np
+
+        from edspdf_spark.functions.multimodal import (
+            decode_image_pixels,
+            encode_image,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+        png = encode_png(arr)
+        img0 = encode_image(2, 2, 1, b"\x01\x02\x03\x04")
+        rows = [
+            (1, bytearray(png)),
+            (2, bytearray(img0)),
+            (3, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
+            (4, bytearray(b"garbage")),
+            (5, bytearray(png[:30])),  # truncated PNG → corrupt
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        out = {r["doc_id"]: r for r in decode_image_pixels(df).collect()}
+        assert out[1]["codec"] == "png" and out[1]["px_w"] == 7 and out[1]["px_h"] == 4
+        got = np.frombuffer(bytes(out[1]["pixels"]), dtype=np.uint8).reshape(4, 7, 3)
+        np.testing.assert_array_equal(got, arr)
+        assert out[2]["codec"] == "img0" and bytes(out[2]["pixels"]) == b"\x01\x02\x03\x04"
+        assert out[3]["codec"] == "jpeg" and out[3]["pixels"] is None  # no PIL
+        assert out[4]["codec"] == "unknown" and out[4]["pixels"] is None
+        assert out[5]["codec"] == "corrupt"
