@@ -1542,102 +1542,13 @@ FROM pages GROUP BY 1, 2
 """
 
 
-# --- non-SQL-expressible classifiers (rows-only driver checks) --------------
-
-def _blocs_for_classifiers(spark, sf_dir):
-    from edspdf_spark.fixtures import pages_from_documents
-    from edspdf_spark.operators import extract_blocs
-
-    return extract_blocs(pages_from_documents(spark, sf_dir))
-
-
-def _q_random_classifier(spark, sf_dir):
-    """P5 RandomClassifier — per-url seeded RNG (deterministic across runs
-    and partitionings, but numpy Philox is not expressible in SQL)."""
-    from edspdf_spark.operators import classify_random
-
-    blocs = _blocs_for_classifiers(spark, sf_dir)
-    out = classify_random(blocs, {"body": 0.7, "pollution": 0.3}, seed=7)
-    return out.select("url", "page_num", "bloc_ord", "label")
-
-
-def _q_forest_classifier(spark, sf_dir):
-    """P8 trainable classifier — NumPy random forest distant-supervised on
-    mask labels (E1 layout features), served via mapInPandas. Deterministic
-    (seeded) but model inference is not expressible in SQL."""
-    from edspdf_spark.ml.forest import classify_forest, train_forest_on_masks
-    from edspdf_spark.operators import classify_mask
-
-    blocs = _blocs_for_classifiers(spark, sf_dir)
-    labeled = classify_mask(blocs, [("body", 0.0, 0.0, 1.0, 0.6)], threshold=0.1)
-    model = train_forest_on_masks(labeled, seed=42, n_trees=4, max_depth=6)
-    return classify_forest(blocs, model).select("url", "page_num", "bloc_ord", "label")
-
-
-def _q_begin_last_classifier(spark, sf_dir):
-    """P9 bl-trainable classifier — 2-output (is_begin, is_last) forest head
-    trained on align_bioul truth (model inference: rows-only check; the
-    agreement metric vs truth is asserted in tests/test_forest_heads.py)."""
-    from edspdf_spark import entry_queries as eq
-    from edspdf_spark.ml.forest import classify_begin_last, train_begin_last
-    from edspdf_spark.operators.align import align_bioul
-
-    blocs = eq.blocs_from_lineitem(spark, sf_dir)
-    src = eq.src_boxes_for(spark, blocs)
-    truth = align_bioul(blocs, src, threshold=eq._ALIGN_THRESHOLD)
-    models = train_begin_last(truth, seed=42, n_trees=4, max_depth=6)
-    out = classify_begin_last(blocs, models)
-    return out.select("url", "page_num", "bloc_ord", "is_begin", "is_last")
-
-
-def _q_type_classifier(spark, sf_dir):
-    """P12 type-trainable classifier — node-type-labeled forest (same P8
-    skeleton, type label set from align_plain truth; rows-only check)."""
-    from edspdf_spark import entry_queries as eq
-    from edspdf_spark.ml.forest import classify_forest, train_forest_on_types
-    from edspdf_spark.operators.align import align_plain
-
-    blocs = eq.blocs_from_lineitem(spark, sf_dir)
-    src = eq.src_boxes_for(spark, blocs)
-    truth = align_plain(
-        blocs, src, threshold=eq._ALIGN_THRESHOLD, pollution_label="pollution"
-    )
-    model = train_forest_on_types(truth, seed=42, n_trees=4, max_depth=6)
-    return classify_forest(blocs, model).select(
-        "url", "page_num", "bloc_ord", "label"
-    )
-
-
-def _q_order_following(spark, sf_dir):
-    """P10 order-ba trainable head — binary forest on the 18 reference
-    pairwise geometry deltas (trainable_order_ba.py:206-221), served as
-    argmax-j following links (:348-384 forward / :443-466 postprocess).
-    Deterministic (seeded) but model inference is not expressible in SQL —
-    rows-only check; the agreement-vs-truth metric is asserted in
-    tests/test_order_and_config.py."""
-    from edspdf_spark.operators.order import order_followings, train_order_following
-
-    blocs = _blocs_for_classifiers(spark, sf_dir)
-    model = train_order_following(
-        blocs, seed=42, n_trees=4, max_depth=6, max_rows=50_000
-    )
-    return order_followings(blocs, model).select(
-        "url", "page_num", "ord_i", "follow_ord"
-    )
-
-
-def _q_order_rank(spark, sf_dir):
-    """P11 order-num trainable head — regression forest on E1 layout
-    features predicting the normalized per-line order score
-    (trainable_order_num.py:248-260 target, :289-307 forward); rows-only
-    check (model inference)."""
-    from edspdf_spark.operators.order import score_order_rank, train_order_rank
-
-    blocs = _blocs_for_classifiers(spark, sf_dir)
-    model = train_order_rank(blocs, seed=42, n_trees=4, max_depth=6)
-    return score_order_rank(blocs, model).select(
-        "url", "page_num", "bloc_ord", "pred_rank"
-    )
+# --- trainable-head serve queries (quantized compiled twins) ----------------
+# Rounds 1-2 ran these as rows-only checks over NumPy float inference. They
+# now bind the ml/compiled.py quantized serve twins (constant fixture-trained
+# models, int64 micro-grid traversal), so every one of the 50 registered
+# queries carries a value-level DuckDB oracle — see entry_queries.py
+# q_forest_classifier / q_begin_last_classifier / q_type_classifier /
+# q_order_following / q_order_rank / q_random_classifier.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1663,12 +1574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier family (P3-P5, P8-P12: rules + trainable heads)
         "mask_argmax": eq.q_mask_argmax,
         "dummy_classifier": eq.q_dummy_classifier,
-        "random_classifier": _q_random_classifier,
-        "forest_classifier": _q_forest_classifier,
-        "begin_last_classifier": _q_begin_last_classifier,
-        "type_classifier": _q_type_classifier,
-        "order_following": _q_order_following,
-        "order_rank": _q_order_rank,
+        "random_classifier": eq.q_random_classifier,
+        "forest_classifier": eq.q_forest_classifier,
+        "begin_last_classifier": eq.q_begin_last_classifier,
+        "type_classifier": eq.q_type_classifier,
+        "order_following": eq.q_order_following,
+        "order_rank": eq.q_order_rank,
         "pairwise_order_features": eq.q_pairwise_order_features,
         # alignment / spatial family (A1-A6) + features + visualization
         "layout_features": eq.q_layout_features,
@@ -1729,8 +1640,12 @@ def oracle_sql() -> dict[str, str]:
         "source_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "mask_argmax": eq.mask_argmax_oracle(),
         "dummy_classifier": eq.DUMMY_CLASSIFIER_ORACLE,
-        # random/forest/begin-last/type/order heads: rows-only by nature
-        # (seeded RNG / NumPy forest inference), no oracle entries
+        "random_classifier": eq.random_classifier_oracle(),
+        "forest_classifier": eq.forest_classifier_oracle(),
+        "begin_last_classifier": eq.begin_last_oracle(),
+        "type_classifier": eq.type_classifier_oracle(),
+        "order_following": eq.order_following_oracle(),
+        "order_rank": eq.order_rank_oracle(),
         "pairwise_order_features": eq.pairwise_order_oracle(),
         "layout_features": eq.LAYOUT_FEATURES_ORACLE,
         "bioul_tags": eq.BIOUL_ORACLE,

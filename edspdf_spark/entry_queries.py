@@ -605,3 +605,235 @@ SELECT url, label2 AS label, MIN(x0) AS bx0, MIN(y0) AS by0,
        MAX(x1) AS bx1, MAX(y1) AS by1, COUNT(*) AS n_boxes
 FROM lab GROUP BY url, label2
 """
+
+
+# ---------------------------------------------------------------------------
+# P5 / P8–P12 — value-checkable serve paths of the trainable heads
+# ---------------------------------------------------------------------------
+# The heads were rows-only driver checks in rounds 1–2 (float inference is
+# not cross-engine bit-reproducible). These queries bind the quantized
+# compiled twins from ml/compiled.py: the model is a deterministic constant
+# (trained on the fixed seeded fixture corpus), thresholds / leaves / serve
+# features live on an int64 micro grid, and the oracle SQL inlines the same
+# constant as nested CASE trees — so traversal, voting and argmax-j are
+# exact in both engines. Training-path coverage stays in pytest
+# (tests/test_forest_heads.py), mirroring the IVF serve-path split the r2
+# verdict prescribed.
+
+#: E1 feature expressions over a blocs CTE named `b2`, in FEATURE_COLS order.
+_E1_SQL_EXPRS = [
+    "x0",
+    "y0",
+    "x1",
+    "y1",
+    "x1 - x0",
+    "y1 - y0",
+    "CAST(page_num = MIN(page_num) OVER (PARTITION BY url) AS DOUBLE)",
+    "CAST(page_num = MAX(page_num) OVER (PARTITION BY url) AS DOUBLE)",
+    "CAST(page_num AS DOUBLE)",
+    "CAST(LENGTH(text) AS DOUBLE)",
+]
+
+
+def blocs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem blocs + deterministic text so f_n_chars is non-null."""
+    return blocs_from_lineitem(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("L"), F.col("bloc_ord").cast("string"))
+    )
+
+
+_BLOCS_TEXT_SQL = (
+    f"SELECT url, page_num, bloc_ord, x0, y0, x1, y1, error, "
+    f"'L' || CAST(bloc_ord AS VARCHAR) AS text FROM ({BLOCS_FROM_LINEITEM_SQL}) b0"
+)
+
+
+def _e1_micro_cte() -> str:
+    """CTE chain blocs→fm: the 10 E1 features micro-quantized as m0..m9."""
+    from edspdf_spark.ml.compiled import micro_sql
+
+    ms = ", ".join(f"{micro_sql(e)} AS m{i}" for i, e in enumerate(_E1_SQL_EXPRS))
+    return (
+        f"b2 AS ({_BLOCS_TEXT_SQL}),\n"
+        f"fm AS (SELECT url, page_num, bloc_ord, {ms} FROM b2)"
+    )
+
+
+def q_forest_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 trainable classifier, quantized serve (reference
+    trainable.py:176-201 argmax class per line; hard-vote compiled form)."""
+    from edspdf_spark.ml.compiled import classify_forest_compiled, fixture_forest_masks
+
+    return classify_forest_compiled(blocs_with_text(spark, sf_dir), fixture_forest_masks())
+
+
+def forest_classifier_oracle() -> str:
+    from edspdf_spark.ml.compiled import fixture_forest_masks, tree_sql, vote_label_sql
+
+    cf = fixture_forest_masks()
+    feat = [f"m{i}" for i in range(10)]
+    ts = ", ".join(f"{tree_sql(t, feat)} AS t{k}" for k, t in enumerate(cf.trees))
+    vote = vote_label_sql(cf, [f"t{k}" for k in range(len(cf.trees))])
+    return f"""
+WITH {_e1_micro_cte()},
+tv AS (SELECT url, page_num, bloc_ord, {ts} FROM fm)
+SELECT url, page_num, bloc_ord, {vote} AS label FROM tv
+"""
+
+
+def q_type_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 type classifier — same compiled skeleton, node-type label set
+    (reference trainable_type.py:22-288)."""
+    from edspdf_spark.ml.compiled import classify_forest_compiled, fixture_forest_types
+
+    return classify_forest_compiled(blocs_with_text(spark, sf_dir), fixture_forest_types())
+
+
+def type_classifier_oracle() -> str:
+    from edspdf_spark.ml.compiled import fixture_forest_types, tree_sql, vote_label_sql
+
+    cf = fixture_forest_types()
+    feat = [f"m{i}" for i in range(10)]
+    ts = ", ".join(f"{tree_sql(t, feat)} AS t{k}" for k, t in enumerate(cf.trees))
+    vote = vote_label_sql(cf, [f"t{k}" for k in range(len(cf.trees))])
+    return f"""
+WITH {_e1_micro_cte()},
+tv AS (SELECT url, page_num, bloc_ord, {ts} FROM fm)
+SELECT url, page_num, bloc_ord, {vote} AS label FROM tv
+"""
+
+
+def q_begin_last_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 begin/last 2-output head, quantized serve (reference
+    trainable_multi_label.py:103-110)."""
+    from edspdf_spark.ml.compiled import (
+        classify_begin_last_compiled,
+        fixture_forest_begin_last,
+    )
+
+    return classify_begin_last_compiled(
+        blocs_with_text(spark, sf_dir), fixture_forest_begin_last()
+    )
+
+
+def begin_last_oracle() -> str:
+    from edspdf_spark.ml.compiled import fixture_forest_begin_last, tree_sql
+
+    models = fixture_forest_begin_last()
+    feat = [f"m{i}" for i in range(10)]
+    cols = []
+    for name, cf in models.items():
+        # classes are ['False', 'True']; majority vote, 2–2 tie -> False
+        true_idx = cf.classes.index("True")
+        votes = " + ".join(
+            f"CASE WHEN {tree_sql(t, feat)} = {true_idx} THEN 1 ELSE 0 END"
+            for t in cf.trees
+        )
+        n = len(cf.trees)
+        cols.append(f"(({votes}) * 2 > {n}) AS {name}")
+    return f"""
+WITH {_e1_micro_cte()}
+SELECT url, page_num, bloc_ord, {", ".join(cols)} FROM fm
+"""
+
+
+def q_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 order-num head, quantized serve (reference
+    trainable_order_num.py:289-307) — rank_micro is the exact int sum of
+    micro leaf means over trees."""
+    from edspdf_spark.ml.compiled import fixture_forest_rank, score_order_rank_compiled
+
+    return score_order_rank_compiled(blocs_with_text(spark, sf_dir), fixture_forest_rank())
+
+
+def order_rank_oracle() -> str:
+    from edspdf_spark.ml.compiled import fixture_forest_rank, value_sum_sql
+
+    cf = fixture_forest_rank()
+    feat = [f"m{i}" for i in range(10)]
+    return f"""
+WITH {_e1_micro_cte()}
+SELECT url, page_num, bloc_ord,
+  CAST({value_sum_sql(cf, feat)} AS BIGINT) AS rank_micro
+FROM fm
+"""
+
+
+def q_order_following(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 order-ba head, quantized serve (reference
+    trainable_order_ba.py:348-384 forward, :434-443 argmax-j postprocess;
+    ties to the smallest ord_j like torch argmax)."""
+    from edspdf_spark.ml.compiled import fixture_forest_following, order_followings_compiled
+
+    return order_followings_compiled(
+        blocs_from_lineitem(spark, sf_dir), fixture_forest_following()
+    )
+
+
+def order_following_oracle() -> str:
+    from edspdf_spark.ml.compiled import fixture_forest_following, micro_sql, value_sum_sql
+    from edspdf_spark.operators.order import ORDER_FEATURE_COLS
+
+    cf = fixture_forest_following()
+    ms = ", ".join(
+        f"{micro_sql(c)} AS m{i}" for i, c in enumerate(ORDER_FEATURE_COLS)
+    )
+    feat = [f"m{i}" for i in range(len(ORDER_FEATURE_COLS))]
+    return f"""
+WITH pf AS ({pairwise_order_oracle()}),
+fm AS (SELECT url, page_num, ord_i, ord_j, {ms} FROM pf),
+sc AS (SELECT url, page_num, ord_i, ord_j,
+       CAST({value_sum_sql(cf, feat)} AS BIGINT) AS score_micro FROM fm),
+r AS (SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY url, page_num, ord_i
+                         ORDER BY score_micro DESC, ord_j ASC) AS rn,
+      MAX(score_micro) OVER (PARTITION BY url, page_num, ord_i) AS mx
+      FROM sc)
+SELECT url, page_num, ord_i, ord_j AS follow_ord, mx AS follow_score_micro
+FROM r WHERE rn = 1
+"""
+
+
+# P5 — hash-draw random classifier (operators/classify.classify_random_hash)
+
+_RC_LABELS = {"body": 0.7, "pollution": 0.3}
+_RC_SALT = 7
+
+
+def q_random_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 RandomClassifier, counter-based hash draw — expression-only,
+    retry/partitioning-stable, SQL-expressible (random.py:8-51 marginals)."""
+    from edspdf_spark.operators.classify import classify_random_hash
+
+    out = classify_random_hash(blocs_from_lineitem(spark, sf_dir), _RC_LABELS, salt=_RC_SALT)
+    return out.select("url", "page_num", "bloc_ord", "label")
+
+
+def random_classifier_oracle() -> str:
+    # u32 = first 8 hex chars of md5(key); DuckDB has no hex->int cast, so
+    # unroll the base-16 polynomial over strpos of each character.
+    import numpy as np
+
+    key = (
+        "url || ':' || CAST(page_num AS VARCHAR) || ':' || "
+        f"CAST(bloc_ord AS VARCHAR) || ':s{_RC_SALT}'"
+    )
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    total = float(sum(_RC_LABELS.values()))
+    names = list(_RC_LABELS.keys())
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += _RC_LABELS[name] / total
+        thr = int(np.floor(cum * 4294967296.0))
+        whens.append(f"WHEN u32 < {thr} THEN '{name}'")
+    return f"""
+WITH blocs AS ({BLOCS_FROM_LINEITEM_SQL}),
+k AS (SELECT url, page_num, bloc_ord, substr(md5({key}), 1, 8) AS h FROM blocs),
+u AS (SELECT url, page_num, bloc_ord, CAST({terms} AS BIGINT) AS u32 FROM k)
+SELECT url, page_num, bloc_ord,
+  CASE {" ".join(whens)} ELSE '{names[-1]}' END AS label
+FROM u
+"""

@@ -293,3 +293,46 @@ def classify_random(
         BLOC_SCHEMA,
         order_cols=(asc_nulls_last("page_num"), asc_nulls_last("bloc_ord")),
     )
+
+
+def classify_random_hash(
+    blocs: DataFrame,
+    labels: Union[List[str], Dict[str, float]],
+    salt: int = 0,
+) -> DataFrame:
+    """P5 RandomClassifier, hash-draw variant (random.py:8-51 semantics:
+    one categorical draw per line from the label distribution).
+
+    The draw is ``md5(url:page:ord:salt)``'s first 32 bits mapped through
+    the cumulative distribution — a counter-based RNG in the Philox spirit
+    but built from engine built-ins only. Unlike a stateful generator it
+    is **stable under retries, partitioning and speculative execution**
+    (the draw depends only on the row key), which is the property that
+    actually matters at 10^12 docs; it is also expression-only (zero
+    Python, whole-stage codegen) and ANSI-SQL-expressible, so the driver
+    can value-check it cross-engine. Same label marginals as the
+    reference's ``rng.choice``.
+    """
+    if isinstance(labels, list):
+        labels = {c: 1.0 for c in labels}
+    total = float(sum(labels.values()))
+    names = list(labels.keys())
+    # integer cumulative thresholds on the u32 lattice (exactly the SQL's)
+    cum, thresholds = 0.0, []
+    for name in names[:-1]:
+        cum += labels[name] / total
+        thresholds.append(int(np.floor(cum * 4294967296.0)))
+    key = F.concat_ws(
+        ":",
+        F.col("url"),
+        F.col("page_num").cast("string"),
+        F.col("bloc_ord").cast("string"),
+        F.lit(f"s{salt}"),
+    )
+    u32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    drawn = F.lit(names[-1])
+    for name, thr in reversed(list(zip(names[:-1], thresholds))):
+        drawn = F.when(u32 < F.lit(thr), F.lit(name)).otherwise(drawn)
+    return blocs.withColumn(
+        "label", F.when(F.col("error"), F.col("label")).otherwise(drawn)
+    )
