@@ -211,6 +211,30 @@ def main() -> None:
                 nprobe=4,
             ))(__import__("edspdf_spark.functions.similarity", fromlist=["x"])),
         ),
+        (
+            "forest_classifier (trainable-head serve)",
+            "Quantized compiled serve (ml/compiled.py): E1 features are "
+            "pure projections plus ONE url-keyed window (first/last-page "
+            "features are per-document semantics, so that exchange is "
+            "required), then a single Arrow mapInPandas traversal — the "
+            "model rides the closure, no join, no further shuffle. (The "
+            "extra exchange below is the entry query's SELECT DISTINCT "
+            "blocs derivation, same caveat as mask_argmax.)",
+            eq.q_forest_classifier(spark, SF_DIR),
+        ),
+        (
+            "order_following (pairwise-head serve)",
+            "Per-page pair self-join on (url, page_num) — the equi-join key "
+            "keeps the O(lines²) blowup strictly within a page — then one "
+            "Arrow scoring stage and one max_by aggregation (partial agg "
+            "before the single (url, page_num, ord_i) exchange; max_by on a "
+            "struct plans as SortAggregate, which is still two-phase). At "
+            "test SF Catalyst broadcasts the self-join's right side; at "
+            "cluster scale the same plan degrades gracefully to a "
+            "co-partitioned sort-merge join on the page key — either way "
+            "no exchange is keyed on anything finer than the page.",
+            eq.q_order_following(spark, SF_DIR),
+        ),
     ]
 
     sections = []
