@@ -155,7 +155,7 @@ def extract_doc_raw(
     # (pdfminer.py:140-184).
     for page_num, _w, _h in pages:
         w, h = page_dims[page_num]
-        page_boxes = []
+        in_bounds = []
         for x0, y0, x1, y1, runs in by_page[page_num]:
             text, props = fold_runs(runs)
             if len(text) == 0:
@@ -164,11 +164,11 @@ def extract_doc_raw(
             nx1 = x1 / w
             ny0 = 1 - y1 / h
             ny1 = 1 - y0 / h
-            page_boxes.append((page_num, nx0, ny0, nx1, ny1, text, props))
+            # bounds filter inline (pdfminer.py:178-182) — one pass, no
+            # intermediate page_boxes list
+            if nx0 >= 0 and ny0 >= 0 and nx1 <= 1 and ny1 <= 1:
+                in_bounds.append((page_num, nx0, ny0, nx1, ny1, text, props))
 
-        in_bounds = [
-            b for b in page_boxes if b[1] >= 0 and b[2] >= 0 and b[3] <= 1 and b[4] <= 1
-        ]
         for ord_, b in enumerate(sort_reading_order(in_bounds)):
             blocs.append((b[0], ord_, b[1], b[2], b[3], b[4], b[5], b[6]))
     return blocs, pages, False

@@ -151,7 +151,8 @@ def fold_runs(
     :func:`fold_line_chars` for the exact reference semantics
     (equivalence is asserted by tests/test_kernel.py).
     """
-    runs = list(runs)
+    if type(runs) is not list:
+        runs = list(runs)
     if len(runs) == 1:
         # dominant case — avoid the generic all() scan
         fontname, upright, t = runs[0]
