@@ -146,3 +146,35 @@ def test_classify_random_hash_error_rows_keep_label(spark):
     # and the plan stays expression-only (no Python eval nodes)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Eval" not in plan and "Arrow" not in plan
+
+def test_quantize_matches_duckdb_floor_on_adversarial_doubles():
+    """The micro-grid round-half-up must agree with the oracle's
+    CAST(FLOOR(x*1000000.0 + 0.5) AS BIGINT) bit-for-bit — including
+    negatives, exact .5 boundaries, subnormal-ish tinies and log-range
+    magnitudes (the P10 features contain ln ratios)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(
+            min_value=-9e6, max_value=9e6, allow_nan=False, allow_infinity=False
+        )
+    )
+    def check(x):
+        want = int(C.quantize(np.array([x]))[0])
+        got = con.execute(
+            "SELECT CAST(FLOOR(? * 1000000.0 + 0.5) AS BIGINT)", [x]
+        ).fetchone()[0]
+        assert got == want, (x, got, want)
+
+    check()
+    # pinned exact boundaries (float literals representable in binary)
+    for x in (0.5e-6, -0.5e-6, 1.5e-6, -1.5e-6, 2.0**-21, -(2.0**-21)):
+        want = int(C.quantize(np.array([x]))[0])
+        got = con.execute(
+            "SELECT CAST(FLOOR(? * 1000000.0 + 0.5) AS BIGINT)", [x]
+        ).fetchone()[0]
+        assert got == want
