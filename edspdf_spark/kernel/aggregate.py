@@ -92,7 +92,6 @@ def aggregate_doc(
     out: Dict[str, Tuple[str, list]] = {}
     for label, group in lines_per_label.items():
         styles: list = []
-        text = ""
         pairs = list(zip(group, [*group[1:], None]))
         dys = [
             nxt[4] - cur[4] if nxt is not None and cur[0] == nxt[0] else None
@@ -105,19 +104,27 @@ def aggregate_doc(
         # average); NaN heights fall back to np.median so the reference's
         # partition-order NaN behavior is preserved bit for bit.
         height = _median_f64(heights) if heights else float("nan")
+        # text accumulates as parts + running length — per-line `text +=`
+        # re-copies the whole prefix (O(n²) on long documents); the joined
+        # result and the rebased span offsets are byte-identical
+        parts: list = []
+        tlen = 0
         for (cur, nxt), dy in zip(pairs, dys):
             for s in cur[6]:
-                styles.append((s[0], s[1], s[2] + len(text), s[3] + len(text), s[4]))
-            text = text + cur[5]
+                styles.append((s[0], s[1], s[2] + tlen, s[3] + tlen, s[4]))
+            parts.append(cur[5])
+            tlen += len(cur[5])
             if nxt is None:
                 continue
             if cur[0] != nxt[0]:
-                text = text + "\n\n"
+                sep = "\n\n"
             elif dy / height > new_paragraph_threshold:
-                text = text + "\n\n"
+                sep = "\n\n"
             elif dy / height > new_line_threshold:
-                text = text + "\n"
+                sep = "\n"
             else:
-                text = text + " "
-        out[label] = (text, styles)
+                sep = " "
+            parts.append(sep)
+            tlen += len(sep)
+        out[label] = ("".join(parts), styles)
     return out
