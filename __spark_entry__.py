@@ -1293,11 +1293,20 @@ FROM orders GROUP BY 1
 """
 
 
+_HTML_CLOSER = (
+    "This closing paragraph carries enough plain words to count as good content."
+)
+
+
 def _q_html_boilerplate(spark, sf_dir):
-    """HTML boilerplate strip (north rule): documents wrapped in a fixed
-    page template (nav chrome + article body), segmented and labeled by the
-    link-density/DOM-heuristic extractor. Deterministic template → exact
-    SQL oracle: one boilerplate nav block and one body block per doc."""
+    """HTML boilerplate strip + jusText-style context smoothing (north
+    rule "DOM heuristics"): documents wrapped in a fixed page template —
+    nav chrome, a good article paragraph, a SHORT connective paragraph
+    ("Read on", below min_words), a second good paragraph, and a link-only
+    footer. The context-sensitive pass (``context_classify``, Pomikálek
+    2011 semantics) must rescue the short block because both decided
+    neighbors are good, while nav/footer chrome stays boilerplate.
+    Deterministic template → exact 5-rows-per-doc SQL oracle."""
     import pandas as pd
 
     from edspdf_spark.operators.extract_html import extract_blocs_html
@@ -1312,7 +1321,11 @@ def _q_html_boilerplate(spark, sf_dir):
                     "html": [
                         (
                             "<html><nav><a href='/'>Menu</a> Home About</nav>"
-                            "<article><p>" + str(t) + "</p></article></html>"
+                            "<article><p>" + str(t) + "</p>"
+                            "<p>Read on</p>"
+                            "<p>" + _HTML_CLOSER + "</p></article>"
+                            "<footer><a href='/p'>Privacy</a> "
+                            "<a href='/t'>Terms</a></footer></html>"
                         ).encode("utf-8")
                         for t in pdf["text"]
                     ],
@@ -1320,16 +1333,29 @@ def _q_html_boilerplate(spark, sf_dir):
             )
 
     pages = docs.mapInPandas(to_html, "url string, html binary")
-    out = extract_blocs_html(pages, min_words=3, max_link_density=0.4)
+    out = extract_blocs_html(
+        pages, min_words=3, max_link_density=0.4, context_sensitive=True
+    )
     return out.select("url", "label", "text")
 
 
-_HTML_BOILERPLATE_ORACLE = """
+_HTML_BOILERPLATE_ORACLE = f"""
 SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
        'Menu Home About' AS text
 FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, 'Read on' AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label,
+       '{_HTML_CLOSER}' AS text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Privacy Terms' AS text
 FROM documents
 """
 

@@ -105,6 +105,16 @@ def bench_pdf_bytes(spark, corpus_path):
     )
 
 
+def bench_html_extract(spark, corpus_path):
+    """North-rule HTML face (graft cell: pyspark × webtext): boilerplate
+    strip + link-density blocks + jusText-style context smoothing over a
+    pre-generated Common-Crawl-style HTML corpus."""
+    from edspdf_spark.operators.extract_html import extract_blocs_html
+
+    pages = spark.read.parquet(corpus_path)
+    materialize(extract_blocs_html(pages, context_sensitive=True))
+
+
 def bench_ann(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -188,6 +198,19 @@ def main():
             "overwrite"
         ).parquet(pdf_corpus)
 
+    # pre-generate the HTML web-page corpus once (replicated documents
+    # texts → deterministic chrome+article pages); only the extract side
+    # is benched
+    html_docs = int(os.environ.get("BENCH_HTML_DOCS", "24000"))
+    html_corpus = f"/tmp/edspdf_bench_html_{html_docs}"
+    if not os.path.exists(html_corpus + "/_SUCCESS"):
+        from edspdf_spark.fixtures import html_pages_from_documents
+
+        reps = max(1, html_docs // max(1, n_documents))
+        html_pages_from_documents(spark, SF_DIR, reps=reps).repartition(
+            CPUS
+        ).write.mode("overwrite").parquet(html_corpus)
+
     # warmup: JVM/codegen init plus one python worker per core, so timings
     # below are steady-state (a cold first query would otherwise absorb
     # 32 worker fork+import costs)
@@ -206,6 +229,7 @@ def main():
             spark, corpus_path
         ),
         "pdf_bytes": lambda: bench_pdf_bytes(spark, pdf_corpus),
+        "html_extract": lambda: bench_html_extract(spark, html_corpus),
         "mask_argmax": lambda: bench_mask_argmax(spark, SF_DIR),
         "minhash_lsh": lambda: bench_minhash_lsh(spark, SF_DIR),
         "lsh_neardup": lambda: bench_lsh_neardup(spark, SF_DIR),

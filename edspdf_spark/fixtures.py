@@ -162,6 +162,49 @@ def _doc_to_payload(doc_id: int, text: str) -> bytes:
     return ("\n".join(out) + "\n").encode("utf-8")
 
 
+def _doc_to_html(doc_id: int, text: str) -> bytes:
+    """Deterministic Common-Crawl-style page: nav chrome, a link-dense ad
+    block, article paragraphs separated by short connectives, related-links
+    aside, footer — exercises block segmentation, chrome depth, link
+    density, and the jusText-style context pass."""
+    words = (text or "").split()
+    third = max(1, (len(words) + 2) // 3)
+    paras = [" ".join(words[i : i + third]) for i in range(0, len(words), third)]
+    links = " ".join(
+        f"<a href='/t/{(doc_id + k) % 97}'>tag{k}</a>" for k in range(6)
+    )
+    body = "<p>Read on</p>".join(f"<p>{p}</p>" for p in paras)
+    return (
+        f"<html><head><title>doc {doc_id}</title></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>Archive</a>"
+        " <a href='/c'>Contact</a></nav>"
+        f"<div>{links}</div>"
+        f"<article>{body}</article>"
+        "<aside><a href='/x'>More</a> <a href='/y'>Related</a></aside>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def html_pages_from_documents(spark, sf_dir: str, reps: int = 1):
+    """documents table → (url, html) web-page corpus; ``reps`` replicates
+    the texts under distinct urls for bench-scale workloads."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for rep in range(reps):
+                    did = int(r.doc_id) + rep * 1_000_000
+                    rows.append(
+                        {"url": f"web://{did:09d}", "html": _doc_to_html(did, r.text)}
+                    )
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    return docs.mapInPandas(gen, schema="url string, html binary")
+
+
 def pages_from_documents(spark, sf_dir: str):
     """Adapter: the driver's ``documents`` table → a deterministic pages
     table (BASELINE input_hint shape), used by the flagship entry query."""

@@ -16,6 +16,17 @@ Heuristics (boilerpipe/Arc90-family, deterministic):
 * a block is CONTENT iff it is not inside nav/header/footer/aside, has ≥
   min_words words, and link_density ≤ max_link_density; else BOILERPLATE.
 
+``context_sensitive=True`` layers the jusText-style two-pass smoothing
+(Pomikálek 2011, "Removing boilerplate and duplicate content from web
+corpora" — published algorithm, reimplemented) on top:
+
+* context-free pass: ``bad`` (chrome container or link-dense), ``good``
+  (≥ good_words words), ``short`` (< min_words), ``neargood`` (between);
+  an optional stopword-density floor demotes function-word-free blocks;
+* context pass: short/neargood blocks inherit from their nearest DECIDED
+  (good/bad) neighbors — document edges count as bad, matching jusText:
+  ``short`` needs good on BOTH sides, ``neargood`` on at least one.
+
 Blocs get pseudo-geometry from document order (y grows with block index,
 one page per ``page_chars`` of text) so every downstream geometric operator
 (mask classifier, aggregator separators) works unchanged on web pages.
@@ -33,7 +44,7 @@ from pyspark.sql import DataFrame
 from edspdf_spark.schemas import BLOC_SCHEMA
 
 _STRIP_RE = re.compile(
-    r"<(script|style|template|noscript)\b.*?</\1\s*>|<!--.*?-->",
+    r"<(script|style|template|noscript|head)\b.*?</\1\s*>|<!--.*?-->",
     re.IGNORECASE | re.DOTALL,
 )
 _BLOCK_TAGS = (
@@ -91,6 +102,7 @@ def extract_html_blocks(
                 "text": content,
                 "n_words": n_words,
                 "link_density": ld,
+                "chrome": chrome_depth > 0,
                 "label": "body" if is_content else "boilerplate",
             }
         )
@@ -110,11 +122,94 @@ def extract_html_blocks(
     return blocks, False
 
 
+# A compact English function-word set for the optional stopword-density
+# signal (jusText uses per-language lists; this is the deterministic
+# built-in default — pass your own ``stopwords`` for other languages).
+EN_STOPWORDS = frozenset(
+    "a an and are as at be but by for from has have if in into is it its of "
+    "on or that the their there these they this to was were will with".split()
+)
+
+
+def context_classify(
+    blocks: List[dict],
+    min_words: int = 3,
+    good_words: int = 8,
+    max_link_density: float = 0.4,
+    stopwords: frozenset | None = None,
+    stopword_low: float | None = None,
+) -> List[str]:
+    """jusText-style two-pass labels ('body'/'boilerplate') for ``blocks``.
+
+    Pass 1 (context-free): ``bad`` if inside a chrome container or
+    link_density > max_link_density; else ``good`` if ≥ good_words words
+    (and, when a stopword floor is set, stopword density ≥ stopword_low);
+    ``short`` if < min_words; ``neargood`` otherwise.
+
+    Pass 2 (context): every short/neargood block looks at its nearest
+    DECIDED (good/bad) neighbor on each side, document edges counting as
+    bad — ``short`` becomes body only between two goods, ``neargood``
+    next to at least one good. Deterministic; no randomness, no model.
+    """
+    cls: List[str] = []
+    for b in blocks:
+        if b.get("chrome") or b["link_density"] > max_link_density:
+            cls.append("bad")
+            continue
+        n = b["n_words"]
+        if n < min_words:
+            cls.append("short")
+            continue
+        demoted = False
+        if stopwords is not None and stopword_low is not None:
+            sw = sum(1 for w in b["text"].lower().split() if w in stopwords)
+            demoted = (sw / n) < stopword_low
+        cls.append("neargood" if (n < good_words or demoted) else "good")
+
+    n = len(cls)
+    prev_decided = ["bad"] * n
+    last = "bad"
+    for i in range(n):
+        prev_decided[i] = last
+        if cls[i] in ("good", "bad"):
+            last = cls[i]
+    next_decided = ["bad"] * n
+    last = "bad"
+    for i in range(n - 1, -1, -1):
+        next_decided[i] = last
+        if cls[i] in ("good", "bad"):
+            last = cls[i]
+
+    out: List[str] = []
+    for i, c in enumerate(cls):
+        if c == "good":
+            out.append("body")
+        elif c == "bad":
+            out.append("boilerplate")
+        elif c == "short":
+            out.append(
+                "body"
+                if prev_decided[i] == "good" and next_decided[i] == "good"
+                else "boilerplate"
+            )
+        else:  # neargood
+            out.append(
+                "body"
+                if prev_decided[i] == "good" or next_decided[i] == "good"
+                else "boilerplate"
+            )
+    return out
+
+
 def extract_blocs_html(
     pages: DataFrame,
     min_words: int = 3,
     max_link_density: float = 0.4,
     page_lines: int = 40,
+    context_sensitive: bool = False,
+    good_words: int = 8,
+    stopwords: frozenset | None = None,
+    stopword_low: float | None = None,
 ) -> DataFrame:
     """pages(url, html=HTML bytes) → blocs (BLOC_SCHEMA); boilerplate blocks
     are pre-labeled so a pipeline may skip the classifier entirely or
@@ -131,6 +226,17 @@ def extract_blocs_html(
                     blocks, err = extract_html_blocks(
                         bytes(raw), min_words=min_words, max_link_density=max_link_density
                     )
+                    if context_sensitive and not err:
+                        labels = context_classify(
+                            blocks,
+                            min_words=min_words,
+                            good_words=good_words,
+                            max_link_density=max_link_density,
+                            stopwords=stopwords,
+                            stopword_low=stopword_low,
+                        )
+                        for b, lab in zip(blocks, labels):
+                            b["label"] = lab
                 if err:
                     rows.append(
                         dict.fromkeys(cols, None)

@@ -89,11 +89,22 @@ def _markdown_aggregator(df: DataFrame, **kw):
     return aggregate_markdown(df, **{k: v for k, v in kw.items() if k != "name"})
 
 
-def _html_extractor(df: DataFrame, min_words: int = 3, max_link_density: float = 0.4, **_):
+def _html_extractor(
+    df: DataFrame,
+    min_words: int = 3,
+    max_link_density: float = 0.4,
+    context_sensitive: bool = False,
+    good_words: int = 8,
+    **_,
+):
     from edspdf_spark.operators.extract_html import extract_blocs_html
 
     return extract_blocs_html(
-        df, min_words=min_words, max_link_density=max_link_density
+        df,
+        min_words=min_words,
+        max_link_density=max_link_density,
+        context_sensitive=context_sensitive,
+        good_words=good_words,
     )
 
 

@@ -1,0 +1,121 @@
+"""jusText-style context-sensitive block classification (pure python —
+the Spark face is covered by the html_boilerplate oracle query).
+
+Reference semantics: Pomikálek 2011 two-pass smoothing — short blocks
+inherit 'good' only when BOTH nearest decided neighbors are good (document
+edges count as bad); neargood blocks need at least one good neighbor.
+"""
+
+from edspdf_spark.operators.extract_html import (
+    EN_STOPWORDS,
+    context_classify,
+    extract_html_blocks,
+)
+
+
+def blk(text, chrome=False, ld=0.0):
+    return {
+        "text": text,
+        "n_words": len(text.split()),
+        "link_density": ld,
+        "chrome": chrome,
+        "label": "",
+    }
+
+
+GOOD = blk("one two three four five six seven eight nine")  # 9 words
+SHORT = blk("Read on")  # 2 words
+NEAR = blk("four words sit here")  # 4 words: neargood band [3, 8)
+
+
+def test_short_between_goods_is_rescued():
+    assert context_classify([GOOD, SHORT, GOOD]) == ["body", "body", "body"]
+
+
+def test_short_at_document_edge_stays_boilerplate():
+    # edges count as bad: leading/trailing shorts are never rescued
+    assert context_classify([SHORT, GOOD]) == ["boilerplate", "body"]
+    assert context_classify([GOOD, SHORT]) == ["body", "boilerplate"]
+
+
+def test_short_next_to_bad_stays_boilerplate():
+    nav = blk("Home About Contact", chrome=True)
+    assert context_classify([nav, SHORT, GOOD]) == [
+        "boilerplate",
+        "boilerplate",
+        "body",
+    ]
+
+
+def test_neargood_needs_only_one_good_neighbor():
+    nav = blk("Home About Contact", chrome=True)
+    assert context_classify([nav, NEAR, GOOD]) == ["boilerplate", "body", "body"]
+    assert context_classify([nav, NEAR, nav]) == [
+        "boilerplate",
+        "boilerplate",
+        "boilerplate",
+    ]
+
+
+def test_chain_of_undecided_blocks_skips_to_decided_neighbor():
+    # short+neargood run between two goods: the decided neighbors are the
+    # goods on each side for every block in the run
+    seq = [GOOD, SHORT, NEAR, SHORT, GOOD]
+    assert context_classify(seq) == ["body"] * 5
+
+
+def test_link_density_demotes_to_bad():
+    linky = blk("a b c d e f g h i", ld=0.9)
+    assert context_classify([GOOD, linky, GOOD]) == ["body", "boilerplate", "body"]
+
+
+def test_stopword_floor_demotes_good_to_neargood():
+    # 9 words, zero stopwords: with a floor every GOOD here is neargood,
+    # so no decided good exists anywhere and the whole run falls
+    labels = context_classify(
+        [GOOD, SHORT, GOOD],
+        stopwords=EN_STOPWORDS,
+        stopword_low=0.1,
+    )
+    assert labels == ["boilerplate", "boilerplate", "boilerplate"]
+    assert context_classify(
+        [GOOD], stopwords=EN_STOPWORDS, stopword_low=0.1
+    ) == ["boilerplate"]
+    # a block rich in function words keeps its good class under the floor
+    rich = blk("the cat is on the mat and it is there with a hat")
+    assert context_classify(
+        [rich], stopwords=EN_STOPWORDS, stopword_low=0.1
+    ) == ["body"]
+
+
+def test_template_end_to_end_block_segmentation():
+    html = (
+        "<html><nav><a href='/'>Menu</a> Home About</nav>"
+        "<article><p>one two three four five six seven eight nine ten</p>"
+        "<p>Read on</p>"
+        "<p>This closing paragraph carries enough plain words to count as"
+        " good content.</p></article>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+        "</html>"
+    ).encode()
+    blocks, err = extract_html_blocks(html)
+    assert not err
+    labels = context_classify(blocks)
+    assert [b["text"] for b in blocks] == [
+        "Menu Home About",
+        "one two three four five six seven eight nine ten",
+        "Read on",
+        "This closing paragraph carries enough plain words to count as good"
+        " content.",
+        "Privacy Terms",
+    ]
+    assert labels == ["boilerplate", "body", "body", "body", "boilerplate"]
+    # context-free labeling (the default path) marks the short block
+    # boilerplate — the context pass is what rescues it
+    assert [b["label"] for b in blocks] == [
+        "boilerplate",
+        "body",
+        "boilerplate",
+        "body",
+        "boilerplate",
+    ]
