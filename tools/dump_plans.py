@@ -143,6 +143,24 @@ def main() -> None:
             ),
         ),
         (
+            "html_extract (webtext face)",
+            "HTML boilerplate strip + jusText-style context smoothing. "
+            "Block segmentation and neighbor smoothing are per-document, "
+            "so the only acceptable plan is scan → mapInPandas → sink "
+            "with ZERO exchanges (here the corpus generator adds one more "
+            "mapInPandas in the same stage); the scan must read only "
+            "(doc_id, text) — ReadSchema check below.",
+            (lambda _f, _x: _x.extract_blocs_html(
+                _f.html_pages_from_documents(spark, SF_DIR),
+                context_sensitive=True,
+            ))(
+                __import__("edspdf_spark.fixtures", fromlist=["x"]),
+                __import__(
+                    "edspdf_spark.operators.extract_html", fromlist=["x"]
+                ),
+            ),
+        ),
+        (
             "mask_argmax (driver query)",
             "Literal masks compile to per-mask overlap scores + greatest() "
             "+ first-match argmax — a pure projection, no join, no shuffle "
