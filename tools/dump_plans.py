@@ -123,7 +123,7 @@ def main() -> None:
             "extract → overlap-argmax classify → ordered aggregate in ONE "
             "Arrow stage. A per-document pipeline never needs to move lines "
             "across the cluster to regroup them by the document they came "
-            "from, so the only acceptable plan is scan → mapInPandas → sink "
+            "from, so the only acceptable plan is scan → mapInArrow → sink "
             "with no exchange; skew is handled upstream by scan-split "
             "sizing (`skew.apply_scan_partitioning`), which shapes the scan, "
             "not the plan.",
