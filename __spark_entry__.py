@@ -1369,7 +1369,9 @@ def _q_source_roundtrip(spark, sf_dir):
 
     pages → extract → write_parquet (S4, maxRecordsPerFile) → parquet scan
     (S3) → per-url aggregate; the raw payloads go write_files (S2) →
-    binaryFile scan (S1) → byte-equality check; the aggregate then round-
+    binaryFile scan (S1) → byte-equality check, and in parallel through the
+    WARC wire format (write_warc → read_warc, sources/warc.py) with
+    byte+timestamp identity; the aggregate then round-
     trips through pandas (S5) and a python iterable (S6). The oracle states
     the per-url invariants (bloc count = ceil(words/6), token total = word
     count, payloads byte-identical)."""
@@ -1411,7 +1413,30 @@ def _q_source_roundtrip(spark, sf_dir):
             "url", (F.col("html") == F.col("html_rt")).alias("payload_ok")
         )
 
-        result = agg.join(ok, "url").select("url", "n_blocs", "n_words", "payload_ok")
+        # WARC wire format: pages → spec-conformant .warc.gz files
+        # (member-per-record gzip, http envelopes) → binaryFile scan +
+        # record parse → byte/timestamp identity per url
+        from edspdf_spark.sources.warc import read_warc, write_warc
+
+        write_warc(pages, f"{base}/warc", n_files=4)
+        warc_back = read_warc(spark, f"{base}/warc").select(
+            "url",
+            F.col("warc_ts").alias("warc_ts_rt"),
+            F.col("html").alias("html_rt2"),
+        )
+        wok = pages.join(warc_back, "url").select(
+            "url",
+            (
+                (F.col("html") == F.col("html_rt2"))
+                & (F.col("warc_ts") == F.col("warc_ts_rt"))
+            ).alias("warc_ok"),
+        )
+
+        result = (
+            agg.join(ok, "url")
+            .join(wok, "url")
+            .select("url", "n_blocs", "n_words", "payload_ok", "warc_ok")
+        )
 
         # S5: pandas round-trip (Arrow both ways), then S6: iterable round-trip.
         # Both legs materialize here, so the temp dir can be removed before
@@ -1432,7 +1457,8 @@ WITH words AS (
 SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
        CAST(ceil(len(w) / 6.0) AS BIGINT) AS n_blocs,
        CAST(len(w) AS BIGINT) AS n_words,
-       TRUE AS payload_ok
+       TRUE AS payload_ok,
+       TRUE AS warc_ok
 FROM words
 """
 

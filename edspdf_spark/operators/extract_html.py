@@ -67,10 +67,22 @@ def extract_html_blocks(
     raw: bytes,
     min_words: int = 3,
     max_link_density: float = 0.4,
+    charset: str = "utf-8",
 ) -> Tuple[List[dict], bool]:
-    """One HTML payload → list of block dicts (text, label, densities)."""
+    """One HTML payload → list of block dicts (text, label, densities).
+
+    ``charset="sniff"`` resolves the encoding per payload (BOM, then
+    ``<meta charset>``, then utf-8 — :func:`edspdf_spark.sources.warc.
+    sniff_charset`); crawl archives carry no out-of-band charset, so this
+    is the WARC-ingestion mode. A fixed charset skips the sniff.
+    """
     try:
-        text = raw.decode("utf-8", errors="replace")
+        if charset == "sniff":
+            from edspdf_spark.sources.warc import decode_payload
+
+            text = decode_payload(raw)
+        else:
+            text = raw.decode(charset, errors="replace")
     except Exception:
         return [], True
     if "<" not in text:
@@ -210,6 +222,7 @@ def extract_blocs_html(
     good_words: int = 8,
     stopwords: frozenset | None = None,
     stopword_low: float | None = None,
+    charset: str = "utf-8",
 ) -> DataFrame:
     """pages(url, html=HTML bytes) → blocs (BLOC_SCHEMA); boilerplate blocks
     are pre-labeled so a pipeline may skip the classifier entirely or
@@ -224,7 +237,10 @@ def extract_blocs_html(
                     blocks, err = [], True
                 else:
                     blocks, err = extract_html_blocks(
-                        bytes(raw), min_words=min_words, max_link_density=max_link_density
+                        bytes(raw),
+                        min_words=min_words,
+                        max_link_density=max_link_density,
+                        charset=charset,
                     )
                     if context_sensitive and not err:
                         labels = context_classify(

@@ -11,8 +11,20 @@ from edspdf_spark.sources.writers import (
     write_files,
 )
 from edspdf_spark.sources.resume import ResumableSink
+from edspdf_spark.sources.warc import (
+    read_warc,
+    write_warc,
+    pages_to_warc,
+    sniff_charset,
+    decode_payload,
+)
 
 __all__ = [
+    "read_warc",
+    "write_warc",
+    "pages_to_warc",
+    "sniff_charset",
+    "decode_payload",
     "read_pages_parquet",
     "read_files_binary",
     "from_pandas",

@@ -1,0 +1,354 @@
+"""WARC source/sink — the wire format of Common-Crawl-style page corpora.
+
+The engine's input table (BASELINE.json input_hint) is
+``(url, warc_ts, html, text, lang)`` — exactly the row shape Common Crawl
+publishes as WARC *response* records (ISO 28500). This module closes the
+loop to the wire format itself, stdlib-only:
+
+* :func:`read_warc` — directory of ``*.warc`` / ``*.warc.gz`` files → the
+  pages table, via one distributed ``binaryFile`` scan + an Arrow-batched
+  ``mapInPandas`` parse (no driver-side file handling). Handles gzip
+  (including the member-per-record convention), ``response`` records with
+  full HTTP envelopes (status line, headers, ``Transfer-Encoding: chunked``
+  de-chunking, ``Content-Length`` truncation), bare ``resource`` records,
+  and skips ``warcinfo`` / ``request`` / ``metadata`` records — the record
+  mix a real crawl file contains.
+* :func:`pages_to_warc` / :func:`write_warc` — render a pages DataFrame
+  back into spec-conformant, byte-deterministic WARC files (fixed-mtime
+  gzip members, md5-derived record ids, records sorted by url within a
+  file) so round-trip tests and fixtures need no randomness.
+* :func:`sniff_charset` — BOM + ``<meta charset>`` detection for payload
+  bytes whose encoding is *not* known up front (real crawls are ~10%%
+  non-UTF-8); shared with the HTML extractor's ``charset="sniff"`` mode.
+
+Scale notes: a WARC file is a sequential record stream, so one file parses
+as one unit — per-file parallelism == the binaryFile scan's file
+parallelism, the same contract the reference's one-task-per-file
+``read_in_worker`` has for PDFs (``edspdf/data/files.py:85-107``). Common
+Crawl shards crawls into ~1 GB WARCs precisely so this unit is a good task
+size; ``spark.sql.files.maxPartitionBytes`` never splits a binary file, so
+no record ever straddles tasks.
+"""
+
+from __future__ import annotations
+
+import codecs
+import datetime as _dt
+import gzip
+import hashlib
+import io
+import re
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from edspdf_spark.schemas import PAGES_SCHEMA
+
+_CRLF2 = b"\r\n\r\n"
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-coding body."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            break
+        try:
+            size = int(body[pos:nl].split(b";", 1)[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += body[nl + 2 : nl + 2 + size]
+        pos = nl + 2 + size + 2  # skip chunk + its trailing CRLF
+    return bytes(out)
+
+
+def _http_payload(block: bytes) -> Optional[bytes]:
+    """HTTP response envelope → entity body (None if not an HTTP message)."""
+    if not block.startswith(b"HTTP/"):
+        return None
+    split = block.find(_CRLF2)
+    if split < 0:
+        return b""
+    head = block[:split].lower()
+    body = block[split + 4 :]
+    if b"transfer-encoding:" in head and b"chunked" in head:
+        return _dechunk(body)
+    m = re.search(rb"content-length:\s*(\d+)", head)
+    if m:
+        return body[: int(m.group(1))]
+    return body
+
+
+def _parse_warc_date(value: str) -> Optional[_dt.datetime]:
+    """``2024-01-01T00:02:17Z`` (WARC/1.0) or fractional (WARC/1.1)."""
+    try:
+        return _dt.datetime.fromisoformat(value.rstrip("Z"))
+    except ValueError:
+        return None
+
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Yield ``(headers, block)`` per record; headers keys lowercased.
+
+    Accepts plain or gzip bytes — ``gzip.decompress`` transparently
+    concatenates the member-per-record layout crawlers write.
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record CRLF*2 separators / stray newlines
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            break
+        head = data[pos:head_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            break  # not a record boundary — corrupt tail
+        headers: dict = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = head_end + 4
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+def parse_warc_responses(
+    data: bytes,
+) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
+    """One WARC file's bytes → ``[(url, warc_ts, payload)]`` for every
+    ``response``/``resource`` record (warcinfo/request/metadata skipped)."""
+    out = []
+    for headers, block in iter_warc_records(data):
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri")
+        if url is None or rtype not in ("response", "resource"):
+            continue
+        if rtype == "response":
+            payload = _http_payload(block)
+            if payload is None:  # http envelope promised but absent
+                payload = block
+        else:
+            payload = block
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        out.append((url, ts, payload))
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    recursive: bool = True,
+) -> DataFrame:
+    """S1/WARC — directory of WARC files → pages table (PAGES_SCHEMA).
+
+    One ``binaryFile`` scan (a task per WARC file) + Arrow-batched parse;
+    ``text``/``lang`` come back NULL — they are pipeline *outputs*, not
+    crawl inputs.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list = []
+            tss: list = []
+            payloads: list = []
+            for data in pdf["content"]:
+                for url, ts, payload in parse_warc_responses(bytes(data)):
+                    urls.append(url)
+                    tss.append(ts)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
+                    "html": pd.Series(payloads, dtype=object),
+                    "text": pd.Series([None] * len(urls), dtype=object),
+                    "lang": pd.Series([None] * len(urls), dtype=object),
+                }
+            )
+
+    return files.select("content").mapInPandas(work, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def _fmt_warc_date(ts) -> str:
+    if ts is None or ts != ts:  # None or NaT/NaN
+        return "1970-01-01T00:00:00Z"
+    ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+    if ts.microsecond:
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%f").rstrip("0") + "Z"
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(url: str, date: str) -> str:
+    h = hashlib.md5((url + "|" + date).encode("utf-8")).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def _response_record(url: str, ts, payload: bytes) -> bytes:
+    date = _fmt_warc_date(ts)
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + _CRLF2 + payload
+    )
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: {_record_id(url, date)}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + http + _CRLF2
+
+
+def _warcinfo_record(name: str, date: str) -> bytes:
+    info = b"software: edspdf-spark\r\nformat: WARC File Format 1.0\r\n"
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        f"WARC-Record-ID: {_record_id('warcinfo:' + name, date)}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Filename: {name}\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(info)}\r\n\r\n"
+    ).encode("utf-8")
+    return head + info + _CRLF2
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no filename) per record —
+    the crawler convention that lets readers seek to record offsets."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def pages_to_warc(
+    pages: DataFrame,
+    n_files: int = 8,
+    compress: bool = True,
+    prefix: str = "crawl",
+) -> DataFrame:
+    """pages → ``(warc_name string, content binary)``, one row per WARC file.
+
+    Records are hash-assigned to files and sorted by url within each, so
+    the output bytes are deterministic regardless of input partitioning.
+    ``applyInPandas`` here is one pandas frame per *file* — the intended
+    unit, not a per-group anti-pattern (n groups == n_files).
+    """
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        fid = int(pdf["_fid"].iloc[0])
+        name = f"{prefix}-{fid:05d}{suffix}"
+        first_date = _fmt_warc_date(pdf["warc_ts"].iloc[0])
+        records = [_warcinfo_record(name, first_date)]
+        for url, ts, payload in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            records.append(
+                _response_record(url, ts, bytes(payload) if payload is not None else b"")
+            )
+        if compress:
+            content = b"".join(_gzip_member(r) for r in records)
+        else:
+            content = b"".join(records)
+        return pd.DataFrame({"warc_name": [name], "content": [content]})
+
+    keyed = pages.select("url", "warc_ts", "html").withColumn(
+        "_fid", F.abs(F.xxhash64("url")) % n_files
+    )
+    return keyed.groupBy("_fid").applyInPandas(
+        build, schema="warc_name string, content binary"
+    )
+
+
+def write_warc(
+    pages: DataFrame,
+    path: str,
+    n_files: int = 8,
+    compress: bool = True,
+    prefix: str = "crawl",
+) -> None:
+    """Render + write WARC files executor-side (no driver funnel)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(rows):
+        for r in rows:
+            with open(os.path.join(path, r["warc_name"]), "wb") as f:
+                f.write(bytes(r["content"]))
+
+    pages_to_warc(pages, n_files=n_files, compress=compress, prefix=prefix)\
+        .foreachPartition(dump)
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing
+# ---------------------------------------------------------------------------
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", re.IGNORECASE
+)
+
+
+def sniff_charset(head: bytes) -> str:
+    """BOM, then ``<meta charset>`` within the first 2 KiB, else utf-8.
+
+    Mirrors the WHATWG encoding-sniff order (BOM wins over meta); unknown
+    codec names fall through to the utf-8 default rather than raising.
+    """
+    if head.startswith(codecs.BOM_UTF32_LE) or head.startswith(codecs.BOM_UTF32_BE):
+        return "utf-32"
+    if head.startswith(codecs.BOM_UTF8):
+        return "utf-8-sig"
+    if head.startswith(codecs.BOM_UTF16_LE) or head.startswith(codecs.BOM_UTF16_BE):
+        return "utf-16"
+    m = _META_CHARSET_RE.search(head[:2048])
+    if m:
+        name = m.group(1).decode("ascii", errors="replace")
+        try:
+            codecs.lookup(name)
+            return name
+        except LookupError:
+            pass
+    return "utf-8"
+
+
+def decode_payload(raw: bytes) -> str:
+    """Sniffed decode, never raising (errors are replaced)."""
+    return raw.decode(sniff_charset(raw[:2048]), errors="replace")
