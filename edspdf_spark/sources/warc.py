@@ -97,48 +97,55 @@ def _parse_warc_date(value: str) -> Optional[_dt.datetime]:
         return None
 
 
-def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
+def iter_warc_records(data) -> Iterator[Tuple[dict, bytes]]:
     """Yield ``(headers, block)`` per record; headers keys lowercased.
 
-    Accepts plain or gzip bytes — ``gzip.decompress`` transparently
-    concatenates the member-per-record layout crawlers write.
+    Accepts bytes or a binary file-like, plain or gzip — ``GzipFile``
+    transparently concatenates the member-per-record layout crawlers
+    write. The parse is STREAMING: at most one record's block is held at
+    a time, never the whole decompressed file (a real ~1 GB gz crawl
+    shard inflates ~5×; materializing it per task is the scale hazard
+    this avoids — the compressed bytes are the only whole-file cost,
+    fixed by the ``binaryFile`` scan itself).
     """
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
-    pos, n = 0, len(data)
-    while pos < n:
-        # skip inter-record CRLF*2 separators / stray newlines
-        while pos < n and data[pos] in (0x0D, 0x0A):
-            pos += 1
-        if pos >= n:
+    f = io.BytesIO(data) if isinstance(data, (bytes, bytearray)) else data
+    magic = f.read(2)
+    f.seek(-len(magic), 1)
+    if magic == b"\x1f\x8b":
+        f = gzip.GzipFile(fileobj=f)
+    while True:
+        line = f.readline()
+        while line in (b"\r\n", b"\n"):  # inter-record separators
+            line = f.readline()
+        if not line:
             break
-        head_end = data.find(_CRLF2, pos)
-        if head_end < 0:
-            break
-        head = data[pos:head_end].decode("utf-8", errors="replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
+        if not line.startswith(b"WARC/"):
             break  # not a record boundary — corrupt tail
         headers: dict = {}
-        for line in lines[1:]:
-            if ":" in line:
-                k, v = line.split(":", 1)
-                headers[k.strip().lower()] = v.strip()
+        while True:
+            hline = f.readline()
+            if hline in (b"\r\n", b"\n", b""):
+                break
+            if b":" in hline:
+                k, v = hline.split(b":", 1)
+                headers[k.strip().lower().decode("utf-8", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
             break
-        body_start = head_end + 4
-        yield headers, data[body_start : body_start + length]
-        pos = body_start + length
+        block = f.read(length)
+        if len(block) < length:
+            break  # truncated file
+        yield headers, block
 
 
-def parse_warc_responses(
-    data: bytes,
-) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
-    """One WARC file's bytes → ``[(url, warc_ts, payload)]`` for every
-    ``response``/``resource`` record (warcinfo/request/metadata skipped)."""
-    out = []
+def iter_warc_responses(
+    data,
+) -> Iterator[Tuple[str, Optional[_dt.datetime], bytes]]:
+    """Stream ``(url, warc_ts, payload)`` for every ``response``/
+    ``resource`` record (warcinfo/request/metadata skipped)."""
     for headers, block in iter_warc_records(data):
         rtype = headers.get("warc-type", "")
         url = headers.get("warc-target-uri")
@@ -151,8 +158,14 @@ def parse_warc_responses(
         else:
             payload = block
         ts = _parse_warc_date(headers.get("warc-date", ""))
-        out.append((url, ts, payload))
-    return out
+        yield url, ts, payload
+
+
+def parse_warc_responses(
+    data,
+) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
+    """Eager form of :func:`iter_warc_responses` (tests/small files)."""
+    return list(iter_warc_responses(data))
 
 
 def read_warc(
@@ -160,12 +173,15 @@ def read_warc(
     path: str,
     glob: str = "*.warc*",
     recursive: bool = True,
+    chunk_records: int = 2048,
 ) -> DataFrame:
     """S1/WARC — directory of WARC files → pages table (PAGES_SCHEMA).
 
-    One ``binaryFile`` scan (a task per WARC file) + Arrow-batched parse;
-    ``text``/``lang`` come back NULL — they are pipeline *outputs*, not
-    crawl inputs.
+    One ``binaryFile`` scan (a task per WARC file) + streaming parse that
+    yields an Arrow batch every ``chunk_records`` records, so per-task
+    memory is the compressed file + one chunk — never the inflated crawl
+    shard. ``text``/``lang`` come back NULL — they are pipeline
+    *outputs*, not crawl inputs.
     """
     files = (
         spark.read.format("binaryFile")
@@ -174,25 +190,37 @@ def read_warc(
         .load(path)
     )
 
+    def _frame(urls, tss, payloads) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype=object),
+                "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
+                "html": pd.Series(payloads, dtype=object),
+                "text": pd.Series([None] * len(urls), dtype=object),
+                "lang": pd.Series([None] * len(urls), dtype=object),
+            }
+        )
+
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = True
         for pdf in batches:
-            urls: list = []
-            tss: list = []
-            payloads: list = []
             for data in pdf["content"]:
-                for url, ts, payload in parse_warc_responses(bytes(data)):
+                urls: list = []
+                tss: list = []
+                payloads: list = []
+                for url, ts, payload in iter_warc_responses(io.BytesIO(data)):
                     urls.append(url)
                     tss.append(ts)
                     payloads.append(payload)
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype=object),
-                    "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
-                    "html": pd.Series(payloads, dtype=object),
-                    "text": pd.Series([None] * len(urls), dtype=object),
-                    "lang": pd.Series([None] * len(urls), dtype=object),
-                }
-            )
+                    if len(urls) >= chunk_records:
+                        empty = False
+                        yield _frame(urls, tss, payloads)
+                        urls, tss, payloads = [], [], []
+                if urls:
+                    empty = False
+                    yield _frame(urls, tss, payloads)
+        if empty:  # Arrow needs explicit dtypes on an empty partition
+            yield _frame([], [], [])
 
     return files.select("content").mapInPandas(work, schema=PAGES_SCHEMA)
 

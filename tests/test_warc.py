@@ -105,6 +105,32 @@ def test_parse_member_per_record_gzip():
     assert [(u, p) for u, _, p in got] == [("u1", b"hi"), ("u2", b"yo")]
 
 
+def test_streaming_parse_matches_eager():
+    import io
+
+    from edspdf_spark.sources.warc import iter_warc_responses
+
+    data = _golden_warc()
+    eager = parse_warc_responses(data)
+    assert list(iter_warc_responses(io.BytesIO(data))) == eager
+    assert list(iter_warc_responses(io.BytesIO(gzip.compress(data)))) == eager
+    # truncated file: parse stops cleanly at the cut record
+    cut = parse_warc_responses(data[: len(data) - 40])
+    assert [u for u, _, _ in cut] == [u for u, _, _ in eager][: len(cut)]
+
+
+def test_read_warc_chunked(spark, tmp_path):
+    pages = build_pages_df(spark, 30, partitions=2)
+    out = str(tmp_path / "chunked")
+    write_warc(pages, out, n_files=2)
+    # chunk far below the per-file record count → multi-yield path
+    back = read_warc(spark, out, chunk_records=3)
+    assert back.count() == 30
+    assert {r["url"] for r in back.select("url").collect()} == {
+        r["url"] for r in pages.select("url").collect()
+    }
+
+
 @pytest.mark.parametrize("compress", [True, False])
 def test_spark_roundtrip(spark, tmp_path, compress):
     pages = build_pages_df(spark, 40, partitions=3)
