@@ -193,9 +193,15 @@ FROM t JOIN q ON q.doc_id = t.doc_id
 
 
 def _q_dedup_exact_normalized(spark, sf_dir):
-    """Exact + whitespace/case-normalized dedup in one union-tagged frame
-    (probe column keeps both operator families driver-checked)."""
+    """Exact + whitespace/case-normalized + canonical-url dedup in one
+    union-tagged frame (probe column keeps all three operator families
+    driver-checked). The url probe synthesizes two spellings per doc — a
+    messy one (case-shifted www host, default port, tracking params,
+    unsorted query, fragment, trailing slash) and the clean form — and the
+    oracle asserts the canonicalizer collapses each pair to the literal
+    clean form (ground truth, not a re-implementation)."""
     from edspdf_spark.functions.dedup import dedup_exact
+    from edspdf_spark.functions.urls import canonicalize_url
 
     docs = _docs(spark, sf_dir)
     exact = dedup_exact(docs).select(
@@ -204,13 +210,49 @@ def _q_dedup_exact_normalized(spark, sf_dir):
     norm = dedup_exact(docs, normalized=True).select(
         F.lit("normalized").alias("probe"), "content_hash", "keep_id", "n_dups"
     )
-    return exact.unionAll(norm)
+
+    ids = docs.select("doc_id")
+    site = (F.col("doc_id") % 5).cast("string")
+    did = F.col("doc_id").cast("string")
+    messy = ids.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"), site, F.lit(".COM:443/doc/"), did,
+            F.lit("/?utm_source=feed&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    clean = ids.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("https://site"), site, F.lit(".com/doc/"), did, F.lit("?a=1&b=2")
+        ).alias("url"),
+    )
+    url_probe = (
+        messy.unionAll(clean)
+        .select("doc_id", canonicalize_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select(
+            F.lit("url").alias("probe"),
+            F.md5(F.col("canon")).alias("content_hash"),
+            "keep_id",
+            "n_dups",
+        )
+    )
+    return exact.unionAll(norm).unionAll(url_probe)
 
 
 _DEDUP_EXACT_NORM_ORACLE = f"""
 SELECT 'exact' AS probe, * FROM ({_DEDUP_EXACT_ORACLE})
 UNION ALL
 SELECT 'normalized' AS probe, * FROM ({_DEDUP_NORM_ORACLE})
+UNION ALL
+SELECT 'url' AS probe,
+       md5('https://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/doc/'
+           || CAST(doc_id AS VARCHAR) || '?a=1&b=2') AS content_hash,
+       CAST(doc_id AS BIGINT) AS keep_id,
+       CAST(2 AS BIGINT) AS n_dups
+FROM documents
 """
 
 

@@ -13,8 +13,11 @@ from edspdf_spark.functions.dedup import (
     ngram_jaccard_pairs,
 )
 from edspdf_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from edspdf_spark.functions.urls import canonicalize_url, dedup_url_groups
 
 __all__ = [
+    "canonicalize_url",
+    "dedup_url_groups",
     "with_token_stats",
     "with_quality",
     "with_lang_guess",

@@ -358,3 +358,54 @@ def test_dedup_components_random_graphs_match_union_find(spark):
             by_root.setdefault(want[v], set()).add(v)
         want = {v: min(vs) for _r, vs in by_root.items() for v in vs}
         assert got == want, (seed, {k: (got.get(k), want.get(k)) for k in nodes if got.get(k) != want.get(k)})
+
+
+def test_canonicalize_url(spark):
+    from edspdf_spark.functions.urls import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/Path?a=1&b=2"),
+        ("http://user:pw@EXAMPLE.com:80/", "http://example.com/"),
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com/a//", "https://example.com/a"),
+        ("https://example.com/?fbclid=abc&gclid=x&utm_medium=m",
+         "https://example.com/"),
+        ("https://example.com/p?z=1&ref=tw&A=2", "https://example.com/p?A=2&z=1"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("ftp://Host.Net/File", "ftp://host.net/File"),
+        ("  https://example.com/x  ", "https://example.com/x"),
+        ("not a url at all", "not a url at all"),  # untouched, trimmed only
+        ("doc://00000042", "doc://00000042/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_dedup_url_groups(spark):
+    from edspdf_spark.functions.urls import dedup_url_groups
+
+    spellings = [
+        "https://example.com/page?a=1&b=2",
+        "HTTPS://WWW.EXAMPLE.COM:443/page/?b=2&a=1&utm_source=feed#top",
+        "https://example.com/page/?utm_campaign=x&a=1&b=2",
+        "https://example.com/other",
+    ]
+    df = spark.createDataFrame([(u,) for u in spellings], "url string")
+    got = {
+        r["canonical_url"]: (r["keep_url"], r["n_dups"])
+        for r in dedup_url_groups(df).collect()
+    }
+    assert got == {
+        "https://example.com/page?a=1&b=2": (
+            "HTTPS://WWW.EXAMPLE.COM:443/page/?b=2&a=1&utm_source=feed#top",
+            3,
+        ),
+        "https://example.com/other": ("https://example.com/other", 1),
+    }
