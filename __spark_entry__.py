@@ -148,9 +148,19 @@ FROM documents GROUP BY 1
 
 def _q_text_signals(spark, sf_dir):
     """Composite text-analysis row per doc: token stats + quality signals +
-    language guess + fingerprint chained through the real operators (one
-    scan, pure JVM expressions — the four families previously rode four
-    separate driver slots)."""
+    language guess + fingerprint + Gopher-style repetition signals
+    (duplicate word/line fractions, top-2-gram coverage) + PII counts and
+    redaction hash, chained through the real operators. The corpus has no
+    newlines or PII, so deterministic probe columns are derived in-query:
+    ``line_text`` breaks a line before every ``'the '`` occurrence and
+    ``pii_text`` appends doc_id-keyed email/IPv4/phone strings — the
+    operators then run on live targets and the oracle asserts exact
+    counts/hashes."""
+    from edspdf_spark.functions.quality import (
+        top_ngram_stats,
+        with_array_repetition,
+        with_pii_signals,
+    )
     from edspdf_spark.functions.text import (
         with_fingerprint,
         with_lang_guess,
@@ -158,8 +168,51 @@ def _q_text_signals(spark, sf_dir):
         with_token_stats,
     )
 
-    out = with_fingerprint(
-        with_lang_guess(with_quality(with_token_stats(_docs(spark, sf_dir))))
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    probed = docs.withColumn(
+        "line_text", F.replace(F.col("text"), F.lit(" the "), F.lit("\nthe "))
+    ).withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".5 up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1415555"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    base = with_fingerprint(
+        with_lang_guess(with_quality(with_token_stats(probed)))
+    )
+    # word-level repetition on the raw text; line-level on the derived
+    # line_text probe; PII on the injected pii_text probe
+    word_sig = with_array_repetition(base).drop(
+        "dup_line_fraction", "dup_line_char_fraction"
+    )
+    line_sig = with_array_repetition(
+        probed.select("doc_id", F.col("line_text").alias("text"))
+    ).select("doc_id", "dup_line_fraction", "dup_line_char_fraction")
+    top2 = top_ngram_stats(docs, 2)
+    out = (
+        with_pii_signals(word_sig, text_col="pii_text")
+        .join(line_sig, on="doc_id")
+        .join(top2, on="doc_id")
     )
     return out.select(
         "doc_id",
@@ -174,7 +227,93 @@ def _q_text_signals(spark, sf_dir):
         "lang",
         "lang_guess",
         "fp_md5",
+        "dup_word_fraction",
+        "dup_line_fraction",
+        "dup_line_char_fraction",
+        "top_2gram",
+        "top_2gram_count",
+        "top_2gram_char_fraction",
+        "pii_email_count",
+        "pii_ipv4_count",
+        "pii_phone_count",
+        "pii_redacted_md5",
     )
+
+
+_REPETITION_ORACLE = r"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+         - len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END
+    AS dup_word_fraction,
+  CAST(len(string_split(replace(text, ' the ', chr(10) || 'the '), chr(10)))
+       - len(list_distinct(string_split(replace(text, ' the ', chr(10) || 'the '), chr(10)))) AS DOUBLE)
+  / CAST(len(string_split(replace(text, ' the ', chr(10) || 'the '), chr(10))) AS DOUBLE)
+    AS dup_line_fraction,
+  CASE WHEN list_sum(list_transform(string_split(replace(text, ' the ', chr(10) || 'the '), chr(10)), l -> length(l))) = 0
+       THEN 0.0 ELSE
+    CAST(list_sum(list_transform(string_split(replace(text, ' the ', chr(10) || 'the '), chr(10)),
+         l -> CASE WHEN len(list_filter(string_split(replace(text, ' the ', chr(10) || 'the '), chr(10)), x -> x = l)) >= 2
+                   THEN length(l) ELSE 0 END)) AS DOUBLE)
+    / CAST(list_sum(list_transform(string_split(replace(text, ' the ', chr(10) || 'the '), chr(10)), l -> length(l))) AS DOUBLE) END
+    AS dup_line_char_fraction
+FROM documents
+"""
+
+_TOP2GRAM_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS dl,
+         regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, dl, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2 AND NOT (len(ws) = 1 AND ws[1] = '')
+),
+c AS (SELECT doc_id, dl, gram, COUNT(*) AS cnt FROM g GROUP BY ALL),
+r AS (
+  SELECT doc_id, dl, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c
+)
+SELECT d.doc_id,
+       COALESCE(r.gram, '') AS top_2gram,
+       COALESCE(CAST(r.cnt AS BIGINT), 0) AS top_2gram_count,
+       COALESCE(CAST(r.cnt AS DOUBLE) * CAST(length(r.gram) AS DOUBLE) / r.dl, 0.0)
+         AS top_2gram_char_fraction
+FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+"""
+
+# The PII oracle replays the same Java∩RE2 regexes on the same injected
+# text; DuckDB regexp_replace needs the 'g' option to match Spark's
+# replace-all semantics.
+_PII_ORACLE = r"""
+WITH p AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+       THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.5 up'
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END AS pt
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS pii_email_count,
+  CAST(len(regexp_extract_all(pt, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS pii_ipv4_count,
+  CAST(len(regexp_extract_all(pt, '\+\d(?:[ -]?\d){7,14}')) AS BIGINT) AS pii_phone_count,
+  md5(regexp_replace(regexp_replace(regexp_replace(pt,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+      '\+\d(?:[ -]?\d){7,14}', '<PHONE>', 'g')) AS pii_redacted_md5
+FROM p
+"""
 
 
 def _text_signals_oracle() -> str:
@@ -182,13 +321,23 @@ def _text_signals_oracle() -> str:
 WITH t AS ({_TOKEN_STATS_ORACLE}),
 q AS ({_QUALITY_ORACLE}),
 l AS ({_LANG_GUESS_ORACLE}),
-f AS ({_FINGERPRINT_ORACLE})
+f AS ({_FINGERPRINT_ORACLE}),
+rep AS ({_REPETITION_ORACLE}),
+tg AS ({_TOP2GRAM_ORACLE}),
+pii AS ({_PII_ORACLE})
 SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        q.doc_len, q.punct_ratio, q.digit_ratio, q.space_ratio, q.stopword_ratio,
-       l.lang, l.lang_guess, f.fp_md5
+       l.lang, l.lang_guess, f.fp_md5,
+       rep.dup_word_fraction, rep.dup_line_fraction, rep.dup_line_char_fraction,
+       tg.top_2gram, tg.top_2gram_count, tg.top_2gram_char_fraction,
+       pii.pii_email_count, pii.pii_ipv4_count, pii.pii_phone_count,
+       pii.pii_redacted_md5
 FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN l ON l.doc_id = t.doc_id
        JOIN f ON f.doc_id = t.doc_id
+       JOIN rep ON rep.doc_id = t.doc_id
+       JOIN tg ON tg.doc_id = t.doc_id
+       JOIN pii ON pii.doc_id = t.doc_id
 """
 
 
@@ -239,7 +388,25 @@ def _q_dedup_exact_normalized(spark, sf_dir):
             "n_dups",
         )
     )
-    return exact.unionAll(norm).unionAll(url_probe)
+    # registered-domain rollup probe: synthesized subdomain urls must
+    # collapse to the literal site{doc_id%5}.com registered domain (ground
+    # truth on the synthesis, not a re-implementation)
+    from edspdf_spark.functions.quality import domain_rollup
+
+    sub_urls = ids.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://a"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".site"), site, F.lit(".com/p/"), did,
+        ).alias("url"),
+    )
+    domain_probe = domain_rollup(sub_urls).select(
+        F.lit("domain").alias("probe"),
+        F.md5(F.col("domain")).alias("content_hash"),
+        F.col("min_doc_id").alias("keep_id"),
+        F.col("n_docs").alias("n_dups"),
+    )
+    return exact.unionAll(norm).unionAll(url_probe).unionAll(domain_probe)
 
 
 _DEDUP_EXACT_NORM_ORACLE = f"""
@@ -253,6 +420,12 @@ SELECT 'url' AS probe,
        CAST(doc_id AS BIGINT) AS keep_id,
        CAST(2 AS BIGINT) AS n_dups
 FROM documents
+UNION ALL
+SELECT 'domain' AS probe,
+       md5('site' || CAST(doc_id % 5 AS VARCHAR) || '.com') AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY doc_id % 5
 """
 
 
@@ -264,8 +437,15 @@ def _q_training_prep(spark, sf_dir):
     must then collapse each copied group to its lowest doc_id. Plan shape:
     one md5-keyed aggregation (map-side partial, 32-byte keys) + one
     doc_id equi-join of the group table back to the gated corpus; the gates
-    are pure scan-stage projections."""
+    are pure scan-stage projections.
+
+    Round-3 extension: an 8-gram benchmark DECONTAMINATION stage sits
+    between the gate and the dedup — every 101st doc's text stands in for
+    an eval benchmark; any doc sharing an 8-gram with it (the benchmark
+    docs themselves and their shifted copies) is dropped via a broadcast
+    semi-join before dedup (GPT-3-style n-gram collision scrub)."""
     from edspdf_spark.functions.dedup import dedup_exact
+    from edspdf_spark.functions.quality import decontaminate
     from edspdf_spark.functions.text import with_lang_guess, with_token_stats
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -273,11 +453,13 @@ def _q_training_prep(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     corpus = docs.unionAll(dups)
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
     kept = (
         with_lang_guess(corpus)
         .filter((F.length("text") >= 150) & (F.col("lang_guess") != "und"))
         .select("doc_id", "text", "lang_guess")
     )
+    kept = decontaminate(kept, bench, n=8)
     groups = dedup_exact(kept).select(
         F.col("keep_id").alias("doc_id"), "n_dups"
     )
@@ -318,9 +500,26 @@ guessed AS (
          ELSE 'fr' END AS lang_guess
   FROM scored
 ),
-kept AS (
+gated AS (
   SELECT doc_id, text, lang_guess FROM guessed
   WHERE length(text) >= 150 AND lang_guess <> 'und'
+),
+bench_grams AS (
+  SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE doc_id % 101 = 0),
+       UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+  WHERE len(ws) >= 8
+),
+kept AS (
+  SELECT doc_id, text, lang_guess FROM gated d
+  WHERE NOT EXISTS (
+    SELECT 1
+    FROM UNNEST(generate_series(1, len(regexp_split_to_array(trim(d.text), '\s+')) - 7)) AS t(i)
+    JOIN bench_grams b
+      ON b.gram = array_to_string(regexp_split_to_array(trim(d.text), '\s+')[i:i+7], ' ')
+    WHERE len(regexp_split_to_array(trim(d.text), '\s+')) >= 8
+  )
 ),
 grp AS (
   SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

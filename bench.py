@@ -166,6 +166,28 @@ def bench_text_embedding(spark, sf_dir):
     materialize(text_embedding_arrow(docs, size=16))
 
 
+def bench_quality_gate(spark, sf_dir):
+    """Training-data corpus-filter pass: quality/lang/repetition signals +
+    PII redaction (pure scan-stage expressions) + top-2-gram coverage (one
+    (doc,ngram)-keyed agg) over the documents corpus."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.quality import (
+        redact_pii,
+        top_ngram_stats,
+        with_array_repetition,
+    )
+    from edspdf_spark.functions.text import with_lang_guess, with_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = (
+        with_array_repetition(with_lang_guess(with_quality(docs)))
+        .filter((F.col("doc_len") >= 50) & (F.col("dup_word_fraction") <= 0.99))
+        .withColumn("text", redact_pii(F.col("text")))
+    )
+    materialize(gated.join(top_ngram_stats(docs, 2), on="doc_id"))
+
+
 def main():
     spark = get_spark(
         master=f"local[{CPUS}]",
@@ -264,6 +286,7 @@ def main():
         "pricing_summary": lambda: bench_pricing(spark, SF_DIR),
         "box_embedding": lambda: bench_box_embedding(spark, SF_DIR),
         "text_embedding": lambda: bench_text_embedding(spark, SF_DIR),
+        "quality_gate": lambda: bench_quality_gate(spark, SF_DIR),
     }
 
     # min-of-N per query: this VM shows ±30-100% wall variance between

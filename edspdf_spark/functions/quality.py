@@ -1,0 +1,309 @@
+"""Web-scale training-data quality operators: repetition signals, PII
+detection/redaction, registered-domain rollups, and benchmark
+decontamination.
+
+These extend the text-analysis family (``functions/text.py``) with the
+filters a Common-Crawl-style corpus pipeline runs before training-data
+export — the Gopher/C4 repetition heuristics (Rae et al. 2021 §A1.1,
+public), PII scrubbing, per-domain aggregation, and eval-benchmark
+n-gram decontamination (GPT-3 appendix C, public).
+
+Scale notes (10^12 docs):
+
+- Per-doc array signals (duplicate word/line fractions) are pure Catalyst
+  higher-order-function expressions — zero shuffle, whole-stage codegen.
+- Top-n-gram signals explode to one row per n-gram and aggregate on the
+  composite key ``(doc_id, ngram)`` — the one shuffle is map-side combined
+  and the key cardinality is bounded by corpus token count, so no hot key
+  exists beyond a single doc's length (bounded by the scan's
+  ``maxPartitionBytes`` sizing upstream).
+- PII counts/redaction are single-pass JVM regexes (``regexp_count`` /
+  ``regexp_replace``) chosen from the Java∩RE2 common dialect so the
+  DuckDB oracle replays them exactly.
+- Decontamination broadcasts the benchmark n-gram set (eval suites are
+  tiny vs the corpus) and LEFT SEMI joins — no shuffle of the corpus side
+  beyond the n-gram explode's own aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Patterns restricted to the Java-regex ∩ RE2 common dialect (no
+# backreferences, no lookaround) so Spark and the DuckDB oracle agree
+# byte-for-byte on matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+\d(?:[ -]?\d){7,14}"
+
+PII_PATTERNS = {"email": EMAIL_RE, "ipv4": IPV4_RE, "phone": PHONE_RE}
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_array_repetition(
+    df: DataFrame, text_col: str = "text", max_lines: int = 10_000
+) -> DataFrame:
+    """Zero-shuffle repetition signals computed per doc with higher-order
+    array functions:
+
+    - ``dup_word_fraction``  = (n_words − n_distinct_words) / n_words
+    - ``dup_line_fraction``  = (n_lines − n_distinct_lines) / n_lines
+    - ``dup_line_char_fraction`` = chars in lines whose value occurs ≥2×
+      (all occurrences counted) / total line chars
+
+    Empty docs yield 0.0 for all three. The line·line containment check is
+    O(L²) per doc in line count; ``max_lines`` caps L (first ``max_lines``
+    lines scored) so one pathological 10⁶-line doc can't pin a task at
+    10¹² comparisons — at the default 10⁴ the worst doc costs ~10⁸ cheap
+    string-equality ops inside one codegen stage, and ordinary pages
+    (~10³ lines) are unaffected.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_w = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(words)).cast("double")
+    dup_w = F.when(
+        n_w == 0, F.lit(0.0)
+    ).otherwise((n_w - F.size(F.array_distinct(words)).cast("double")) / n_w)
+
+    lines = F.slice(F.split(t, "\n"), 1, max_lines)
+    n_l = F.size(lines).cast("double")
+    dup_l = F.when(
+        n_l == 0, F.lit(0.0)
+    ).otherwise((n_l - F.size(F.array_distinct(lines)).cast("double")) / n_l)
+
+    # chars in duplicated lines: a line occurrence is duplicated when its
+    # value appears at least twice in the doc
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l)).cast(
+        "double"
+    )
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, l: a
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) >= 2, F.length(l)
+        ).otherwise(F.lit(0)),
+    ).cast("double")
+    dup_lc = F.when(line_chars == 0, F.lit(0.0)).otherwise(dup_chars / line_chars)
+
+    return (
+        df.withColumn("dup_word_fraction", dup_w)
+        .withColumn("dup_line_fraction", dup_l)
+        .withColumn("dup_line_char_fraction", dup_lc)
+    )
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Most-frequent word ``n``-gram per document and the fraction of the
+    document's characters it covers (Gopher's top-n-gram filter signal).
+
+    Returns ``(id_col, top_{n}gram, top_{n}gram_count,
+    top_{n}gram_char_fraction)`` — char fraction is
+    ``count × length(ngram) / length(text)``. Ties break to the
+    lexicographically smallest n-gram (deterministic under retries).
+    Docs with fewer than ``n`` words get count 0, fraction 0.0, gram ''.
+
+    Plan: explode n-grams → one (doc, ngram)-keyed aggregation (map-side
+    partial combine) → per-doc min(struct(-count, ngram)) argmin — two
+    exchanges both keyed by doc_id, no window, no driver collect.
+    """
+    t = F.col(text_col)
+    # materialize the words array BEFORE the n-gram transform: an
+    # expression referenced inside a lambda is re-evaluated per element
+    # (no common-subexpression elimination across lambda scopes), so
+    # building grams straight off split() would re-run the regex split
+    # n× per gram — O(words²) per doc
+    wordsed = df.select(
+        F.col(id_col),
+        F.length(t).cast("double").alias("_doc_len"),
+        _words(t).alias("_w"),
+    )
+    w = F.col("_w")
+    # sequence(0, negative) would DESCEND (and negative element_at indexes
+    # from the end), so short docs must short-circuit to an empty index set
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    base = wordsed.select(F.col(id_col), F.col("_doc_len"), grams.alias("_g"))
+    # explode_outer, NOT explode: for a plain explode Catalyst's
+    # InferFiltersFromGenerate pushes a size(<generator input>) > 0
+    # predicate below this projection, re-inlining the whole gram
+    # transform (split re-evaluated per element) into a Filter that runs
+    # per row — the O(words²) trap again, just moved. Outer generate
+    # can't be inferred on; the isNotNull filter reads the OUTPUT column.
+    counts = (
+        base.select(id_col, "_doc_len", F.explode_outer("_g").alias("_gram"))
+        .where(F.col("_gram").isNotNull())
+        .groupBy(id_col, "_doc_len", "_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    top = (
+        counts.groupBy(id_col, "_doc_len")
+        .agg(F.min(F.struct((-F.col("_cnt")).alias("a"), F.col("_gram").alias("g"))).alias("_m"))
+        .select(
+            id_col,
+            F.col("_m.g").alias(f"top_{n}gram"),
+            (-F.col("_m.a")).cast("long").alias(f"top_{n}gram_count"),
+            (
+                (-F.col("_m.a")).cast("double")
+                * F.length(F.col("_m.g")).cast("double")
+                / F.col("_doc_len")
+            ).alias(f"top_{n}gram_char_fraction"),
+        )
+    )
+    # keep every input doc: short docs (< n words) fall out of the explode
+    out = df.select(id_col).join(top, on=id_col, how="left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col(f"top_{n}gram"), F.lit("")).alias(f"top_{n}gram"),
+        F.coalesce(F.col(f"top_{n}gram_count"), F.lit(0)).alias(f"top_{n}gram_count"),
+        F.coalesce(F.col(f"top_{n}gram_char_fraction"), F.lit(0.0)).alias(
+            f"top_{n}gram_char_fraction"
+        ),
+    )
+
+
+def with_top_ngrams(
+    df: DataFrame,
+    ns: Sequence[int] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Join ``top_ngram_stats`` for each ``n`` onto the frame."""
+    out = df
+    for n in ns:
+        out = out.join(top_ngram_stats(df, n, id_col, text_col), on=id_col, how="left")
+    return out
+
+
+def with_pii_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count PII matches (email / IPv4 / phone) and add an ``md5`` of the
+    redacted text (each match class replaced by its ``<CLASS>`` token).
+    Single-pass JVM regexes — no UDFs, no shuffle."""
+    t = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"pii_{name}_count", F.regexp_count(t, F.lit(pat)).cast("long")
+        )
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("pii_redacted_md5", F.md5(red))
+
+
+def redact_pii(col: Column) -> Column:
+    """The redacted text itself (same replacement order as
+    ``with_pii_signals``: email, ipv4, phone)."""
+    red = col
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return red
+
+
+def registered_domain(url_col: Column) -> Column:
+    """Registered-domain heuristic from a canonical URL: host = authority
+    of ``scheme://host/...`` lowered, registered domain = the last two
+    dot-labels (``a.b.site0.com`` → ``site0.com``; a bare label passes
+    through). Pure string expressions — pairs with
+    ``functions.urls.canonicalize_url`` for crawl-frontier rollups."""
+    host = F.lower(F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    reg = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(reg == "", host).otherwise(reg)
+
+
+def domain_rollup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-domain corpus rollup: doc count + smallest doc id
+    (the crawl-frontier 'canonical page' convention). One string-keyed
+    aggregation with map-side partials; domain cardinality ≪ doc count so
+    the exchange is small."""
+    return (
+        df.select(
+            registered_domain(F.col(url_col)).alias("domain"), F.col(id_col)
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+    )
+
+
+def contaminated_ids(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram collision): a doc is
+    contaminated when ANY of its word ``n``-grams appears in the benchmark
+    set. Returns distinct contaminated ``id_col`` rows.
+
+    Plan: benchmark n-grams are distinct'd and BROADCAST (eval suites are
+    ~10⁵ n-grams vs a 10^12-doc corpus); the corpus side explodes its
+    n-grams and LEFT SEMI joins — no corpus shuffle, the semi join happens
+    map-side against the broadcast hash table, then one distinct on doc id.
+    """
+
+    def grams(frame: DataFrame, idc, txt: str) -> DataFrame:
+        cols = [F.col(idc)] if idc else []
+        # materialize words first — see top_ngram_stats: lambda-scoped
+        # expressions are re-evaluated per element
+        wordsed = frame.select(*cols, _words(F.col(txt)).alias("_w"))
+        w = F.col("_w")
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        # explode_outer + isNotNull, not explode — see top_ngram_stats:
+        # InferFiltersFromGenerate would re-inline the gram transform
+        return wordsed.select(*cols, F.explode_outer(g).alias("_gram")).where(
+            F.col("_gram").isNotNull()
+        )
+
+    bench_grams = grams(bench, None, bench_text_col).distinct()
+    doc_grams = grams(df, id_col, text_col)
+    return (
+        doc_grams.join(F.broadcast(bench_grams), on="_gram", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop contaminated docs (LEFT ANTI join against ``contaminated_ids``)."""
+    bad = contaminated_ids(df, bench, n, id_col, text_col, bench_text_col)
+    return df.join(bad, on=id_col, how="left_anti")

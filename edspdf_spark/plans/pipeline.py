@@ -153,6 +153,44 @@ def _box_transformer(df: DataFrame, dim=24, n_heads=4, n_layers=1, **_):
     return box_transformer_embedding(df, dim=dim, n_heads=n_heads, n_layers=n_layers)
 
 
+def _quality_gate(
+    df: DataFrame,
+    min_len: int = 0,
+    max_dup_word_fraction: float = 1.0,
+    min_stopword_ratio: float = 0.0,
+    langs=None,
+    redact_pii: bool = False,
+    text_col: str = "text",
+    **_,
+):
+    """C4/Gopher-style corpus gate as a config stage: length + duplicate-word
+    + stopword-ratio + language filters (all pure scan-stage projections, so
+    Catalyst pushes the survivors' predicate straight onto the scan), with
+    optional PII redaction of the text column. Chains the real quality/text
+    operators — the config form of the training_prep front half."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.quality import redact_pii as _redact
+    from edspdf_spark.functions.quality import with_array_repetition
+    from edspdf_spark.functions.text import with_lang_guess, with_quality
+
+    out = with_array_repetition(
+        with_lang_guess(with_quality(df, text_col=text_col), text_col=text_col),
+        text_col=text_col,
+    )
+    cond = (
+        (F.col("doc_len") >= min_len)
+        & (F.col("dup_word_fraction") <= max_dup_word_fraction)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    if langs:
+        cond = cond & F.col("lang_guess").isin(list(langs))
+    out = out.filter(cond).select(*df.columns)
+    if redact_pii:
+        out = out.withColumn(text_col, _redact(F.col(text_col)))
+    return out
+
+
 FACTORIES: Dict[str, Callable] = {
     "extractor": _extractor,
     "pdfminer-extractor": _extractor,  # reference name, same payload parser
@@ -169,6 +207,8 @@ FACTORIES: Dict[str, Callable] = {
     "simple-text-embedding": _simple_text_embedding,
     "sub-box-cnn-pooler": _sub_box_cnn_pooler,
     "box-transformer": _box_transformer,
+    # training-data corpus gate (quality/PII family, functions/quality.py)
+    "quality-gate": _quality_gate,
 }
 
 

@@ -1,0 +1,284 @@
+"""Training-data quality operators: repetition signals, PII, domains,
+decontamination (``edspdf_spark/functions/quality.py``).
+
+Expected values are hand-computed on tiny frames; a DuckDB differential
+runs the same definitions relationally (the driver-side oracle uses the
+same SQL shapes)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from edspdf_spark.functions.quality import (
+    PII_PATTERNS,
+    contaminated_ids,
+    decontaminate,
+    domain_rollup,
+    registered_domain,
+    top_ngram_stats,
+    with_array_repetition,
+    with_pii_signals,
+    with_top_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b a b a b"),              # heavy 2-gram repetition
+        (1, "x y z w"),                  # all distinct
+        (2, "one\ntwo\none\nthree"),     # duplicate line 'one'
+        (3, ""),                         # empty doc
+        (4, "solo"),                     # < n words for any n>=2
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _by_id(df, *cols):
+    return {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in df.select("doc_id", *cols).collect()
+    }
+
+
+def test_array_repetition(docs):
+    got = _by_id(
+        with_array_repetition(docs),
+        "dup_word_fraction",
+        "dup_line_fraction",
+        "dup_line_char_fraction",
+    )
+    # doc 0: 6 words, 2 distinct -> 4/6; one line, no dup lines
+    assert got[0][0] == pytest.approx(4 / 6)
+    assert got[0][1] == 0.0 and got[0][2] == 0.0
+    # doc 1: all distinct
+    assert got[1] == (0.0, 0.0, 0.0)
+    # doc 2: whitespace split crosses newlines, so 'one' repeats -> 1/4;
+    # lines: 4 total, 3 distinct -> 1/4;
+    # duplicated-line chars = len('one')*2 = 6 of 3+3+3+5 = 14
+    assert got[2][0] == pytest.approx(1 / 4)
+    assert got[2][1] == pytest.approx(1 / 4)
+    assert got[2][2] == pytest.approx(6 / 14)
+    # empty doc: all zeros
+    assert got[3] == (0.0, 0.0, 0.0)
+
+
+def test_top_ngram_stats(docs):
+    got = _by_id(
+        top_ngram_stats(docs, 2),
+        "top_2gram",
+        "top_2gram_count",
+        "top_2gram_char_fraction",
+    )
+    # doc 0 grams: 'a b' x3, 'b a' x2 -> top 'a b' count 3, len 3, doc_len 11
+    assert got[0] == ("a b", 3, pytest.approx(3 * 3 / 11))
+    # doc 1: all 2-grams unique -> tie broken to lexicographically smallest
+    assert got[1][0] == "x y" and got[1][1] == 1
+    # short/empty docs survive with zeros
+    assert got[3] == ("", 0, 0.0)
+    assert got[4] == ("", 0, 0.0)
+
+
+def test_with_top_ngrams_joins_all(docs):
+    out = with_top_ngrams(docs, ns=(2, 3))
+    assert out.count() == docs.count()
+    cols = set(out.columns)
+    assert {"top_2gram", "top_3gram", "top_3gram_char_fraction"} <= cols
+
+
+def test_pii_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@sub.example.org or call +1 415 555 0101"),
+            (1, "server 10.0.12.5 and 192.168.1.1 up"),
+            (2, "nothing here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = with_pii_signals(df)
+    got = _by_id(out, "pii_email_count", "pii_ipv4_count", "pii_phone_count")
+    assert got[0] == (1, 0, 1)
+    assert got[1] == (0, 2, 0)
+    assert got[2] == (0, 0, 0)
+    red = {
+        r["doc_id"]: r["red"]
+        for r in out.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", PII_PATTERNS["email"], "<EMAIL>"),
+                    PII_PATTERNS["ipv4"],
+                    "<IPV4>",
+                ),
+                PII_PATTERNS["phone"],
+                "<PHONE>",
+            ).alias("red"),
+        ).collect()
+    }
+    assert red[0] == "mail me at <EMAIL> or call <PHONE>"
+    assert red[1] == "server <IPV4> and <IPV4> up"
+
+
+def test_pii_duckdb_differential(spark):
+    """DuckDB (RE2) and Spark (java.util.regex) must agree on the PII
+    patterns — this is what makes the driver oracle valid."""
+    texts = [
+        "jo.doe+x@sub.example.org",
+        "a@b.co and c_d%e@f-g.h.ij",
+        "1.2.3.4 10.0.12.5 999.999.999.999 1.2.3",
+        "+33 1 23 45 67 89 and +14155550101 but not 12345",
+        "no pii at all",
+        "edge a@b.c single-letter tld should NOT match",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    spark_rows = {
+        r["doc_id"]: (
+            r["pii_email_count"],
+            r["pii_ipv4_count"],
+            r["pii_phone_count"],
+            r["pii_redacted_md5"],
+        )
+        for r in with_pii_signals(df).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        e, v, p = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"])
+        row = con.execute(
+            """
+            SELECT len(regexp_extract_all($t, $e)),
+                   len(regexp_extract_all($t, $v)),
+                   len(regexp_extract_all($t, $p)),
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                        $t, $e, '<EMAIL>', 'g'), $v, '<IPV4>', 'g'),
+                        $p, '<PHONE>', 'g'))
+            """,
+            {"t": t, "e": e, "v": v, "p": p},
+        ).fetchone()
+        assert spark_rows[i] == row, f"engine mismatch on: {t!r}"
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://www.news.example.co/x"),
+            (1, "https://example.co/y"),
+            (2, "http://a.b.c.site0.com:8080/z?q=1"),
+            (3, "https://localhost/p"),
+        ],
+        "doc_id int, url string",
+    )
+    got = {
+        r["doc_id"]: r["d"]
+        for r in df.select("doc_id", registered_domain(F.col("url")).alias("d")).collect()
+    }
+    assert got[0] == "example.co"
+    assert got[1] == "example.co"
+    assert got[2] == "site0.com"
+    assert got[3] == "localhost"
+
+
+def test_domain_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "https://a.site0.com/1"),
+            (11, "https://b.site0.com/2"),
+            (12, "https://site1.com/3"),
+        ],
+        "doc_id int, url string",
+    )
+    got = {
+        r["domain"]: (r["n_docs"], r["min_doc_id"])
+        for r in domain_rollup(df).collect()
+    }
+    assert got == {"site0.com": (2, 10), "site1.com": (1, 12)}
+
+
+def test_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated text with no overlap at all here"),
+            (2, "prefix words then the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    bad = {r["doc_id"] for r in contaminated_ids(corpus, bench, n=8).collect()}
+    assert bad == {0, 2}
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {1}
+
+
+def test_decontaminate_short_docs_pass(spark):
+    corpus = spark.createDataFrame([(0, "too short")], "doc_id int, text string")
+    bench = spark.createDataFrame([("too short",)], "text string")
+    # both sides have < n words -> no n-grams -> nothing contaminated
+    assert decontaminate(corpus, bench, n=8).count() == 1
+
+
+def test_top_ngram_property(spark):
+    """Random small docs: top_ngram_stats must agree with a Counter-based
+    Python reference (count via max, tie to lexicographically smallest)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["top_2gram"], r["top_2gram_count"], r["top_2gram_char_fraction"])
+        for r in top_ngram_stats(df, 2).collect()
+    }
+    for i, text in rows:
+        words = text.split()
+        grams = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
+        if not grams:
+            assert got[i] == ("", 0, 0.0)
+            continue
+        cnt = Counter(grams)
+        best = min(cnt, key=lambda g: (-cnt[g], g))
+        assert got[i][0] == best and got[i][1] == cnt[best]
+        assert got[i][2] == pytest.approx(cnt[best] * len(best) / len(text))
+
+
+def test_quality_gate_factory(spark):
+    """quality-gate rides the Pipeline config round-trip and filters/redacts."""
+    from edspdf_spark.plans.pipeline import Pipeline
+
+    cfg = {
+        "pipeline": ["gate"],
+        "components": {
+            "gate": {
+                "@factory": "quality-gate",
+                "min_len": 10,
+                "max_dup_word_fraction": 0.5,
+                "langs": ["en"],
+                "redact_pii": True,
+            }
+        },
+    }
+    pipe = Pipeline.from_config(cfg)
+    assert pipe.to_config() == cfg
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house is here a@b.co"),  # en, kept
+            (1, "le chat et la maison est grande ici"),  # fr -> dropped
+            (2, "short"),  # too short
+            (3, "spam spam spam spam spam and the spam"),  # dup words
+        ],
+        "doc_id int, text string",
+    )
+    out = pipe(df)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(rows) == {0}
+    assert rows[0].endswith("<EMAIL>")

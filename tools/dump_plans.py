@@ -230,6 +230,33 @@ def main() -> None:
             ))(__import__("edspdf_spark.functions.similarity", fromlist=["x"])),
         ),
         (
+            "top_ngram_stats (repetition quality gate)",
+            "Gopher-style top-n-gram coverage. N-gram synthesis is a pure "
+            "higher-order-function projection in the scan stage; the explode "
+            "feeds a (doc, ngram)-keyed aggregation with map-side partial "
+            "combine, then a doc-keyed struct-argmin aggregation (again "
+            "partial-aggregatable — no window sort over the corpus). "
+            "Expected: two exchanges, both keyed by doc_id(+gram), nothing "
+            "finer; the left join back to the doc spine broadcasts or "
+            "reuses the doc key.",
+            __import__("edspdf_spark.functions.quality", fromlist=["x"])
+            .top_ngram_stats(docs, 2),
+        ),
+        (
+            "decontaminate (benchmark n-gram scrub)",
+            "The benchmark side (an eval suite — tiny vs the corpus) is "
+            "distinct'd and BROADCAST; the corpus side explodes its "
+            "n-grams and LEFT SEMI joins map-side, then one doc-id "
+            "distinct and a broadcast LEFT ANTI back onto the corpus. "
+            "Expected: no corpus-keyed shuffle except the contaminated-id "
+            "distinct (cardinality ≤ contaminated docs, not n-grams).",
+            (lambda _q: _q.decontaminate(
+                docs.select("doc_id", "text"),
+                docs.filter(F.col("doc_id") % 101 == 0).select("text"),
+                n=8,
+            ))(__import__("edspdf_spark.functions.quality", fromlist=["x"])),
+        ),
+        (
             "forest_classifier (trainable-head serve)",
             "Quantized compiled serve (ml/compiled.py): E1 features are "
             "pure projections plus ONE url-keyed window (first/last-page "
