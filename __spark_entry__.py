@@ -1673,10 +1673,33 @@ def _q_source_roundtrip(spark, sf_dir):
             ).alias("warc_ok"),
         )
 
+        # CDX index + record-level range read: every 5th url is fetched
+        # back by (filename, offset, length) only — the selective-read
+        # face of the wire format (Common Crawl's CDX contract)
+        from edspdf_spark.sources.warc import build_cdx, read_warc_ranges
+
+        cdx = build_cdx(spark, f"{base}/warc")
+        sel = F.abs(F.xxhash64("url")) % 5 == 0
+        hits = read_warc_ranges(
+            cdx.join(pages.select("url").where(sel), "url", "left_semi")
+        ).select("url", F.col("html").alias("html_rt3"))
+        cok = pages.join(hits, "url", "left").select(
+            "url",
+            F.when(~sel, F.lit(True))
+            .otherwise(
+                F.col("html_rt3").isNotNull()
+                & (F.col("html") == F.col("html_rt3"))
+            )
+            .alias("cdx_ok"),
+        )
+
         result = (
             agg.join(ok, "url")
             .join(wok, "url")
-            .select("url", "n_blocs", "n_words", "payload_ok", "warc_ok")
+            .join(cok, "url")
+            .select(
+                "url", "n_blocs", "n_words", "payload_ok", "warc_ok", "cdx_ok"
+            )
         )
 
         # S5: pandas round-trip (Arrow both ways), then S6: iterable round-trip.
@@ -1699,7 +1722,8 @@ SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
        CAST(ceil(len(w) / 6.0) AS BIGINT) AS n_blocs,
        CAST(len(w) AS BIGINT) AS n_words,
        TRUE AS payload_ok,
-       TRUE AS warc_ok
+       TRUE AS warc_ok,
+       TRUE AS cdx_ok
 FROM words
 """
 

@@ -196,3 +196,88 @@ def test_extract_html_sniffed_charset(spark):
     assert [r["text"] for r in sniffed] == [body]
     # naive utf-8 decode mangles the accents — the sniff is load-bearing
     assert [r["text"] for r in naive] != [body]
+
+
+# ---------------------------------------------------------------------------
+# CDX index + range reads
+# ---------------------------------------------------------------------------
+
+def test_cdx_offsets_golden_plain():
+    from edspdf_spark.sources.warc import iter_warc_member_offsets, iter_warc_records
+
+    data = _golden_warc()
+    rows = list(iter_warc_member_offsets(data))
+    assert len(rows) == 6  # every record indexed, filtering is build_cdx's job
+    for off, length, idx, headers in rows:
+        assert idx == 0  # plain layout: one record per range
+        sub = list(iter_warc_records(data[off : off + length]))
+        assert len(sub) == 1
+        assert sub[0][0] == headers
+
+
+def test_cdx_offsets_member_per_record_gzip():
+    import gzip as _g
+
+    from edspdf_spark.sources.warc import iter_warc_member_offsets
+
+    recs = [
+        b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: u%d\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+        % i
+        for i in range(3)
+    ]
+    data = b"".join(_g.compress(r) for r in recs)
+    rows = list(iter_warc_member_offsets(data))
+    assert [h["warc-target-uri"] for _, _, _, h in rows] == ["u0", "u1", "u2"]
+    # each member range decompresses to exactly its record
+    for (off, length, idx, h), raw in zip(rows, recs):
+        assert idx == 0
+        assert _g.decompress(data[off : off + length]) == raw
+    # whole-stream single-member gzip: shared range, distinct rec_index
+    one = _g.compress(b"".join(recs))
+    rows1 = list(iter_warc_member_offsets(one))
+    assert [(o, l) for o, l, _, _ in rows1] == [(0, len(one))] * 3
+    assert [i for _, _, i, _ in rows1] == [0, 1, 2]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_build_cdx_and_range_reads(spark, tmp_path, compress):
+    from edspdf_spark.sources.warc import build_cdx, read_warc_ranges
+
+    pages = build_pages_df(spark, 40, partitions=2)
+    out = str(tmp_path / f"cdx_{compress}")
+    write_warc(pages, out, n_files=3, compress=compress)
+
+    cdx = build_cdx(spark, out)
+    rows = cdx.collect()
+    assert len(rows) == 40  # warcinfo records filtered out
+    assert {r["record_type"] for r in rows} == {"response"}
+
+    # full range read == full sequential read
+    seq = {
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in read_warc(spark, out).collect()
+    }
+    rng = {
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in read_warc_ranges(cdx).collect()
+    }
+    assert rng == seq
+
+    # selective: 7 urls → exactly those, byte-identical, reading only hits
+    import pyspark.sql.functions as SF
+
+    wanted = pages.select("url").where(SF.xxhash64("url") % 6 == 0)
+    n_wanted = wanted.count()
+    assert 0 < n_wanted < 40
+    hit = read_warc_ranges(cdx.join(wanted, "url", "left_semi"))
+    got = {(r["url"], bytes(r["html"])) for r in hit.collect()}
+    want = {
+        (r["url"], bytes(r["html"]))
+        for r in pages.join(wanted, "url", "left_semi").collect()
+    }
+    assert got == want
+
+    # empty selection → empty frame with the pages schema, no crash
+    none = read_warc_ranges(cdx.where(SF.lit(False)))
+    assert none.count() == 0 and none.columns == ["url", "warc_ts", "html", "text", "lang"]
