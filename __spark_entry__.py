@@ -406,10 +406,61 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.col("min_doc_id").alias("keep_id"),
         F.col("n_docs").alias("n_dups"),
     )
-    return exact.unionAll(norm).unionAll(url_probe).unionAll(domain_probe)
+    # C4-style global span dedup probe: derive multi-line docs (break
+    # before every ' the ') and append a SHARED FOOTER line to each —
+    # dedup_spans must keep the footer (and every organically duplicated
+    # line) only at its smallest (doc_id, pos) occurrence corpus-wide
+    from edspdf_spark.functions.dedup import dedup_spans
+
+    span_src = docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\nthe ")),
+            F.lit("\nSHARED FOOTER"),
+        ).alias("text"),
+    )
+    span_probe = dedup_spans(span_src).select(
+        F.lit("span").alias("probe"),
+        F.md5(F.col("text")).alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_dups"),
+    )
+    return (
+        exact.unionAll(norm)
+        .unionAll(url_probe)
+        .unionAll(domain_probe)
+        .unionAll(span_probe)
+    )
 
 
 _DEDUP_EXACT_NORM_ORACLE = f"""
+WITH span_src AS (
+  SELECT doc_id,
+         replace(text, ' the ', chr(10) || 'the ') || chr(10) || 'SHARED FOOTER' AS text
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, s[i] AS span
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM span_src),
+       UNNEST(generate_series(1, len(s))) AS t(i)
+),
+marked AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY span) AS c
+  FROM sp WHERE length(span) >= 1
+),
+kept AS (
+  SELECT doc_id, pos, span FROM marked WHERE c = 1 OR rn = 1
+  UNION ALL
+  SELECT doc_id, pos, span FROM sp WHERE length(span) < 1
+),
+span_rebuilt AS (
+  SELECT d.doc_id,
+         COALESCE(string_agg(k.span, chr(10) ORDER BY k.pos), '') AS text
+  FROM span_src d LEFT JOIN kept k ON k.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
 SELECT 'exact' AS probe, * FROM ({_DEDUP_EXACT_ORACLE})
 UNION ALL
 SELECT 'normalized' AS probe, * FROM ({_DEDUP_NORM_ORACLE})
@@ -426,6 +477,12 @@ SELECT 'domain' AS probe,
        MIN(doc_id) AS keep_id,
        COUNT(*) AS n_dups
 FROM documents GROUP BY doc_id % 5
+UNION ALL
+SELECT 'span' AS probe,
+       md5(text) AS content_hash,
+       doc_id AS keep_id,
+       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_dups
+FROM span_rebuilt
 """
 
 
@@ -464,13 +521,20 @@ def _q_training_prep(spark, sf_dir):
         F.col("keep_id").alias("doc_id"), "n_dups"
     )
     canon = kept.join(groups, on="doc_id")
-    return with_token_stats(canon).select(
+    stats = with_token_stats(canon).select(
         "doc_id",
         "lang_guess",
         F.length("text").cast("long").alias("doc_len"),
         "n_tokens",
         "n_dups",
     )
+    # final stage: deterministic stratified sampling to a token budget per
+    # language (hash-threshold — same ids on every engine/retry)
+    from edspdf_spark.functions.quality import sample_corpus
+
+    return sample_corpus(
+        stats, target_tokens=8000, stratify_col="lang_guess", seed=1
+    ).select("doc_id", "lang_guess", "doc_len", "n_tokens", "n_dups")
 
 
 _TRAINING_PREP_ORACLE = r"""
@@ -525,12 +589,24 @@ grp AS (
   SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
   FROM kept GROUP BY md5(text)
 )
-SELECT k.doc_id, k.lang_guess,
-  CAST(length(k.text) AS BIGINT) AS doc_len,
-  CAST(CASE WHEN trim(k.text) = '' THEN 0
-       ELSE len(regexp_split_to_array(trim(k.text), '\s+')) END AS BIGINT) AS n_tokens,
-  g.n_dups
-FROM kept k JOIN grp g ON k.doc_id = g.keep_id
+, stats AS (
+  SELECT k.doc_id, k.lang_guess,
+    CAST(length(k.text) AS BIGINT) AS doc_len,
+    CAST(CASE WHEN trim(k.text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(k.text), '\s+')) END AS BIGINT) AS n_tokens,
+    g.n_dups
+  FROM kept k JOIN grp g ON k.doc_id = g.keep_id
+),
+tot AS (
+  SELECT lang_guess, CAST(SUM(n_tokens) AS DOUBLE) AS total
+  FROM stats GROUP BY lang_guess
+)
+SELECT s.doc_id, s.lang_guess, s.doc_len, s.n_tokens, s.n_dups
+FROM stats s JOIN tot t USING (lang_guess)
+WHERE substr(md5('1|' || CAST(s.doc_id AS VARCHAR)), 1, 8) <
+  CASE WHEN 8000 / t.total >= 1 THEN 'g'
+       ELSE lpad(lower(hex(CAST(floor(8000 / t.total * 4294967296.0) AS BIGINT))), 8, '0')
+  END
 """
 
 

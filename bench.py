@@ -166,6 +166,19 @@ def bench_text_embedding(spark, sf_dir):
     materialize(text_embedding_arrow(docs, size=16))
 
 
+def bench_warc_selective(spark, cdx_path):
+    """CDX record-level fetch: ~1% of the crawl's urls pulled back by
+    (filename, offset, length) seeks only — the index ships with the
+    crawl (CC contract), so only the fetch is timed. Bytes read scale
+    with the hit count, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.sources.warc import read_warc_ranges
+
+    cdx = spark.read.parquet(cdx_path)
+    materialize(read_warc_ranges(cdx.where(F.abs(F.xxhash64("url")) % 97 == 0)))
+
+
 def bench_quality_gate(spark, sf_dir):
     """Training-data corpus-filter pass: quality/lang/repetition signals +
     PII redaction (pure scan-stage expressions) + top-2-gram coverage (one
@@ -259,6 +272,14 @@ def main():
         )
         write_warc(html_pages, warc_corpus, n_files=CPUS * 2)
 
+    # pre-build the CDX index once (it ships WITH a crawl — CC contract);
+    # only the selective fetch is a benched query
+    cdx_path = f"{warc_corpus}_cdx"
+    if not os.path.exists(cdx_path + "/_SUCCESS"):
+        from edspdf_spark.sources.warc import build_cdx
+
+        build_cdx(spark, warc_corpus).write.mode("overwrite").parquet(cdx_path)
+
     # warmup: JVM/codegen init plus one python worker per core, so timings
     # below are steady-state (a cold first query would otherwise absorb
     # 32 worker fork+import costs)
@@ -279,6 +300,7 @@ def main():
         "pdf_bytes": lambda: bench_pdf_bytes(spark, pdf_corpus),
         "html_extract": lambda: bench_html_extract(spark, html_corpus),
         "warc_ingest": lambda: bench_warc_ingest(spark, warc_corpus),
+        "warc_selective": lambda: bench_warc_selective(spark, cdx_path),
         "mask_argmax": lambda: bench_mask_argmax(spark, SF_DIR),
         "minhash_lsh": lambda: bench_minhash_lsh(spark, SF_DIR),
         "lsh_neardup": lambda: bench_lsh_neardup(spark, SF_DIR),

@@ -555,3 +555,77 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_span_chars: int = 1,
+) -> DataFrame:
+    """C4-style global span dedup (Raffel et al. 2020 §2.2, public): any
+    ``sep``-delimited span whose exact bytes occur MORE THAN ONCE across
+    the whole corpus is removed from every document except the first
+    occurrence (first = smallest ``(id, position)``). Returns
+    ``(id_col, text)`` with each doc's surviving spans rejoined in their
+    original order — boilerplate lines repeated across a crawl (cookie
+    banners, nav footers) vanish corpus-wide in one pass.
+
+    Spans shorter than ``min_span_chars`` are exempt (always kept): at the
+    default 1 that's empty lines, which would otherwise all "duplicate"
+    each other and be stripped from every doc but one.
+
+    Plan shape: posexplode → one md5(span)-keyed aggregation (map-side
+    partials; the 32-byte digest is the shuffle key, never the span) →
+    equi-join of the tiny duplicate-group table back onto the spans → one
+    doc-keyed aggregation to reassemble. Both exchanges are corpus-keyed,
+    nothing finer; no window sort over the corpus.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("_pos", "_span"),
+    )
+    keyed = spans.withColumn(
+        "_h",
+        F.when(
+            F.length("_span") >= min_span_chars, F.md5(F.col("_span"))
+        ),
+    )
+    groups = (
+        keyed.where(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias(
+                "_keep"
+            ),
+        )
+        # only duplicated spans matter downstream — uniques pass untouched,
+        # so the join side carries the duplicate groups only
+        .where(F.col("_n") > 1)
+    )
+    kept = keyed.join(groups, on="_h", how="left").where(
+        F.col("_n").isNull()
+        | ((F.col("_keep.i") == F.col(id_col)) & (F.col("_keep.p") == F.col("_pos")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_span")))
+                ),
+                lambda s: s["_span"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # a doc whose every span was removed must survive as an empty doc,
+    # not vanish from the corpus
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -307,3 +307,51 @@ def decontaminate(
     """Drop contaminated docs (LEFT ANTI join against ``contaminated_ids``)."""
     bad = contaminated_ids(df, bench, n, id_col, text_col, bench_text_col)
     return df.join(bad, on=id_col, how="left_anti")
+
+
+def sample_corpus(
+    df: DataFrame,
+    target_tokens: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    stratify_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic hash-threshold sampling to a token budget — the
+    training-mix step ("take ~N tokens of this corpus, balanced per
+    language/domain"). Per stratum ``s``: ``rate_s = min(1,
+    target_tokens / total_tokens_s)`` and a doc is kept iff
+    ``md5(seed‖key)[:8] < hex(floor(rate_s · 2³²))`` — an 8-hex-digit
+    lexicographic compare, so the SAME rows are kept on every engine,
+    retry, and partitioning (no Bernoulli RNG state). Expected sampled
+    token mass per stratum ≈ the target; exact-id reproducibility is the
+    contract, not exact mass.
+
+    Plan: one tiny per-stratum aggregation (map-side partials) broadcast
+    back onto the corpus + a pure filter projection — no corpus shuffle
+    at all when unstratified (the totals row is a scalar broadcast).
+    """
+    strat = [stratify_col] if stratify_col else []
+    totals = df.groupBy(*strat).agg(
+        F.sum(token_col).cast("double").alias("_total")
+    )
+    rate = F.lit(float(target_tokens)) / F.col("_total")
+    # 2^32-scaled threshold as 8 lowercase hex digits; at rate ≥ 1 the
+    # sentinel 'g' sorts above every hex digit so all rows pass (lpad
+    # TRUNCATES overlong strings, so hex(2^32) can't be used directly)
+    thresh = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(rate * F.lit(4294967296.0)).cast("bigint"))),
+            8,
+            "0",
+        )
+    )
+    u = F.substring(
+        F.md5(F.concat(F.lit(str(seed) + "|"), F.col(key_col).cast("string"))), 1, 8
+    )
+    joined = (
+        df.join(F.broadcast(totals), on=strat) if strat else df.crossJoin(
+            F.broadcast(totals)
+        )
+    )
+    return joined.where(u < thresh).drop("_total")

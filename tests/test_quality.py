@@ -282,3 +282,148 @@ def test_quality_gate_factory(spark):
     rows = {r["doc_id"]: r["text"] for r in out.collect()}
     assert set(rows) == {0}
     assert rows[0].endswith("<EMAIL>")
+
+
+def test_dedup_spans_basic(spark):
+    from edspdf_spark.functions.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "keep me\ncookie banner\nunique zero"),
+            (1, "cookie banner\nunique one\n\nafter blank"),
+            (2, "cookie banner"),          # loses its only span -> empty doc
+            (3, "unique three\n\ntail"),   # blank line exempt, survives
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_spans(df).collect()}
+    # first occurrence = smallest (doc_id, pos): doc 0 keeps the banner
+    assert got[0] == "keep me\ncookie banner\nunique zero"
+    assert got[1] == "unique one\n\nafter blank"
+    assert got[2] == ""
+    assert got[3] == "unique three\n\ntail"
+
+
+def test_dedup_spans_within_doc(spark):
+    from edspdf_spark.functions.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(0, "same\nsame\nsame\nother")], "doc_id int, text string"
+    )
+    got = dedup_spans(df).collect()[0]["text"]
+    # duplicates within one doc collapse to the first occurrence too
+    assert got == "same\nother"
+
+
+def test_dedup_spans_duckdb_differential(spark):
+    """Random multi-line docs: Spark dedup_spans vs an independent DuckDB
+    window-function formulation of the same rule."""
+    import random
+
+    import duckdb
+
+    from edspdf_spark.functions.dedup import dedup_spans
+
+    rng = random.Random(11)
+    lines = [f"line{i}" for i in range(12)] + ["", "shared banner"]
+    rows = [
+        (i, "\n".join(rng.choice(lines) for _ in range(rng.randint(1, 8))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup_spans(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            """
+            WITH spans AS (
+              SELECT doc_id, i - 1 AS pos, s[i] AS span
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM documents),
+                   UNNEST(generate_series(1, len(s))) AS t(i)
+            ),
+            marked AS (
+              SELECT doc_id, pos, span,
+                CASE WHEN length(span) >= 1 THEN
+                  row_number() OVER (PARTITION BY CASE WHEN length(span) >= 1 THEN span END
+                                     ORDER BY doc_id, pos)
+                END AS rn,
+                CASE WHEN length(span) >= 1 THEN
+                  count(*) OVER (PARTITION BY CASE WHEN length(span) >= 1 THEN span END)
+                END AS c
+              FROM spans
+            )
+            SELECT d.doc_id,
+                   COALESCE(string_agg(m.span, chr(10) ORDER BY m.pos), '') AS text
+            FROM documents d
+            LEFT JOIN marked m
+              ON m.doc_id = d.doc_id AND (m.c IS NULL OR m.c = 1 OR m.rn = 1)
+            GROUP BY d.doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_sample_corpus(spark):
+    from edspdf_spark.functions.quality import sample_corpus
+
+    rows = [(i, 100, ["en", "fr"][i % 2]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int, lang string")
+
+    # rate >= 1 keeps everything
+    assert sample_corpus(df, target_tokens=10**9).count() == 2000
+
+    # ~30% budget: expected mass near target, exact ids reproducible
+    out1 = sorted(r["doc_id"] for r in sample_corpus(df, 30_000).collect())
+    out2 = sorted(
+        r["doc_id"]
+        for r in sample_corpus(df.repartition(7), 30_000).collect()
+    )
+    assert out1 == out2  # partitioning/retry stable
+    mass = len(out1) * 100
+    assert 0.8 * 30_000 < mass < 1.2 * 30_000
+
+    # stratified: each lang lands near ITS budget even though strata differ
+    skew = spark.createDataFrame(
+        [(i, 100 if i % 2 == 0 else 10, ["en", "fr"][i % 2]) for i in range(4000)],
+        "doc_id int, n_tokens int, lang string",
+    )
+    samp = sample_corpus(skew, 8_000, stratify_col="lang").collect()
+    per = {"en": 0, "fr": 0}
+    for r in samp:
+        per[r["lang"]] += r["n_tokens"]
+    assert 0.7 * 8_000 < per["en"] < 1.3 * 8_000
+    assert 0.7 * 8_000 < per["fr"] < 1.3 * 8_000
+
+
+def test_sample_corpus_duckdb_differential(spark):
+    """The hex-threshold rule must pick the SAME doc ids in DuckDB."""
+    import duckdb
+
+    from edspdf_spark.functions.quality import sample_corpus
+
+    rows = [(i, 50 + (i * 37) % 300) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    got = sorted(
+        r["doc_id"] for r in sample_corpus(df, 20_000, seed=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id INT, n_tokens INT)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(
+            """
+            WITH t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM d)
+            SELECT doc_id FROM d, t
+            WHERE substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < lpad(lower(hex(CAST(floor(LEAST(1.0, 20000 / total)
+                                              * 4294967296.0) AS BIGINT))), 8, '0')
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
