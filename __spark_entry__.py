@@ -209,10 +209,19 @@ def _q_text_signals(spark, sf_dir):
         probed.select("doc_id", F.col("line_text").alias("text"))
     ).select("doc_id", "dup_line_fraction", "dup_line_char_fraction")
     top2 = top_ngram_stats(docs, 2)
+    # CCNet-style bigram-LM perplexity: train on the even-doc_id half,
+    # score everyone; the integer micro-unit sum is the oracle contract
+    from edspdf_spark.functions.lm import train_bigram_lm, with_perplexity
+
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    lm_sig = with_perplexity(docs.select("doc_id", "text"), lm).select(
+        "doc_id", "lm_n_bigrams", "lm_lp_micro"
+    )
     out = (
         with_pii_signals(word_sig, text_col="pii_text")
         .join(line_sig, on="doc_id")
         .join(top2, on="doc_id")
+        .join(lm_sig, on="doc_id")
     )
     return out.select(
         "doc_id",
@@ -237,6 +246,8 @@ def _q_text_signals(spark, sf_dir):
         "pii_ipv4_count",
         "pii_phone_count",
         "pii_redacted_md5",
+        "lm_n_bigrams",
+        "lm_lp_micro",
     )
 
 
@@ -316,6 +327,46 @@ FROM p
 """
 
 
+# Bigram-LM perplexity replay: same tokenizer, same add-one smoothing,
+# same floor(ln(p)·1e4) integer quantization — the per-doc sum is an
+# exact integer, so engine/order differences cannot show up.
+_LM_ORACLE = r"""
+WITH lmtok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ts
+  FROM documents
+),
+lmbig AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM lmtok, UNNEST(generate_series(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 2
+),
+lmc12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM lmbig WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+lmc1 AS (SELECT w1, COUNT(*) AS c1 FROM lmbig WHERE doc_id % 2 = 0 GROUP BY 1),
+lmv AS (
+  SELECT COUNT(DISTINCT w) + 1 AS v
+  FROM (SELECT UNNEST(ts) AS w FROM lmtok WHERE doc_id % 2 = 0)
+),
+lmsc AS (
+  SELECT b.doc_id,
+         COUNT(*) AS lm_n_bigrams,
+         SUM(CAST(floor(ln(CAST(COALESCE(c.c12, 0) + 1 AS DOUBLE)
+                           / CAST(COALESCE(k.c1, 0) + v.v AS DOUBLE)) * 10000)
+                  AS BIGINT)) AS lm_lp_micro
+  FROM lmbig b
+  LEFT JOIN lmc12 c ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN lmc1 k ON k.w1 = b.w1
+  CROSS JOIN lmv v
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.lm_n_bigrams, 0) AS BIGINT) AS lm_n_bigrams,
+       CAST(COALESCE(s.lm_lp_micro, 0) AS BIGINT) AS lm_lp_micro
+FROM documents d LEFT JOIN lmsc s ON s.doc_id = d.doc_id
+"""
+
+
 def _text_signals_oracle() -> str:
     return f"""
 WITH t AS ({_TOKEN_STATS_ORACLE}),
@@ -324,20 +375,23 @@ l AS ({_LANG_GUESS_ORACLE}),
 f AS ({_FINGERPRINT_ORACLE}),
 rep AS ({_REPETITION_ORACLE}),
 tg AS ({_TOP2GRAM_ORACLE}),
-pii AS ({_PII_ORACLE})
+pii AS ({_PII_ORACLE}),
+lm AS ({_LM_ORACLE})
 SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        q.doc_len, q.punct_ratio, q.digit_ratio, q.space_ratio, q.stopword_ratio,
        l.lang, l.lang_guess, f.fp_md5,
        rep.dup_word_fraction, rep.dup_line_fraction, rep.dup_line_char_fraction,
        tg.top_2gram, tg.top_2gram_count, tg.top_2gram_char_fraction,
        pii.pii_email_count, pii.pii_ipv4_count, pii.pii_phone_count,
-       pii.pii_redacted_md5
+       pii.pii_redacted_md5,
+       lm.lm_n_bigrams, lm.lm_lp_micro
 FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN l ON l.doc_id = t.doc_id
        JOIN f ON f.doc_id = t.doc_id
        JOIN rep ON rep.doc_id = t.doc_id
        JOIN tg ON tg.doc_id = t.doc_id
        JOIN pii ON pii.doc_id = t.doc_id
+       JOIN lm ON lm.doc_id = t.doc_id
 """
 
 

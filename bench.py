@@ -201,6 +201,19 @@ def bench_quality_gate(spark, sf_dir):
     materialize(gated.join(top_ngram_stats(docs, 2), on="doc_id"))
 
 
+def bench_perplexity(spark, sf_dir):
+    """CCNet-style LM quality pass: train a bigram LM on half the corpus
+    (two groupBy count tables), score every doc by joined add-one
+    log-probs, integer micro-unit doc sums."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.lm import train_bigram_lm, with_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    materialize(with_perplexity(docs, lm))
+
+
 def main():
     spark = get_spark(
         master=f"local[{CPUS}]",
@@ -309,6 +322,7 @@ def main():
         "box_embedding": lambda: bench_box_embedding(spark, SF_DIR),
         "text_embedding": lambda: bench_text_embedding(spark, SF_DIR),
         "quality_gate": lambda: bench_quality_gate(spark, SF_DIR),
+        "perplexity": lambda: bench_perplexity(spark, SF_DIR),
     }
 
     # min-of-N per query: this VM shows ±30-100% wall variance between

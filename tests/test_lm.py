@@ -1,0 +1,122 @@
+"""Bigram-LM perplexity scoring (functions/lm.py): hand-computed case,
+an independent plain-Python differential, degenerate docs, and the
+CCNet-style gate."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from edspdf_spark.functions.lm import (
+    LP_QUANTUM,
+    perplexity_filter,
+    train_bigram_lm,
+    with_perplexity,
+)
+
+
+def _py_lm(train_texts):
+    c12, c1 = Counter(), Counter()
+    vocab = set()
+    for t in train_texts:
+        ws = t.strip().lower().split()
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    return c12, c1, len(vocab) + 1
+
+
+def _py_score(text, c12, c1, v):
+    ws = text.strip().lower().split()
+    total, n = 0, 0
+    for a, b in zip(ws, ws[1:]):
+        p = (c12.get((a, b), 0) + 1) / (c1.get(a, 0) + v)
+        total += math.floor(math.log(p) * LP_QUANTUM)
+        n += 1
+    return n, total
+
+
+def test_perplexity_hand_case(spark):
+    train = spark.createDataFrame(
+        [(0, "a b a"), (2, "b a")], "doc_id int, text string"
+    )
+    lm = train_bigram_lm(train)
+    docs = spark.createDataFrame([(1, "a b a c")], "doc_id int, text string")
+    row = with_perplexity(docs, lm).collect()[0]
+    # v = |{a,b}| + 1 = 3; p(b|a)=(1+1)/(1+3), p(a|b)=(2+1)/(2+3),
+    # p(c|a)=(0+1)/(1+3); floors: -6932, -5109, -13863
+    assert row["lm_n_bigrams"] == 3
+    assert row["lm_lp_micro"] == -6932 - 5109 - 13863
+    assert row["ppl"] == pytest.approx(math.exp(25904 / LP_QUANTUM / 3))
+
+
+def test_perplexity_python_differential(spark):
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(30)]
+    texts = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 25))))
+        for i in range(120)
+    ]
+    train_texts = [t for i, t in texts if i % 2 == 0]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    lm = train_bigram_lm(df.where("doc_id % 2 = 0"))
+    got = {
+        r["doc_id"]: (r["lm_n_bigrams"], r["lm_lp_micro"])
+        for r in with_perplexity(df, lm).collect()
+    }
+    c12, c1, v = _py_lm(train_texts)
+    for i, t in texts:
+        assert got[i] == _py_score(t, c12, c1, v), f"doc {i}"
+
+
+def test_perplexity_degenerate_docs(spark):
+    train = spark.createDataFrame([(0, "x y x y")], "doc_id int, text string")
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo"), (4, "x y")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_perplexity(docs, train_bigram_lm(train)).collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["lm_n_bigrams"] == 0
+        assert rows[i]["lm_lp_micro"] == 0
+        assert rows[i]["ppl"] is None
+    assert rows[4]["lm_n_bigrams"] == 1
+    assert rows[4]["ppl"] is not None
+
+
+def test_perplexity_filter_gate(spark):
+    # fluent docs repeat trained bigrams; the gibberish doc is all-OOV
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat sat")],
+        "doc_id int, text string",
+    )
+    lm = train_bigram_lm(train)
+    docs = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "zq xv jk pw nm qq rr ss")],
+        "doc_id int, text string",
+    )
+    scored = {r["doc_id"]: r["ppl"] for r in with_perplexity(docs, lm).collect()}
+    assert scored[10] < scored[11]
+    kept = perplexity_filter(docs, lm, max_ppl=scored[10] + 0.01)
+    assert [r["doc_id"] for r in kept.collect()] == [10]
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_perplexity_partitioning_invariance(spark):
+    """Integer micro-unit sums are exact: identical scores at any
+    partitioning (the summation-order hazard a double sum would have)."""
+    texts = [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(20))) for i in range(60)]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    lm = train_bigram_lm(df)
+    a = sorted(
+        (r["doc_id"], r["lm_lp_micro"])
+        for r in with_perplexity(df.repartition(1), lm).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["lm_lp_micro"])
+        for r in with_perplexity(df.repartition(16), lm).collect()
+    )
+    assert a == b
