@@ -1668,6 +1668,8 @@ _HTML_CLOSER = (
     "This closing paragraph carries enough plain words to count as good content."
 )
 
+_HTML_RD_CLOSER = "Second paragraph of the story, also real content."
+
 
 def _q_html_boilerplate(spark, sf_dir):
     """HTML boilerplate strip + jusText-style context smoothing (north
@@ -1677,10 +1679,22 @@ def _q_html_boilerplate(spark, sf_dir):
     footer. The context-sensitive pass (``context_classify``, Pomikálek
     2011 semantics) must rescue the short block because both decided
     neighbors are good, while nav/footer chrome stays boilerplate.
-    Deterministic template → exact 5-rows-per-doc SQL oracle."""
+    Deterministic template → exact 5-rows-per-doc SQL oracle.
+
+    A second leg (``algo='readability'``) drives the Arc90-style container
+    scorer (``extract_blocs_readability``) over a different template — a
+    link-only ``#sidebar`` div, a ``.content`` div holding chrome nav, the
+    article text, and a closer — where the class-hinted content div must
+    win the score, the nav inside it must stay chrome-boilerplate, and the
+    sidebar must lose on link density. Same exact-rows oracle style."""
     import pandas as pd
 
-    from edspdf_spark.operators.extract_html import extract_blocs_html
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.operators.extract_html import (
+        extract_blocs_html,
+        extract_blocs_readability,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
 
@@ -1703,30 +1717,73 @@ def _q_html_boilerplate(spark, sf_dir):
                 }
             )
 
+    def to_html_rd(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["doc_id"].astype(str),
+                    "html": [
+                        (
+                            "<html><body>"
+                            "<div id='sidebar'><a href='/a'>Widget links</a> "
+                            "<a href='/b'>More widget links</a></div>"
+                            "<div class='content'>"
+                            "<nav><a href='/'>Nav here</a> inside</nav>"
+                            "<p>" + str(t) + "</p>"
+                            "<p>" + _HTML_RD_CLOSER + "</p></div>"
+                            "</body></html>"
+                        ).encode("utf-8")
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
     pages = docs.mapInPandas(to_html, "url string, html binary")
-    out = extract_blocs_html(
+    jus = extract_blocs_html(
         pages, min_words=3, max_link_density=0.4, context_sensitive=True
+    ).select("url", "label", "text", F.lit("justext").alias("algo"))
+    pages_rd = docs.mapInPandas(to_html_rd, "url string, html binary")
+    rd = extract_blocs_readability(pages_rd).select(
+        "url", "label", "text", F.lit("readability").alias("algo")
     )
-    return out.select("url", "label", "text")
+    return jus.unionByName(rd)
 
 
 _HTML_BOILERPLATE_ORACLE = f"""
 SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
-       'Menu Home About' AS text
+       'Menu Home About' AS text, 'justext' AS algo
 FROM documents
 UNION ALL
-SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, text
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, text,
+       'justext' AS algo
 FROM documents
 UNION ALL
-SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, 'Read on' AS text
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, 'Read on' AS text,
+       'justext' AS algo
 FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label,
-       '{_HTML_CLOSER}' AS text
+       '{_HTML_CLOSER}' AS text, 'justext' AS algo
 FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
-       'Privacy Terms' AS text
+       'Privacy Terms' AS text, 'justext' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Widget links More widget links' AS text, 'readability' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Nav here inside' AS text, 'readability' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, text,
+       'readability' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label,
+       '{_HTML_RD_CLOSER}' AS text, 'readability' AS algo
 FROM documents
 """
 

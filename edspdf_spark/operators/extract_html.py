@@ -27,6 +27,18 @@ corpora" — published algorithm, reimplemented) on top:
   (good/bad) neighbors — document edges count as bad, matching jusText:
   ``short`` needs good on BOTH sides, ``neargood`` on at least one.
 
+A third heuristic, :func:`extract_blocs_readability`, implements the
+Arc90-readability-family *container scoring* algorithm (the published
+heuristic behind readability.js / python-readability, reimplemented from
+the public description): candidate containers (div/article/section/…)
+accumulate a content score from the paragraphs they hold (comma count +
+length bonus), weighted by tag kind and class/id hints, damped by the
+subtree's link density; the top-scoring container wins and its subtree is
+the extracted main content. Where jusText classifies each block locally
+with neighbor smoothing, readability picks one DOM region globally — the
+two disagree exactly where real extractors disagree, which is why both
+faces exist.
+
 Blocs get pseudo-geometry from document order (y grows with block index,
 one page per ``page_chars`` of text) so every downstream geometric operator
 (mask classifier, aggregator separators) works unchanged on web pages.
@@ -253,6 +265,235 @@ def extract_blocs_html(
                         )
                         for b, lab in zip(blocks, labels):
                             b["label"] = lab
+                if err:
+                    rows.append(
+                        dict.fromkeys(cols, None)
+                        | {"url": url, "props": [], "error": True}
+                    )
+                    continue
+                for i, b in enumerate(blocks):
+                    page = i // page_lines
+                    j = i % page_lines
+                    y0 = j / page_lines
+                    rows.append(
+                        {
+                            "url": url,
+                            "page_num": page,
+                            "bloc_ord": j,
+                            "x0": 0.1,
+                            "y0": y0,
+                            "x1": 0.9,
+                            "y1": y0 + 0.5 / page_lines,
+                            "text": b["text"],
+                            "props": [],
+                            "label": b["label"],
+                            "error": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(work, schema=BLOC_SCHEMA)
+
+
+# --- Arc90-readability-style container scoring ------------------------------
+
+#: class/id hints, per the published Arc90 heuristic (reimplemented).
+_POSITIVE_HINT_RE = re.compile(
+    r"article|body|content|entry|hentry|main|page|post|text|blog|story",
+    re.IGNORECASE,
+)
+_NEGATIVE_HINT_RE = re.compile(
+    r"combx|comment|com-|contact|foot|footnote|masthead|media|meta|outbrain"
+    r"|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|tool"
+    r"|widget|menu|banner|breadcrumb|ad-|advert",
+    re.IGNORECASE,
+)
+
+#: tags that open a scoring candidate (a "container"); everything else in
+#: _BLOCK_TAGS is only a paragraph boundary.
+_CONTAINER_TAGS = {
+    "div", "article", "section", "main", "td", "blockquote", "pre", "li",
+    "table",
+}
+
+#: tag-kind base score (Arc90 initializeNode weights).
+_TAG_BASE_SCORE = {
+    "div": 5, "article": 5, "section": 5, "main": 5,
+    "pre": 3, "td": 3, "blockquote": 3,
+    "li": -3, "table": -3,
+}
+
+
+def _class_weight(tag_markup: str) -> int:
+    """±25 per positive/negative class/id hint in the opening tag markup."""
+    w = 0
+    m = re.search(r"""class\s*=\s*("[^"]*"|'[^']*'|\S+)""", tag_markup, re.I)
+    attrs = [m.group(1)] if m else []
+    m = re.search(r"""id\s*=\s*("[^"]*"|'[^']*'|\S+)""", tag_markup, re.I)
+    if m:
+        attrs.append(m.group(1))
+    for a in attrs:
+        if _NEGATIVE_HINT_RE.search(a):
+            w -= 25
+        if _POSITIVE_HINT_RE.search(a):
+            w += 25
+    return w
+
+
+def readability_blocks(
+    raw: bytes, charset: str = "utf-8", max_link_density: float = 0.5
+) -> Tuple[List[dict], bool]:
+    """One HTML payload → blocks labeled by Arc90-style container scoring.
+
+    Each candidate container scores ``base(tag) + class/id weight +
+    Σ paragraph (1 + commas + min(len/100, 3))`` — a paragraph credits its
+    innermost container in full and that container's parent at half
+    weight, like Arc90's parent/grandparent split — then the total is
+    damped by ``(1 - subtree link density)``.  The highest-scoring
+    container (ties → earliest in document order) is the main content;
+    blocks outside its subtree, inside nav/header/footer/aside/form
+    chrome, or link-denser than ``max_link_density`` are boilerplate.
+    Deterministic: no randomness, no model, integer/half-integer scores.
+    """
+    try:
+        if charset == "sniff":
+            from edspdf_spark.sources.warc import decode_payload
+
+            text = decode_payload(raw)
+        else:
+            text = raw.decode(charset, errors="replace")
+    except Exception:
+        return [], True
+    if "<" not in text:
+        return [], True
+
+    text = _STRIP_RE.sub(" ", text)
+    parts = _BLOCK_SPLIT_RE.split(text)
+
+    # containers[0] is the document root (base 0, no hints)
+    containers: List[dict] = [
+        {"tag": None, "parent": None, "base": 0.0, "inner": 0.0,
+         "chars": 0, "link_chars": 0}
+    ]
+    stack: List[int] = [0]
+    chrome_depth = 0
+    buf: List[str] = []
+    blocks: List[dict] = []
+
+    def flush() -> None:
+        if not buf:
+            return
+        fragment = " ".join(buf)
+        buf.clear()
+        content = _clean_text(fragment)
+        if not content:
+            return
+        link_chars = sum(len(_clean_text(m)) for m in _ANCHOR_RE.findall(fragment))
+        ld = link_chars / max(1, len(content))
+        cur = stack[-1]
+        if chrome_depth == 0:
+            inner = 1.0 + content.count(",") + min(len(content) // 100, 3)
+            containers[cur]["inner"] += inner
+            par = containers[cur]["parent"]
+            if par is not None:
+                containers[par]["inner"] += inner / 2.0
+        cid = cur
+        while cid is not None:
+            containers[cid]["chars"] += len(content)
+            containers[cid]["link_chars"] += link_chars
+            cid = containers[cid]["parent"]
+        blocks.append(
+            {
+                "text": content,
+                "n_words": len(content.split()),
+                "link_density": ld,
+                "chrome": chrome_depth > 0,
+                "container": cur,
+            }
+        )
+
+    for part in parts:
+        if _BLOCK_SPLIT_RE.fullmatch(part or ""):
+            tag = re.match(r"</?([a-zA-Z0-9]+)", part).group(1).lower()
+            closing = part.startswith("</")
+            if tag in _CHROME_TAGS:
+                flush()
+                chrome_depth = max(0, chrome_depth - 1) if closing else chrome_depth + 1
+            elif tag in _CONTAINER_TAGS:
+                flush()
+                if closing:
+                    # pop to the nearest matching open container (tolerates
+                    # the unbalanced markup real crawls are full of)
+                    for i in range(len(stack) - 1, 0, -1):
+                        if containers[stack[i]]["tag"] == tag:
+                            del stack[i:]
+                            break
+                else:
+                    containers.append(
+                        {
+                            "tag": tag,
+                            "parent": stack[-1],
+                            "base": float(_TAG_BASE_SCORE.get(tag, 0))
+                            + _class_weight(part),
+                            "inner": 0.0,
+                            "chars": 0,
+                            "link_chars": 0,
+                        }
+                    )
+                    stack.append(len(containers) - 1)
+            else:
+                flush()
+        else:
+            buf.append(part)
+    flush()
+
+    best_id, best_score = 0, float("-inf")
+    for cid, c in enumerate(containers):
+        ld = c["link_chars"] / max(1, c["chars"])
+        score = (c["base"] + c["inner"]) * (1.0 - ld)
+        if score > best_score:  # strict > keeps the earliest on ties
+            best_id, best_score = cid, score
+
+    for b in blocks:
+        in_winner = False
+        cid = b["container"]
+        while cid is not None:
+            if cid == best_id:
+                in_winner = True
+                break
+            cid = containers[cid]["parent"]
+        b["label"] = (
+            "body"
+            if in_winner and not b["chrome"] and b["link_density"] <= max_link_density
+            else "boilerplate"
+        )
+    return blocks, False
+
+
+def extract_blocs_readability(
+    pages: DataFrame,
+    max_link_density: float = 0.5,
+    page_lines: int = 40,
+    charset: str = "utf-8",
+) -> DataFrame:
+    """pages(url, html) → blocs via Arc90-style container scoring; same
+    vectorized mapInPandas contract and pseudo-geometry as
+    :func:`extract_blocs_html`, so the two extractors are drop-in
+    alternatives in front of the shared classifier/aggregator stages."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BLOC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, raw in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
+                if raw is None:
+                    blocks, err = [], True
+                else:
+                    blocks, err = readability_blocks(
+                        bytes(raw),
+                        charset=charset,
+                        max_link_density=max_link_density,
+                    )
                 if err:
                     rows.append(
                         dict.fromkeys(cols, None)

@@ -204,3 +204,100 @@ def test_render_pages_handles_unparseable_bytes():
     from edspdf_spark.operators.visualize import render_pages
 
     assert render_pages(b"%PDF", []) == []
+
+
+# --- Arc90-readability container scoring ------------------------------------
+
+
+def test_readability_kernel_winner_and_labels():
+    """Class-hinted content div must win; link-dense sidebar, chrome nav,
+    and everything outside the winning subtree must be boilerplate."""
+    from edspdf_spark.operators.extract_html import readability_blocks
+
+    html = (
+        b"<html><body>"
+        b"<div id='sidebar'><a href='/a'>Link one</a> <a href='/b'>Link two</a></div>"
+        b"<div class='content'><p>Real article text, with commas, and substance.</p>"
+        b"<p>Second paragraph of the story, also real.</p></div>"
+        b"<nav><a href='/'>Home</a> About</nav>"
+        b"<p>Stray paragraph outside every container.</p>"
+        b"</body></html>"
+    )
+    blocks, err = readability_blocks(html)
+    assert not err
+    by_text = {b["text"]: b["label"] for b in blocks}
+    assert by_text["Real article text, with commas, and substance."] == "body"
+    assert by_text["Second paragraph of the story, also real."] == "body"
+    assert by_text["Link one Link two"] == "boilerplate"
+    assert by_text["Home About"] == "boilerplate"
+    # root did not win, so the stray paragraph is outside the winner subtree
+    assert by_text["Stray paragraph outside every container."] == "boilerplate"
+
+
+def test_readability_kernel_root_fallback():
+    """With no candidate containers at all, the root wins and ordinary
+    paragraphs are body."""
+    from edspdf_spark.operators.extract_html import readability_blocks
+
+    html = b"<html><body><p>Only a bare paragraph, nothing else.</p></body></html>"
+    blocks, err = readability_blocks(html)
+    assert not err
+    assert [b["label"] for b in blocks] == ["body"]
+
+
+def test_readability_kernel_negative_hint_loses():
+    """A negative class hint (-25) must sink an otherwise wordy container
+    when a neutral sibling holds comparable content."""
+    from edspdf_spark.operators.extract_html import readability_blocks
+
+    para = b"<p>Plenty of ordinary words fill this paragraph, with a comma.</p>"
+    html = (
+        b"<html><body>"
+        b"<div class='comment'>" + para + b"</div>"
+        b"<div>" + para + para + b"</div>"
+        b"</body></html>"
+    )
+    blocks, err = readability_blocks(html)
+    assert not err
+    labels = [b["label"] for b in blocks]
+    # the neutral div (two paragraphs) wins; the comment div loses
+    assert labels == ["boilerplate", "body", "body"]
+
+
+def test_readability_kernel_unbalanced_markup():
+    """Unclosed containers must not crash or mis-pop the stack."""
+    from edspdf_spark.operators.extract_html import readability_blocks
+
+    html = (
+        b"<html><body><div class='content'><p>Text that never closes its div, "
+        b"with a comma, and more words to score.</p>"
+        b"</body></html>"
+    )
+    blocks, err = readability_blocks(html)
+    assert not err
+    assert blocks[0]["label"] == "body"
+
+
+def test_readability_spark_operator(spark):
+    from edspdf_spark.operators.extract_html import extract_blocs_readability
+
+    html = (
+        b"<html><body>"
+        b"<div id='sidebar'><a href='/a'>Link one</a> <a href='/b'>Link two</a></div>"
+        b"<div class='content'><p>Real article text, with commas, and substance.</p>"
+        b"<p>Second paragraph of the story, also real.</p></div>"
+        b"</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("u", None, bytearray(html), None, "en"),
+         ("v", None, None, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rows = extract_blocs_readability(pages).collect()
+    body = sorted(r.text for r in rows if r.label == "body")
+    assert body == [
+        "Real article text, with commas, and substance.",
+        "Second paragraph of the story, also real.",
+    ]
+    errs = [r for r in rows if r.error]
+    assert len(errs) == 1 and errs[0].url == "v"
