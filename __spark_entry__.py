@@ -395,6 +395,13 @@ FROM t JOIN q ON q.doc_id = t.doc_id
 """
 
 
+_SUB_BANNER = (
+    "granted under the license terms stated in section four herein"
+)
+
+from edspdf_spark.functions import dedup as _dedup  # noqa: E402 (oracle SQL builder)
+
+
 def _q_dedup_exact_normalized(spark, sf_dir):
     """Exact + whitespace/case-normalized + canonical-url dedup in one
     union-tagged frame (probe column keeps all three operator families
@@ -479,11 +486,32 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.col("doc_id").alias("keep_id"),
         F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_dups"),
     )
+    # exact-substring (Lee et al. 2021) probe: every 3rd doc gets a shared
+    # 10-token banner appended — dedup_substrings(w=8) must strip exactly
+    # the banner everywhere but its smallest-doc_id occurrence (the
+    # boundary-straddling windows stay unique per doc, so nothing else
+    # moves); n_dups carries the surviving token count
+    from edspdf_spark.functions.dedup import dedup_substrings
+
+    sub_src = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SUB_BANNER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    sub_probe = dedup_substrings(sub_src, w=8).select(
+        F.lit("substring").alias("probe"),
+        F.md5(F.col("text")).alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_tokens_kept").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
         .unionAll(domain_probe)
         .unionAll(span_probe)
+        .unionAll(sub_probe)
     )
 
 
@@ -537,6 +565,16 @@ SELECT 'span' AS probe,
        doc_id AS keep_id,
        CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_dups
 FROM span_rebuilt
+UNION ALL
+SELECT 'substring' AS probe,
+       md5(text) AS content_hash,
+       doc_id AS keep_id,
+       n_tokens_kept AS n_dups
+FROM ({_dedup.dedup_substrings_oracle_sql(
+    "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' " + _SUB_BANNER
+    + "' ELSE text END AS text FROM documents",
+    w=8,
+)})
 """
 
 

@@ -6,6 +6,8 @@ from edspdf_spark.functions.text import (
 )
 from edspdf_spark.functions.dedup import (
     dedup_exact,
+    dedup_spans,
+    dedup_substrings,
     normalize_text,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -23,6 +25,8 @@ __all__ = [
     "with_lang_guess",
     "with_fingerprint",
     "dedup_exact",
+    "dedup_spans",
+    "dedup_substrings",
     "normalize_text",
     "minhash_signatures",
     "lsh_candidate_pairs",

@@ -629,3 +629,157 @@ def dedup_spans(
         .join(rebuilt, on=id_col, how="left")
         .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", public): any ``w``-token window whose
+    exact whitespace-token sequence occurs MORE THAN ONCE across the whole
+    corpus is removed everywhere except its first occurrence (first =
+    smallest ``(id, start)``). Unlike the line-keyed :func:`dedup_spans`,
+    this catches verbatim duplication that crosses line boundaries or sits
+    inside otherwise-unique documents (license blocks, quoted passages,
+    templated paragraphs). Returns ``(id_col, text, n_tokens_kept)`` with
+    each doc's surviving tokens rejoined in order.
+
+    The paper removes duplicated spans via a corpus-wide suffix array — a
+    single-machine construction. The distributed equivalent here is rolling
+    ``w``-token window fingerprints: a region duplicated for >= w tokens is
+    covered by at least one duplicated window, and every duplicated window
+    marks exactly its w tokens, so the removed set matches the suffix-array
+    semantics for regions of length >= w (shorter repeats are kept, as the
+    paper's threshold intends).
+
+    Plan shape (all built-in expressions, no Python in the hot path):
+    tokens stay row-local while the per-row window fingerprints are built
+    (``transform`` over ``sequence``); only skinny ``(id, start, md5)``
+    rows are exploded. One md5-keyed aggregation finds duplicated windows
+    (map-side partials; shuffle key is the 16-byte digest, never the
+    tokens), an equi-join of that small duplicate-group table marks covered
+    starts, and one id-keyed aggregation + id-equi-join rebuilds each doc.
+    Rows exploded ~= total corpus tokens — linear in corpus size; at 100 TB
+    the digest shuffle is the dominant cost and is the theoretical minimum
+    for exact global matching.
+    """
+    if w < 2:
+        raise ValueError("w must be >= 2 (w=1 would dedup single tokens)")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # trim('') splits to [''] — make the empty doc a genuinely empty array
+    toks = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+                  F.array().cast("array<string>")).otherwise(toks)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    # 0-based window starts; docs shorter than w emit no windows
+    starts = F.when(
+        n >= w, F.sequence(F.lit(0), n - F.lit(w))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("start"),
+                    F.md5(
+                        F.array_join(F.slice("_toks", s + 1, w), " ")
+                    ).alias("_h"),
+                ),
+            )
+        ).alias("_w"),
+    ).select(id_col, F.col("_w.start").alias("_start"), F.col("_w._h").alias("_h"))
+    groups = (
+        wins.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("_start").alias("p"))
+            ).alias("_keep"),
+        )
+        .where(F.col("_n") > 1)
+    )
+    marked = (
+        wins.join(groups, on="_h")
+        .where(
+            ~((F.col("_keep.i") == F.col(id_col)) & (F.col("_keep.p") == F.col("_start")))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_start").alias("_marked"))
+    )
+    # covered token indices = union of [start, start+w) over marked windows
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_marked"), lambda s: F.sequence(s, s + F.lit(w - 1))
+            )
+        )
+    )
+    rebuilt = (
+        base.join(marked, on=id_col, how="left")
+        .withColumn("_cov", F.coalesce(covered, F.array().cast("array<int>")))
+        .select(
+            F.col(id_col),
+            F.filter(
+                "_toks", lambda t, i: ~F.array_contains(F.col("_cov"), i)
+            ).alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join("_kept", " ").alias(text_col),
+            F.size("_kept").cast("long").alias("n_tokens_kept"),
+        )
+    )
+    return rebuilt
+
+
+def dedup_substrings_oracle_sql(
+    src_sql: str, w: int = 50, id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`dedup_substrings` — an independent SQL
+    implementation (window functions + UNNEST, no higher-order rebuild) of
+    the same published semantics, for the correctness driver."""
+    return f"""
+WITH src AS ({src_sql}),
+tok AS (
+  SELECT {id_col},
+         CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+  FROM src
+),
+win AS (
+  SELECT {id_col}, i - 1 AS pos,
+         md5(array_to_string(ws[i:i+{w - 1}], ' ')) AS h
+  FROM tok, UNNEST(generate_series(1, len(ws) - {w - 1})) AS t(i)
+  WHERE len(ws) >= {w}
+),
+marked AS (
+  SELECT {id_col}, pos,
+         row_number() OVER (PARTITION BY h ORDER BY {id_col}, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM win
+),
+covered AS (
+  SELECT DISTINCT m.{id_col}, m.pos + u.k AS ti
+  FROM (SELECT * FROM marked WHERE c > 1 AND rn > 1) m,
+       UNNEST(generate_series(0, {w - 1})) AS u(k)
+),
+toks_flat AS (
+  SELECT {id_col}, i - 1 AS ti, ws[i] AS tk
+  FROM tok, UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+kept AS (
+  SELECT f.{id_col}, f.ti, f.tk
+  FROM toks_flat f LEFT JOIN covered c
+    ON c.{id_col} = f.{id_col} AND c.ti = f.ti
+  WHERE c.ti IS NULL
+)
+SELECT s.{id_col} AS {id_col},
+       COALESCE(string_agg(k.tk, ' ' ORDER BY k.ti), '') AS text,
+       COUNT(k.ti) AS n_tokens_kept
+FROM src s LEFT JOIN kept k ON k.{id_col} = s.{id_col}
+GROUP BY s.{id_col}
+"""

@@ -427,3 +427,110 @@ def test_sample_corpus_duckdb_differential(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+# --- exact-substring dedup (Lee et al. 2021 rolling-window formulation) -----
+
+_BANNER = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_dedup_substrings_basic(spark):
+    from edspdf_spark.functions.dedup import dedup_substrings
+
+    df = spark.createDataFrame(
+        [
+            (1, _BANNER + " unique one tail"),
+            (2, "prefix two " + _BANNER + " trailing"),
+            (3, "three has no duplicates at all whatsoever in this body"),
+            (4, "short doc"),
+            (5, ""),
+            (6, "xx yy " + _BANNER + " zz " + _BANNER + " end"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"])
+        for r in dedup_substrings(df, w=8).collect()
+    }
+    # first occurrence = smallest (doc_id, start): doc 1 keeps the banner
+    assert got[1] == (_BANNER + " unique one tail", 11)
+    assert got[2] == ("prefix two trailing", 3)
+    assert got[3][1] == 10  # untouched
+    assert got[4] == ("short doc", 2)  # shorter than w: exempt
+    assert got[5] == ("", 0)
+    # intra-doc repeat: both occurrences duplicated, both removed (the
+    # corpus-wide first occurrence lives in doc 1)
+    assert got[6] == ("xx yy zz end", 4)
+
+
+def test_dedup_substrings_w_guard(spark):
+    import pytest as _pytest
+
+    from edspdf_spark.functions.dedup import dedup_substrings
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        dedup_substrings(df, w=1)
+
+
+def _brute_substring_dedup(rows, w):
+    toks = {d: (t.split() if t.strip() else []) for d, t in rows}
+    occurrences = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for s in range(len(ts) - w + 1):
+            occurrences.setdefault(tuple(ts[s : s + w]), []).append((d, s))
+    covered = {d: set() for d in toks}
+    for occ in occurrences.values():
+        if len(occ) > 1:
+            keep = min(occ)
+            for d, s in occ:
+                if (d, s) != keep:
+                    covered[d].update(range(s, s + w))
+    return {
+        d: (
+            " ".join(t for i, t in enumerate(ts) if i not in covered[d]),
+            len(ts) - len(covered[d]),
+        )
+        for d, ts in toks.items()
+    }
+
+
+def test_dedup_substrings_brute_force_differential(spark):
+    """Random small-vocab docs (lots of organic window collisions): Spark
+    vs an order-free brute-force reference, and vs the registered DuckDB
+    oracle formulation."""
+    import random
+
+    import duckdb
+
+    from edspdf_spark.functions.dedup import (
+        dedup_substrings,
+        dedup_substrings_oracle_sql,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(60)
+    ]
+    w = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"])
+        for r in dedup_substrings(df, w=w).collect()
+    }
+    want = _brute_substring_dedup(rows, w)
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute(
+            dedup_substrings_oracle_sql("SELECT doc_id, text FROM documents", w=w)
+        ).fetchall()
+    )
+    assert oracle == want
