@@ -1708,6 +1708,17 @@ _HTML_CLOSER = (
 
 _HTML_RD_CLOSER = "Second paragraph of the story, also real content."
 
+# 42 words — crosses boilerpipe's words(curr) > 40 rule for a block whose
+# previous block is link-dense (the nav), making the lead deterministically
+# content regardless of the per-document text that follows it.
+_HTML_BP_LEAD = (
+    "The quick brown fox jumps over the lazy dog while the patient editor "
+    "counts every single word in this deliberately long lead paragraph so "
+    "that the shallow text feature classifier marks it as proper long form "
+    "article content without any doubt whatsoever."
+)
+_HTML_BP_TAIL = "All rights reserved notice"
+
 
 def _q_html_boilerplate(spark, sf_dir):
     """HTML boilerplate strip + jusText-style context smoothing (north
@@ -1724,12 +1735,23 @@ def _q_html_boilerplate(spark, sf_dir):
     link-only ``#sidebar`` div, a ``.content`` div holding chrome nav, the
     article text, and a closer — where the class-hinted content div must
     win the score, the nav inside it must stay chrome-boilerplate, and the
-    sidebar must lose on link density. Same exact-rows oracle style."""
+    sidebar must lose on link density. Same exact-rows oracle style.
+
+    A third leg (``algo='boilerpipe'``) drives the Kohlschütter-rules
+    shallow-feature classifier (``extract_blocs_boilerpipe`` — pure
+    window expressions over lag/lead word counts and link densities):
+    a link-only nav (link-density rule), a 42-word lead after the dense
+    nav (words(curr) > 40 branch), the per-document text rescued by its
+    41+-word predecessor (words(prev) > 4 branch), a link-only footer,
+    and a short legal tail after the dense footer that no rule rescues.
+    Every decision is independent of the variable document text, so the
+    5-rows-per-doc exact oracle holds for any corpus."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
     from edspdf_spark.operators.extract_html import (
+        extract_blocs_boilerpipe,
         extract_blocs_html,
         extract_blocs_readability,
     )
@@ -1776,6 +1798,28 @@ def _q_html_boilerplate(spark, sf_dir):
                 }
             )
 
+    def to_html_bp(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["doc_id"].astype(str),
+                    "html": [
+                        (
+                            "<html><body>"
+                            "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+                            "<a href='/c'>Contact</a></nav>"
+                            "<p>" + _HTML_BP_LEAD + "</p>"
+                            "<p>" + str(t) + "</p>"
+                            "<footer><a href='/p'>Privacy</a> "
+                            "<a href='/t'>Terms</a></footer>"
+                            "<p>" + _HTML_BP_TAIL + "</p>"
+                            "</body></html>"
+                        ).encode("utf-8")
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
     pages = docs.mapInPandas(to_html, "url string, html binary")
     jus = extract_blocs_html(
         pages, min_words=3, max_link_density=0.4, context_sensitive=True
@@ -1784,7 +1828,11 @@ def _q_html_boilerplate(spark, sf_dir):
     rd = extract_blocs_readability(pages_rd).select(
         "url", "label", "text", F.lit("readability").alias("algo")
     )
-    return jus.unionByName(rd)
+    pages_bp = docs.mapInPandas(to_html_bp, "url string, html binary")
+    bp = extract_blocs_boilerpipe(pages_bp).select(
+        "url", "label", "text", F.lit("boilerpipe").alias("algo")
+    )
+    return jus.unionByName(rd).unionByName(bp)
 
 
 _HTML_BOILERPLATE_ORACLE = f"""
@@ -1822,6 +1870,26 @@ FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label,
        '{_HTML_RD_CLOSER}' AS text, 'readability' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Home About Contact' AS text, 'boilerpipe' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label,
+       '{_HTML_BP_LEAD}' AS text, 'boilerpipe' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, text,
+       'boilerpipe' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Privacy Terms' AS text, 'boilerpipe' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       '{_HTML_BP_TAIL}' AS text, 'boilerpipe' AS algo
 FROM documents
 """
 

@@ -522,3 +522,120 @@ def extract_blocs_readability(
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("url", "html").mapInPandas(work, schema=BLOC_SCHEMA)
+
+
+# --- boilerpipe-style densitometric classification --------------------------
+
+def html_block_features(pages: DataFrame, charset: str = "utf-8") -> DataFrame:
+    """pages(url, html) → the UNCLASSIFIED block table: one row per text
+    block with its shallow features ``(url, pos, text, n_words,
+    link_density, error)``. Parse errors yield a single ``error=True``
+    sentinel row per url (matching the extractor convention). Downstream
+    classifiers — :func:`classify_blocks_boilerpipe` or a trained head —
+    consume these features as columns, keeping classification JVM-side."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "pos", "text", "n_words", "link_density", "error"]
+        for pdf in batches:
+            rows = []
+            for url, raw in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
+                if raw is None:
+                    blocks, err = [], True
+                else:
+                    blocks, err = extract_html_blocks(bytes(raw), charset=charset)
+                if err:
+                    rows.append(
+                        {
+                            "url": url,
+                            "pos": None,
+                            "text": None,
+                            "n_words": None,
+                            "link_density": None,
+                            "error": True,
+                        }
+                    )
+                    continue
+                for i, b in enumerate(blocks):
+                    rows.append(
+                        {
+                            "url": url,
+                            "pos": i,
+                            "text": b["text"],
+                            "n_words": b["n_words"],
+                            "link_density": b["link_density"],
+                            "error": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "url string, pos int, text string, n_words int, "
+        "link_density double, error boolean"
+    )
+    return pages.select("url", "html").mapInPandas(work, schema=schema)
+
+
+def classify_blocks_boilerpipe(blocks: DataFrame) -> DataFrame:
+    """Kohlschütter/Nepomnyachiy boilerpipe ``NumWordsRulesClassifier``
+    (WSDM 2010 "Boilerplate detection using shallow text features" —
+    published decision rules, reimplemented) as PURE column expressions
+    over per-document lag/lead windows — no Python in the classify step:
+
+    * ``link_density(curr) > 1/3`` → boilerplate;
+    * else if ``link_density(prev) <= 0.555556``: content iff
+      ``words(curr) > 16`` or ``words(next) > 15`` or ``words(prev) > 4``;
+    * else: content iff ``words(curr) > 40`` or ``words(next) > 17``.
+
+    Document edges take 0 words / 0 link density, as in the original.
+    Appends ``label``; input shape is :func:`html_block_features`. The
+    window partitions by url and orders by block position — per-document
+    state, so partitions stay bounded at any corpus size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("url").orderBy("pos")
+    prev_words = F.lag("n_words", 1, 0).over(w)
+    next_words = F.lead("n_words", 1, 0).over(w)
+    prev_ld = F.lag("link_density", 1, 0.0).over(w)
+    content = F.when(
+        F.col("link_density") > F.lit(0.333333), F.lit(False)
+    ).otherwise(
+        F.when(
+            prev_ld <= F.lit(0.555556),
+            (F.col("n_words") > 16) | (next_words > 15) | (prev_words > 4),
+        ).otherwise((F.col("n_words") > 40) | (next_words > 17))
+    )
+    label = F.when(F.col("error"), F.lit(None).cast("string")).otherwise(
+        F.when(content, F.lit("body")).otherwise(F.lit("boilerplate"))
+    )
+    return blocks.withColumn("label", label)
+
+
+def extract_blocs_boilerpipe(
+    pages: DataFrame, page_lines: int = 40, charset: str = "utf-8"
+) -> DataFrame:
+    """pages(url, html) → blocs (BLOC_SCHEMA) via the boilerpipe shallow-
+    feature rules; drop-in alternative to :func:`extract_blocs_html`
+    (jusText-style) and :func:`extract_blocs_readability` (Arc90-style) in
+    front of the shared classifier/aggregator stages. Geometry is the same
+    document-order pseudo-layout the other HTML extractors emit."""
+    from pyspark.sql import functions as F
+
+    labeled = classify_blocks_boilerpipe(html_block_features(pages, charset))
+    j = F.col("pos") % page_lines
+    y0 = j.cast("double") / page_lines
+    return labeled.select(
+        "url",
+        F.when(~F.col("error"), (F.col("pos") / page_lines).cast("int")).alias(
+            "page_num"
+        ),
+        F.when(~F.col("error"), j.cast("int")).alias("bloc_ord"),
+        F.when(~F.col("error"), F.lit(0.1)).alias("x0"),
+        F.when(~F.col("error"), y0).alias("y0"),
+        F.when(~F.col("error"), F.lit(0.9)).alias("x1"),
+        F.when(~F.col("error"), y0 + 0.5 / page_lines).alias("y1"),
+        "text",
+        F.array().cast(BLOC_SCHEMA["props"].dataType).alias("props"),
+        "label",
+        "error",
+    )
