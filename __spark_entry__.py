@@ -157,8 +157,10 @@ def _q_text_signals(spark, sf_dir):
     operators then run on live targets and the oracle asserts exact
     counts/hashes."""
     from edspdf_spark.functions.quality import (
+        c4_line_signals,
         top_ngram_stats,
         with_array_repetition,
+        with_line_shape_signals,
         with_pii_signals,
     )
     from edspdf_spark.functions.text import (
@@ -217,11 +219,42 @@ def _q_text_signals(spark, sf_dir):
     lm_sig = with_perplexity(docs.select("doc_id", "text"), lm).select(
         "doc_id", "lm_n_bigrams", "lm_lp_micro"
     )
+    # C4 line rules on a sentence-shaped probe (every ' merge ' becomes a
+    # sentence break, so kept-line / sentence counts vary per doc) and
+    # Gopher line-shape signals on a bullet/ellipsis-shaped probe (every
+    # ' join ' opens a '- ' bullet line, every ' data ' closes an
+    # ellipsis line) — live targets for every rule, fully deterministic.
+    c4_probe = F.replace(F.col("text"), F.lit(" merge "), F.lit(".\nThe "))
+    c4_sig = c4_line_signals(docs.select("doc_id", c4_probe.alias("text"))).select(
+        "doc_id",
+        "c4_lines_total",
+        "c4_lines_kept",
+        F.md5(F.col("c4_text")).alias("c4_text_md5"),
+        "c4_n_sentences",
+        "c4_keep",
+    )
+    shape_probe = F.replace(
+        F.replace(F.col("text"), F.lit(" join "), F.lit("\n- join ")),
+        F.lit(" data "),
+        F.lit(" data...\n"),
+    )
+    shape_sig = with_line_shape_signals(
+        docs.select("doc_id", shape_probe.alias("text"))
+    ).select(
+        "doc_id",
+        "bullet_line_fraction",
+        "ellipsis_line_fraction",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_fraction",
+    )
     out = (
         with_pii_signals(word_sig, text_col="pii_text")
         .join(line_sig, on="doc_id")
         .join(top2, on="doc_id")
         .join(lm_sig, on="doc_id")
+        .join(c4_sig, on="doc_id")
+        .join(shape_sig, on="doc_id")
     )
     return out.select(
         "doc_id",
@@ -248,6 +281,16 @@ def _q_text_signals(spark, sf_dir):
         "pii_redacted_md5",
         "lm_n_bigrams",
         "lm_lp_micro",
+        "c4_lines_total",
+        "c4_lines_kept",
+        "c4_text_md5",
+        "c4_n_sentences",
+        "c4_keep",
+        "bullet_line_fraction",
+        "ellipsis_line_fraction",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_fraction",
     )
 
 
@@ -367,6 +410,64 @@ FROM documents d LEFT JOIN lmsc s ON s.doc_id = d.doc_id
 """
 
 
+# C4 line rules replayed on the same ' merge ' sentence-break probe; the
+# kept-lines text is compared as an md5 to keep the row narrow.
+_C4_ORACLE = r"""
+WITH c4p AS (
+  SELECT doc_id,
+         replace(text, ' merge ', '.' || chr(10) || 'The ') AS t
+  FROM documents
+),
+c4s AS (
+  SELECT doc_id, t, str_split(t, chr(10)) AS lines,
+         list_filter(str_split(t, chr(10)),
+           l -> regexp_matches(trim(l), '[.!?"]$')
+                AND CASE WHEN trim(l) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(l), '\s+')) END >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM c4p
+)
+SELECT doc_id,
+       len(lines) AS c4_lines_total,
+       len(kept) AS c4_lines_kept,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS c4_text_md5,
+       len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]'))
+         AS c4_n_sentences,
+       len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
+         AND NOT contains(lower(t), 'lorem ipsum')
+         AND NOT contains(t, '{') AS c4_keep
+FROM c4s
+"""
+
+# Gopher line/word-shape signals replayed on the bullet/ellipsis probe.
+_SHAPE_ORACLE = r"""
+WITH shp AS (
+  SELECT doc_id,
+         replace(replace(text, ' join ', chr(10) || '- join '),
+                 ' data ', ' data...' || chr(10)) AS t
+  FROM documents
+),
+shs AS (
+  SELECT doc_id, t, str_split(t, chr(10)) AS lines,
+         CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(t), '\s+') END AS words
+  FROM shp
+)
+SELECT doc_id,
+       CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+         / CAST(len(lines) AS DOUBLE) AS bullet_line_fraction,
+       CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+         / CAST(len(lines) AS DOUBLE) AS ellipsis_line_fraction,
+       CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE)
+         / CAST(greatest(len(words), 1) AS DOUBLE) AS mean_word_len,
+       CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+         / CAST(greatest(len(words), 1) AS DOUBLE) AS symbol_word_ratio,
+       CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         / CAST(greatest(len(words), 1) AS DOUBLE) AS alpha_word_fraction
+FROM shs
+"""
+
+
 def _text_signals_oracle() -> str:
     return f"""
 WITH t AS ({_TOKEN_STATS_ORACLE}),
@@ -376,7 +477,9 @@ f AS ({_FINGERPRINT_ORACLE}),
 rep AS ({_REPETITION_ORACLE}),
 tg AS ({_TOP2GRAM_ORACLE}),
 pii AS ({_PII_ORACLE}),
-lm AS ({_LM_ORACLE})
+lm AS ({_LM_ORACLE}),
+c4 AS ({_C4_ORACLE}),
+shp AS ({_SHAPE_ORACLE})
 SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        q.doc_len, q.punct_ratio, q.digit_ratio, q.space_ratio, q.stopword_ratio,
        l.lang, l.lang_guess, f.fp_md5,
@@ -384,7 +487,11 @@ SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        tg.top_2gram, tg.top_2gram_count, tg.top_2gram_char_fraction,
        pii.pii_email_count, pii.pii_ipv4_count, pii.pii_phone_count,
        pii.pii_redacted_md5,
-       lm.lm_n_bigrams, lm.lm_lp_micro
+       lm.lm_n_bigrams, lm.lm_lp_micro,
+       c4.c4_lines_total, c4.c4_lines_kept, c4.c4_text_md5,
+       c4.c4_n_sentences, c4.c4_keep,
+       shp.bullet_line_fraction, shp.ellipsis_line_fraction,
+       shp.mean_word_len, shp.symbol_word_ratio, shp.alpha_word_fraction
 FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN l ON l.doc_id = t.doc_id
        JOIN f ON f.doc_id = t.doc_id
@@ -392,6 +499,8 @@ FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN tg ON tg.doc_id = t.doc_id
        JOIN pii ON pii.doc_id = t.doc_id
        JOIN lm ON lm.doc_id = t.doc_id
+       JOIN c4 ON c4.doc_id = t.doc_id
+       JOIN shp ON shp.doc_id = t.doc_id
 """
 
 

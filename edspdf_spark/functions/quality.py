@@ -309,6 +309,166 @@ def decontaminate(
     return df.join(bad, on=id_col, how="left_anti")
 
 
+
+# --- C4 line-level cleaning (Raffel et al. 2020 §2.2, public spec) --------
+
+# Java ∩ RE2 common dialect (shared with the DuckDB oracle): a line is a
+# "sentence line" iff its trimmed form ends in terminal punctuation
+# (period / exclamation / question mark / closing quote), the C4 rule.
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4's published line-level cleaning as pure higher-order-function
+    expressions — zero shuffle, whole-stage codegen, no UDFs:
+
+    - keep only lines whose trimmed form ends in terminal punctuation
+      (``[.!?"]``), C4's "terminal punctuation mark" rule;
+    - keep only lines with ≥ ``min_words_per_line`` whitespace words;
+    - drop any line containing the word "javascript" (case-insensitive);
+    - ``c4_text`` = the surviving lines re-joined with ``\\n``;
+    - ``c4_n_sentences`` = terminal-punctuation count over the surviving
+      text (the deterministic stand-in for C4's sentence counter);
+    - ``c4_keep`` = page-level verdict: ≥ ``min_sentences`` sentences and
+      the page contains neither "lorem ipsum" (case-insensitive) nor a
+      curly brace ``{`` (C4's code-page tell).
+
+    Adds ``c4_lines_total``, ``c4_lines_kept``, ``c4_text``,
+    ``c4_n_sentences``, ``c4_keep``. Span-level dedup (C4's other half)
+    is :func:`edspdf_spark.functions.dedup.dedup_spans`."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _line_ok(l: Column) -> Column:
+        trimmed = F.trim(l)
+        n_words = F.when(trimmed == "", F.lit(0)).otherwise(
+            F.size(F.split(trimmed, r"\s+"))
+        )
+        return (
+            trimmed.rlike(_C4_TERMINAL_RE)
+            & (n_words >= min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    c4_text = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(c4_text, F.lit(r"[.!?]"))
+    keep = (
+        (n_sent >= min_sentences)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return (
+        df.withColumn("c4_lines_total", F.size(lines))
+        .withColumn("c4_lines_kept", F.size(kept))
+        .withColumn("c4_text", c4_text)
+        .withColumn("c4_n_sentences", n_sent)
+        .withColumn("c4_keep", keep)
+    )
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Apply :func:`c4_line_signals` and materialize the verdict: pages
+    failing the C4 page rules are dropped, survivors carry the cleaned
+    line-filtered text in ``text_col``. Pure filter + projection — the
+    corpus never shuffles."""
+    sig = c4_line_signals(df, text_col, min_words_per_line, min_sentences)
+    return (
+        sig.where(F.col("c4_keep"))
+        .withColumn(text_col, F.col("c4_text"))
+        .drop("c4_text", "c4_keep")
+    )
+
+
+# --- Gopher line-shape / word-shape signals (Rae et al. 2021 §A1.1) -------
+
+
+def with_line_shape_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher's document-shape heuristics as zero-shuffle expressions:
+
+    - ``bullet_line_fraction``   — lines whose trimmed form starts with a
+      bullet glyph (``•``, ``*``, ``-``) / total lines (Gopher drops docs
+      where > 90% of lines are bullets);
+    - ``ellipsis_line_fraction`` — lines whose trimmed form ends in an
+      ellipsis (``...`` or ``…``) / total lines (Gopher bound: 30%);
+    - ``mean_word_len``          — non-whitespace chars / whitespace words
+      (Gopher keeps 3–10);
+    - ``symbol_word_ratio``      — ``#`` and ``...`` occurrences / words
+      (Gopher bound: 0.1);
+    - ``alpha_word_fraction``    — words containing ≥1 ASCII letter /
+      words (Gopher keeps ≥ 0.8).
+
+    Empty docs yield 0.0 fractions. Regexes stay in the Java∩RE2 common
+    dialect so the DuckDB oracle replays them exactly."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")  # split() is never empty
+    bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ).cast("double")
+    ellipses = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    words = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        _words(t)
+    )
+    n_words = F.size(words).cast("double")
+    safe_words = F.when(n_words == 0, F.lit(1.0)).otherwise(n_words)
+    non_space = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    symbols = (
+        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("double")
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+    return (
+        df.withColumn("bullet_line_fraction", bullets / n_lines)
+        .withColumn("ellipsis_line_fraction", ellipses / n_lines)
+        .withColumn("mean_word_len", non_space / safe_words)
+        .withColumn("symbol_word_ratio", symbols / safe_words)
+        .withColumn("alpha_word_fraction", alpha / safe_words)
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_fraction: float = 0.9,
+    max_ellipsis_line_fraction: float = 0.3,
+    min_alpha_word_fraction: float = 0.8,
+) -> DataFrame:
+    """The Gopher document gate with the paper's published thresholds
+    (Rae et al. 2021 table A1) over :func:`with_line_shape_signals` —
+    one pure filter on scan-stage columns, no shuffle. Repetition bounds
+    (dup word/line fractions, top-n-gram coverage) compose upstream via
+    :func:`with_array_repetition` / :func:`top_ngram_stats`."""
+    sig = with_line_shape_signals(df, text_col)
+    t = F.col(text_col)
+    n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(_words(t)))
+    return sig.where(
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_fraction") <= max_bullet_line_fraction)
+        & (F.col("ellipsis_line_fraction") <= max_ellipsis_line_fraction)
+        & (F.col("alpha_word_fraction") >= min_alpha_word_fraction)
+    )
+
+
 def sample_corpus(
     df: DataFrame,
     target_tokens: int,

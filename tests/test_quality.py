@@ -534,3 +534,144 @@ def test_dedup_substrings_brute_force_differential(spark):
         ).fetchall()
     )
     assert oracle == want
+
+
+# --- C4 line filter + Gopher line-shape signals -----------------------------
+
+
+def test_c4_line_signals(spark):
+    from edspdf_spark.functions.quality import c4_filter, c4_line_signals
+
+    rows = [
+        # 3 good sentence lines -> kept page
+        (0, "The cat sat on the mat.\nA dog ran over the hill!\n"
+            "Is this a real question?\nshort.\nno terminal punct here"),
+        # javascript line dropped, page fails min_sentences
+        (1, "Please enable javascript to view this page.\nnav menu"),
+        # lorem ipsum page dropped even with good lines
+        (2, "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "The second sentence is here and long enough.\n"
+            "The third sentence is here and long enough too."),
+        # curly brace page dropped
+        (3, "function f() { return 1; }\nThe prose sentence is fine here.\n"
+            "Another prose sentence is fine here.\nA third one is fine here."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sig = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_signals(df).collect()
+    }
+    assert sig[0]["c4_lines_total"] == 5
+    assert sig[0]["c4_lines_kept"] == 3
+    assert sig[0]["c4_text"] == (
+        "The cat sat on the mat.\nA dog ran over the hill!\n"
+        "Is this a real question?"
+    )
+    assert sig[0]["c4_n_sentences"] == 3 and sig[0]["c4_keep"]
+    assert sig[1]["c4_lines_kept"] == 0 and not sig[1]["c4_keep"]
+    assert sig[2]["c4_lines_kept"] == 3 and not sig[2]["c4_keep"]  # lorem ipsum
+    assert sig[3]["c4_lines_kept"] == 3 and not sig[3]["c4_keep"]  # brace
+    assert sig[4]["c4_lines_kept"] == 0 and not sig[4]["c4_keep"]
+
+    kept = c4_filter(df)
+    out = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert list(out) == [0]
+    assert out[0] == sig[0]["c4_text"]
+    assert "c4_text" not in kept.columns and "c4_keep" not in kept.columns
+
+
+def test_line_shape_signals(spark):
+    from edspdf_spark.functions.quality import (
+        gopher_filter,
+        with_line_shape_signals,
+    )
+
+    rows = [
+        (0, "• first bullet\n- second bullet\nplain line"),
+        (1, "trailing dots...\nand more…\nclean line here"),
+        (2, "alpha beta 12345 #tag"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in with_line_shape_signals(df).collect()}
+    assert got[0]["bullet_line_fraction"] == pytest.approx(2 / 3)
+    assert got[0]["ellipsis_line_fraction"] == 0.0
+    assert got[1]["ellipsis_line_fraction"] == pytest.approx(2 / 3)
+    # 'alpha beta 12345 #tag': 4 words, 18 non-space chars, one '#',
+    # 3 words contain a letter
+    assert got[2]["mean_word_len"] == pytest.approx(18 / 4)
+    assert got[2]["symbol_word_ratio"] == pytest.approx(1 / 4)
+    assert got[2]["alpha_word_fraction"] == pytest.approx(3 / 4)
+    assert got[3]["mean_word_len"] == 0.0
+    assert got[3]["alpha_word_fraction"] == 0.0
+
+    # gopher gate: a clean 60-word prose doc passes, the bullet doc fails
+    prose = " ".join(["word"] * 60) + "."
+    gdf = spark.createDataFrame(
+        [(0, prose), (1, "\n".join(["• b " + "w " * 48])), (2, "short doc.")],
+        "doc_id int, text string",
+    )
+    kept = [r["doc_id"] for r in gopher_filter(gdf).select("doc_id").collect()]
+    assert kept == [0]
+
+
+def test_c4_and_shape_duckdb_differential(spark):
+    """DuckDB list/regexp replay of the C4 line rules and shape fractions —
+    validates the driver-oracle SQL shapes for the new text_signals legs."""
+    from edspdf_spark.functions.quality import c4_line_signals, with_line_shape_signals
+
+    texts = [
+        "The cat sat on the mat.\nenable javascript now please ok.\n"
+        "A second real sentence stands here.\nA third real sentence stands here.",
+        "• bullet one\n- bullet two\nends with dots...\nIs it over?",
+        "",
+        "one two three four five.\nlorem ipsum hiding here",
+        "braces { inside } here.\nThe rest is very clean prose indeed.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    spark_rows = {
+        r["doc_id"]: (
+            r["c4_lines_total"], r["c4_lines_kept"], r["c4_text"],
+            r["c4_n_sentences"], r["c4_keep"],
+            f'{r["bullet_line_fraction"]:.12g}',
+            f'{r["ellipsis_line_fraction"]:.12g}',
+            f'{r["mean_word_len"]:.12g}',
+            f'{r["symbol_word_ratio"]:.12g}',
+            f'{r["alpha_word_fraction"]:.12g}',
+        )
+        for r in with_line_shape_signals(c4_line_signals(df)).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        row = con.execute(
+            r"""
+            WITH s AS (
+              SELECT str_split($t, chr(10)) AS lines,
+                     list_filter(str_split($t, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"]$')
+                            AND CASE WHEN trim(l) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(l), '\s+'))
+                                END >= 5
+                            AND NOT contains(lower(l), 'javascript')) AS kept,
+                     CASE WHEN trim($t) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim($t), '\s+') END AS words
+            )
+            SELECT len(lines), len(kept),
+                   coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+                   len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')),
+                   len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) >= 3
+                     AND NOT contains(lower($t), 'lorem ipsum')
+                     AND NOT contains($t, '{'),
+                   format('{:.12g}', len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) / len(lines)),
+                   format('{:.12g}', len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) / len(lines)),
+                   format('{:.12g}', length(regexp_replace($t, '\s', '', 'g')) / greatest(len(words), 1)),
+                   format('{:.12g}', (len(regexp_extract_all($t, '#')) + len(regexp_extract_all($t, '\.\.\.'))) / greatest(len(words), 1)),
+                   format('{:.12g}', len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / greatest(len(words), 1))
+            FROM s
+            """,
+            {"t": t},
+        ).fetchone()
+        assert spark_rows[i] == tuple(row), f"engine mismatch on doc {i}: {spark_rows[i]} vs {tuple(row)}"
