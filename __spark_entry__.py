@@ -1854,7 +1854,13 @@ def _q_html_boilerplate(spark, sf_dir):
     41+-word predecessor (words(prev) > 4 branch), a link-only footer,
     and a short legal tail after the dense footer that no rule rescues.
     Every decision is independent of the variable document text, so the
-    5-rows-per-doc exact oracle holds for any corpus."""
+    5-rows-per-doc exact oracle holds for any corpus.
+
+    A fourth leg (``algo='meta'``) drives :func:`extract_html_meta`
+    (head-metadata regex fields, both attribute orders exercised via
+    doc-parity page construction): title / description / canonical /
+    og:title / lang / robots rows whose expected values are pure
+    functions of doc_id — ground-truth oracle, not re-implementation."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -1863,6 +1869,7 @@ def _q_html_boilerplate(spark, sf_dir):
         extract_blocs_boilerpipe,
         extract_blocs_html,
         extract_blocs_readability,
+        extract_html_meta,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1929,6 +1936,35 @@ def _q_html_boilerplate(spark, sf_dir):
                 }
             )
 
+    def to_html_meta(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                # attribute order flips with parity so BOTH regex orders
+                # stay live targets; robots flips noindex/nofollow
+                if i % 2 == 0:
+                    og = f'<meta content="OG {i}" property="og:title">'
+                    canon = f'<link href="https://example.com/doc/{i}" rel="canonical">'
+                    robots = '<meta name="robots" content="noindex,nofollow">'
+                else:
+                    og = f'<meta property="og:title" content="OG {i}">'
+                    canon = f'<link rel="canonical" href="https://example.com/doc/{i}">'
+                    robots = '<meta content="index,follow" name="robots">'
+                lang = "en-US" if i % 3 == 0 else "fr"
+                rows.append(
+                    (
+                        str(i),
+                        (
+                            f'<html lang="{lang}"><head><title>Doc {i} synthetic</title>'
+                            f'<meta name="description" content="summary {i}">'
+                            f"{og}{canon}{robots}"
+                            "</head><body><p>x</p></body></html>"
+                        ).encode("utf-8"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
     pages = docs.mapInPandas(to_html, "url string, html binary")
     jus = extract_blocs_html(
         pages, min_words=3, max_link_density=0.4, context_sensitive=True
@@ -1941,7 +1977,23 @@ def _q_html_boilerplate(spark, sf_dir):
     bp = extract_blocs_boilerpipe(pages_bp).select(
         "url", "label", "text", F.lit("boilerpipe").alias("algo")
     )
-    return jus.unionByName(rd).unionByName(bp)
+    pages_meta = docs.mapInPandas(to_html_meta, "url string, html binary")
+    meta = extract_html_meta(pages_meta).select(
+        "url",
+        F.expr(
+            "stack(6,"
+            " 'meta:title', html_title,"
+            " 'meta:description', meta_description,"
+            " 'meta:canonical', canonical_url,"
+            " 'meta:og_title', og_title,"
+            " 'meta:lang', html_lang,"
+            " 'meta:robots', concat(cast(robots_noindex as string), '|',"
+            "                       cast(robots_nofollow as string))"
+            ") as (label, text)"
+        ),
+        F.lit("meta").alias("algo"),
+    )
+    return jus.unionByName(rd).unionByName(bp).unionByName(meta)
 
 
 _HTML_BOILERPLATE_ORACLE = f"""
@@ -1999,6 +2051,31 @@ FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
        '{_HTML_BP_TAIL}' AS text, 'boilerpipe' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'meta:title' AS label,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' synthetic' AS text, 'meta' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'meta:description' AS label,
+       'summary ' || CAST(doc_id AS VARCHAR) AS text, 'meta' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'meta:canonical' AS label,
+       'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS text, 'meta' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'meta:og_title' AS label,
+       'OG ' || CAST(doc_id AS VARCHAR) AS text, 'meta' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'meta:lang' AS label,
+       CASE WHEN doc_id % 3 = 0 THEN 'en-US' ELSE 'fr' END AS text, 'meta' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'meta:robots' AS label,
+       CASE WHEN doc_id % 2 = 0 THEN 'true|true' ELSE 'false|false' END AS text,
+       'meta' AS algo
 FROM documents
 """
 

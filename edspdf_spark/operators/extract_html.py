@@ -639,3 +639,83 @@ def extract_blocs_boilerpipe(
         "label",
         "error",
     )
+
+
+# --- HTML head-metadata extraction -------------------------------------------
+
+# Java ∩ RE2 common-dialect patterns ((?i) flags, character classes,
+# alternation only — no lookaround/backreferences) so the DuckDB oracle
+# replays them byte-for-byte. Attribute order in real crawl HTML is not
+# fixed, so each name/property attribute pair is probed in both orders
+# and coalesced (first non-empty wins, Spark and DuckDB agree that a
+# non-match extracts '').
+_TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"
+_HTML_LANG_RE = r"(?i)<html[^>]*[\s\"']lang=[\"']?([A-Za-z][A-Za-z0-9-]*)"
+
+
+def _meta_pair_res(attr: str, value: str) -> tuple[str, str]:
+    """(name-first, content-first) regex pair for
+    ``<meta {attr}="{value}" content="...">`` in either attribute order."""
+    v = value.replace(":", "[:]")  # ':' is literal in both dialects; keep explicit
+    return (
+        rf"(?i)<meta[^>]*[\s\"']{attr}=[\"']{v}[\"'][^>]*content=[\"']([^\"']*)[\"']",
+        rf"(?i)<meta[^>]*[\s\"']content=[\"']([^\"']*)[\"'][^>]*{attr}=[\"']{v}[\"']",
+    )
+
+
+_LINK_CANONICAL_RES = (
+    r"(?i)<link[^>]*[\s\"']rel=[\"']canonical[\"'][^>]*href=[\"']([^\"']*)[\"']",
+    r"(?i)<link[^>]*[\s\"']href=[\"']([^\"']*)[\"'][^>]*rel=[\"']canonical[\"']",
+)
+
+
+def _first_nonempty(col, patterns) -> "F.Column":
+    from pyspark.sql import functions as F
+
+    out = F.lit("")
+    for pat in patterns:
+        ext = F.regexp_extract(col, pat, 1)
+        out = F.when(out == "", ext).otherwise(out)
+    return out
+
+
+def extract_html_meta(pages: DataFrame, charset: str = "utf-8") -> DataFrame:
+    """pages(url, html:binary) → head metadata columns, zero UDFs:
+
+    - ``html_title``      — first ``<title>`` text (raw, entities kept);
+    - ``meta_description``— ``<meta name="description" content=…>``;
+    - ``canonical_url``   — ``<link rel="canonical" href=…>``;
+    - ``og_title`` / ``og_description`` / ``published_time`` — OpenGraph
+      ``property="og:title" / "og:description" /
+      "article:published_time"`` contents;
+    - ``html_lang``       — the ``<html lang=…>`` attribute;
+    - ``robots_noindex`` / ``robots_nofollow`` — booleans from
+      ``<meta name="robots" content=…>``.
+
+    Every field is a single-pass JVM regex over the decoded page — the
+    whole operator is scan-stage projection (whole-stage codegen, zero
+    shuffle, pushdown-friendly), which is the right shape for a
+    crawl-index pass over 10^12 pages. Attribute order is handled by
+    probing both orders; absent fields extract ``''`` (NULL-free so
+    downstream grouping keys stay total). Charset handling beyond the
+    given encoding belongs to ``sources.warc.decode_payload`` upstream."""
+    from pyspark.sql import functions as F
+
+    h = F.decode(F.col("html"), charset)
+    desc_res = _meta_pair_res("name", "description")
+    ogt_res = _meta_pair_res("property", "og:title")
+    ogd_res = _meta_pair_res("property", "og:description")
+    pub_res = _meta_pair_res("property", "article:published_time")
+    robots = _first_nonempty(h, _meta_pair_res("name", "robots"))
+    return pages.select(
+        "*",
+        F.regexp_extract(h, _TITLE_RE, 1).alias("html_title"),
+        _first_nonempty(h, desc_res).alias("meta_description"),
+        _first_nonempty(h, _LINK_CANONICAL_RES).alias("canonical_url"),
+        _first_nonempty(h, ogt_res).alias("og_title"),
+        _first_nonempty(h, ogd_res).alias("og_description"),
+        _first_nonempty(h, pub_res).alias("published_time"),
+        F.regexp_extract(h, _HTML_LANG_RE, 1).alias("html_lang"),
+        F.lower(robots).contains("noindex").alias("robots_noindex"),
+        F.lower(robots).contains("nofollow").alias("robots_nofollow"),
+    )
