@@ -180,23 +180,31 @@ def bench_warc_selective(spark, cdx_path):
 
 
 def bench_quality_gate(spark, sf_dir):
-    """Training-data corpus-filter pass: quality/lang/repetition signals +
-    PII redaction (pure scan-stage expressions) + top-2-gram coverage (one
+    """Training-data corpus-filter pass: quality/lang/repetition signals,
+    C4 line rules, Gopher line/word-shape signals + PII redaction (all
+    pure scan-stage expressions) + top-2-gram coverage (one
     (doc,ngram)-keyed agg) over the documents corpus."""
     from pyspark.sql import functions as F
 
     from edspdf_spark.functions.quality import (
+        c4_line_signals,
         redact_pii,
         top_ngram_stats,
         with_array_repetition,
+        with_line_shape_signals,
     )
     from edspdf_spark.functions.text import with_lang_guess, with_quality
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     gated = (
-        with_array_repetition(with_lang_guess(with_quality(docs)))
+        with_line_shape_signals(
+            c4_line_signals(
+                with_array_repetition(with_lang_guess(with_quality(docs)))
+            )
+        )
         .filter((F.col("doc_len") >= 50) & (F.col("dup_word_fraction") <= 0.99))
         .withColumn("text", redact_pii(F.col("text")))
+        .drop("c4_text")
     )
     materialize(gated.join(top_ngram_stats(docs, 2), on="doc_id"))
 

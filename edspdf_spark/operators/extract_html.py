@@ -719,3 +719,104 @@ def extract_html_meta(pages: DataFrame, charset: str = "utf-8") -> DataFrame:
         F.lower(robots).contains("noindex").alias("robots_noindex"),
         F.lower(robots).contains("nofollow").alias("robots_nofollow"),
     )
+
+
+# --- cross-extractor consensus voting ---------------------------------------
+
+def consensus_line_votes(legs: "dict[str, DataFrame]") -> DataFrame:
+    """Line-level agreement across extraction heuristics: each leg is a
+    bloc table (BLOC_SCHEMA — e.g. the jusText / readability / boilerpipe
+    faces over the SAME pages); a (url, line) earns one vote per leg that
+    put it inside a ``body`` bloc. Returns ``(url, line, votes)``.
+
+    Plan shape: per leg a split/explode projection + one distinct (a leg
+    voting a line twice — e.g. a repeated nav string — still counts once),
+    then one union + one (url, line)-keyed count. The only exchanges are
+    the per-leg distincts and the final count, all on bounded (url, line)
+    keys — no collect, no cross join, safe at crawl scale."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    voted = []
+    for name, df in legs.items():
+        voted.append(
+            df.where((F.col("label") == "body") & ~F.col("error"))
+            .select(
+                "url",
+                F.explode(F.split(F.col("text"), "\n")).alias("line"),
+                F.lit(name).alias("leg"),
+            )
+            .where(F.trim(F.col("line")) != "")
+            .distinct()
+        )
+    allv = reduce(lambda a, b: a.unionByName(b), voted)
+    return allv.groupBy("url", "line").agg(F.count("*").alias("votes"))
+
+
+def extract_blocs_consensus(
+    pages: DataFrame,
+    min_votes: int = 2,
+    charset: str = "utf-8",
+    **jus_kwargs,
+) -> DataFrame:
+    """Ensemble main-content extraction: run the three HTML faces
+    (jusText-style, Arc90-readability, boilerpipe) over the same pages and
+    keep a line as content only when ≥ ``min_votes`` of them agree —
+    the standard trick for raising extraction precision when heuristics
+    disagree (each face errs on different page shapes by construction).
+
+    Output is BLOC_SCHEMA: the jusText leg provides segmentation and
+    geometry (it has the finest blocks); each of its body blocs is
+    filtered to its consensus lines, blocs left empty are dropped,
+    boilerplate/error blocs pass through unchanged so the downstream
+    classifier/aggregator contract is intact.
+
+    Plan shape: three Arrow extract stages over one scan, the vote
+    aggregation from :func:`consensus_line_votes`, and one
+    (url, line)-keyed LEFT join back onto the exploded jus lines followed
+    by a bloc-keyed regroup — two exchanges beyond the votes, both on
+    bounded keys."""
+    from pyspark.sql import functions as F
+
+    jus = extract_blocs_html(pages, charset=charset, **jus_kwargs)
+    legs = {
+        "justext": jus,
+        "readability": extract_blocs_readability(pages, charset=charset),
+        "boilerpipe": extract_blocs_boilerpipe(pages, charset=charset),
+    }
+    votes = consensus_line_votes(legs)
+
+    body = jus.where((F.col("label") == "body") & ~F.col("error"))
+    rest = jus.where((F.col("label") != "body") | F.col("error"))
+
+    key = ["url", "page_num", "bloc_ord"]
+    exploded = body.select(
+        *key, "x0", "y0", "x1", "y1", "props", "label", "error",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    kept = (
+        exploded.join(votes, on=["url", "line"], how="left")
+        .where(F.coalesce(F.col("votes"), F.lit(0)) >= min_votes)
+        .groupBy(*key)
+        .agg(
+            F.first("x0").alias("x0"),
+            F.first("y0").alias("y0"),
+            F.first("x1").alias("x1"),
+            F.first("y1").alias("y1"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.first("props").alias("props"),
+            F.first("label").alias("label"),
+            F.first("error").alias("error"),
+        )
+    )
+    cols = [f.name for f in BLOC_SCHEMA.fields]
+    return kept.select(*cols).unionByName(rest.select(*cols))

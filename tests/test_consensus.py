@@ -1,0 +1,94 @@
+"""Cross-extractor consensus voting (`consensus_line_votes` /
+`extract_blocs_consensus`): a line is content only when ≥ min_votes of the
+three HTML faces (jusText / readability / boilerpipe) agree."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edspdf_spark.operators.extract_html import (
+    consensus_line_votes,
+    extract_blocs_consensus,
+)
+
+# A page all three faces can parse: a link-only nav (all faces:
+# boilerplate), a long lead paragraph (all faces: body), and a short
+# trailing paragraph (faces disagree — jusText context smoothing may keep
+# it, boilerpipe's prev>4-words rescue keeps it, readability keeps only
+# the winning container's prose).
+LEAD = (
+    "The quick brown fox jumps over the lazy dog while the patient editor "
+    "counts every single word in this deliberately long lead paragraph so "
+    "that the shallow text feature classifier marks it as proper long form "
+    "article content without any doubt whatsoever."
+)
+PAGE = (
+    "<html><body>"
+    "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+    "<a href='/c'>Contact</a></nav>"
+    "<div class='content'><p>" + LEAD + "</p>"
+    "<p>Second paragraph of the story, also real content here.</p></div>"
+    "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+    "</body></html>"
+).encode("utf-8")
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame([("u0", PAGE)], "url string, html binary")
+
+
+def test_votes_shape_and_lead_consensus(pages):
+    from edspdf_spark.operators.extract_html import (
+        extract_blocs_boilerpipe,
+        extract_blocs_html,
+        extract_blocs_readability,
+    )
+
+    legs = {
+        "justext": extract_blocs_html(pages),
+        "readability": extract_blocs_readability(pages),
+        "boilerpipe": extract_blocs_boilerpipe(pages),
+    }
+    votes = {
+        r["line"]: r["votes"] for r in consensus_line_votes(legs).collect()
+    }
+    assert votes.get(LEAD, 0) >= 2, votes
+    # nav chrome must never reach 2 votes
+    for line, v in votes.items():
+        if "Home" in line or "Privacy" in line:
+            assert v <= 1, (line, v)
+
+
+def test_consensus_blocs(pages):
+    out = extract_blocs_consensus(pages, min_votes=2)
+    rows = out.collect()
+    body = [r for r in rows if r.label == "body"]
+    assert any(LEAD in (r.text or "") for r in body)
+    # chrome lines never in a body bloc
+    for r in body:
+        assert "Home" not in r.text and "Privacy" not in r.text
+    # non-body blocs pass through with schema intact
+    assert out.columns == [
+        "url", "page_num", "bloc_ord", "x0", "y0", "x1", "y1",
+        "text", "props", "label", "error",
+    ]
+
+
+def test_min_votes_3_is_stricter(pages):
+    n2 = extract_blocs_consensus(pages, min_votes=2).where(
+        F.col("label") == "body"
+    ).count()
+    n3 = extract_blocs_consensus(pages, min_votes=3).where(
+        F.col("label") == "body"
+    ).count()
+    assert n3 <= n2
+
+
+def test_error_pages_pass_through(spark):
+    df = spark.createDataFrame(
+        [("bad", None)], "url string, html binary"
+    )
+    rows = extract_blocs_consensus(df, min_votes=2).collect()
+    assert len(rows) == 1 and rows[0].error
