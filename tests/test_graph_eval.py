@@ -1,0 +1,120 @@
+"""Link-graph PageRank (functions/graph.py) and extraction-quality P/R/F1
+(functions/eval.py): exact-arithmetic determinism and DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from edspdf_spark.functions.eval import extraction_prf_oracle_sql, token_prf
+from edspdf_spark.functions.graph import (
+    SCALE,
+    extract_links,
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "c"),  # d is dangling-in only source; no in-links
+    ("a", "a"),  # self-loop: must be dropped
+    ("a", "b"),  # duplicate: must be dropped
+]
+
+
+def test_pagerank_matches_duckdb_unrolled(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: (r["rank_micro"], r["rank"])
+        for r in pagerank(edges, iterations=4).collect()
+    }
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in EDGES)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=4
+    )
+    want = {n: (int(m), r) for n, m, r in con.execute(sql).fetchall()}
+    assert got == want
+    # sanity on the recurrence itself: dangling-in 'd' holds exactly the
+    # teleport base after round 1 (nothing links to it)
+    assert got["d"][0] == (3 * SCALE) // 20
+    # 'c' has the most in-links → top rank
+    assert max(got, key=lambda k: got[k][0]) == "c"
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(pagerank(edges, iterations=3).collect())
+    b = sorted(pagerank(edges.repartition(7), iterations=3).collect())
+    assert a == b
+
+
+def test_pagerank_empty(spark):
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iterations=2).count() == 0
+
+
+def test_extract_links_binary_and_string(spark):
+    html = b'<a href="https://x.org/1">one</a> <a href="/rel">two</a>'
+    pages_bin = spark.createDataFrame([("u", html)], "url string, html binary")
+    got = [tuple(r) for r in extract_links(pages_bin).collect()]
+    assert got == [("u", "https://x.org/1"), ("u", "/rel")]
+
+    pages_str = spark.createDataFrame(
+        [("u", html.decode())], "url string, html string"
+    )
+    assert [tuple(r) for r in extract_links(pages_str).collect()] == got
+
+
+PRF_EXTRACTED = [("u1", "the cat sat sat"), ("u2", ""), ("u4", "noise words")]
+PRF_GOLD = [("u1", "the cat sat on the mat"), ("u2", "missing doc"), ("u3", "")]
+
+
+def test_token_prf_values(spark):
+    ex = spark.createDataFrame(PRF_EXTRACTED, "url string, text string")
+    gd = spark.createDataFrame(PRF_GOLD, "url string, text string")
+    rows = {r["url"]: r for r in token_prf(ex, gd).collect()}
+
+    # u1: extracted {the,cat,sat,sat} vs gold {the:2,cat,sat,on,mat}
+    #     tp = min-counts = the 1 + cat 1 + sat 1 = 3
+    assert (rows["u1"]["n_extracted"], rows["u1"]["n_gold"], rows["u1"]["tp"]) == (
+        4,
+        6,
+        3,
+    )
+    assert rows["u1"]["precision"] == pytest.approx(3 / 4)
+    assert rows["u1"]["recall"] == pytest.approx(3 / 6)
+    # u2: empty extraction, non-empty gold → P=0, R=0, F1=0
+    assert (rows["u2"]["precision"], rows["u2"]["recall"], rows["u2"]["f1"]) == (
+        0.0,
+        0.0,
+        0.0,
+    )
+    # u3: empty gold + no extraction row → P=1 (vacuous), R=1
+    assert (rows["u3"]["precision"], rows["u3"]["recall"]) == (1.0, 1.0)
+    # u4 is not a gold doc → no row (scores are per gold document)
+    assert "u4" not in rows
+    assert set(rows) == {"u1", "u2", "u3"}
+
+
+def test_token_prf_matches_duckdb(spark):
+    ex = spark.createDataFrame(PRF_EXTRACTED, "url string, text string")
+    gd = spark.createDataFrame(PRF_GOLD, "url string, text string")
+    got = sorted(tuple(r) for r in token_prf(ex, gd).collect())
+
+    con = duckdb.connect()
+    ev = ", ".join(f"('{u}', '{t}')" for u, t in PRF_EXTRACTED)
+    gv = ", ".join(f"('{u}', '{t}')" for u, t in PRF_GOLD)
+    sql = extraction_prf_oracle_sql(
+        f"SELECT * FROM (VALUES {ev}) AS e(url, text)",
+        f"SELECT * FROM (VALUES {gv}) AS g(url, text)",
+    )
+    want = sorted(
+        (u, int(ne), int(ng), int(tp), p, r, f)
+        for u, ne, ng, tp, p, r, f in con.execute(sql).fetchall()
+    )
+    assert got == want
