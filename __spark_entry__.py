@@ -1828,6 +1828,14 @@ _HTML_BP_LEAD = (
 )
 _HTML_BP_TAIL = "All rights reserved notice"
 
+# 18 words, comma/link-free: good for jusText (≥8), content for boilerpipe
+# (words(curr) > 16 with a zero-link-density predecessor), prose for
+# readability — so the consensus page's closer is body in ALL THREE faces.
+_HTML_CONS_CLOSER = (
+    "Readers who reached this final paragraph deserve a proper sendoff "
+    "written in plain words that every extractor understands."
+)
+
 
 def _q_html_boilerplate(spark, sf_dir):
     """HTML boilerplate strip + jusText-style context smoothing (north
@@ -1867,6 +1875,7 @@ def _q_html_boilerplate(spark, sf_dir):
 
     from edspdf_spark.operators.extract_html import (
         extract_blocs_boilerpipe,
+        extract_blocs_consensus,
         extract_blocs_html,
         extract_blocs_readability,
         extract_html_meta,
@@ -1993,7 +2002,47 @@ def _q_html_boilerplate(spark, sf_dir):
         ),
         F.lit("meta").alias("algo"),
     )
-    return jus.unionByName(rd).unionByName(bp).unionByName(meta)
+
+    # fifth leg: 2-of-3 consensus ensemble over ONE shared page all three
+    # faces can parse — nav (all faces: boilerplate), a 42-word lead and an
+    # 18-word closer (all faces: body by their respective rules, see the
+    # constants), the per-document text between them (jusText: smoothing
+    # rescue; boilerpipe: words(prev) > 4; readability: winning-container
+    # prose) — so every body line earns 3 votes and chrome earns 0, making
+    # the ensemble output 5-rows-per-doc exact regardless of the text.
+    cons_html = F.encode(
+        F.concat(
+            F.lit(
+                "<html><body>"
+                "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+                "<a href='/c'>Contact</a></nav>"
+                "<div class='content'>"
+                "<p>" + _HTML_BP_LEAD + "</p><p>"
+            ),
+            F.col("text"),
+            F.lit(
+                "</p><p>" + _HTML_CONS_CLOSER + "</p></div>"
+                "<footer><a href='/p'>Privacy</a> "
+                "<a href='/t'>Terms</a></footer>"
+                "</body></html>"
+            ),
+        ),
+        "utf-8",
+    )
+    pages_cons = docs.select(
+        F.col("doc_id").cast("string").alias("url"), cons_html.alias("html")
+    )
+    cons = extract_blocs_consensus(
+        pages_cons,
+        min_votes=2,
+        min_words=3,
+        max_link_density=0.4,
+        context_sensitive=True,
+    ).select("url", "label", "text", F.lit("consensus").alias("algo"))
+
+    return (
+        jus.unionByName(rd).unionByName(bp).unionByName(meta).unionByName(cons)
+    )
 
 
 _HTML_BOILERPLATE_ORACLE = f"""
@@ -2077,7 +2126,132 @@ SELECT CAST(doc_id AS VARCHAR) AS url, 'meta:robots' AS label,
        CASE WHEN doc_id % 2 = 0 THEN 'true|true' ELSE 'false|false' END AS text,
        'meta' AS algo
 FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Home About Contact' AS text, 'consensus' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label,
+       '{_HTML_BP_LEAD}' AS text, 'consensus' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label, text,
+       'consensus' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'body' AS label,
+       '{_HTML_CONS_CLOSER}' AS text, 'consensus' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
+       'Privacy Terms' AS text, 'consensus' AS algo
+FROM documents
 """
+
+
+def _q_extraction_eval(spark, sf_dir):
+    """Extraction-quality scoring (functions/eval.py): run the jusText
+    face over the chrome-wrapped page template (same template as the
+    ``html_boilerplate`` justext leg, built as pure expressions) and score
+    its body output against ``documents.text`` as gold with token-multiset
+    P/R/F1 — the CleanEval protocol at corpus scale. Recall is exactly 1.0
+    (the extractor keeps the whole article) and precision < 1 (the two
+    known closer paragraphs are extracted too), so the scores vary per
+    document and the oracle checks real arithmetic, not constants."""
+    from edspdf_spark.functions.eval import token_prf
+    from edspdf_spark.operators.extract_html import extract_blocs_html
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><nav><a href='/'>Menu</a> Home About</nav><article><p>"),
+            F.col("text"),
+            F.lit(
+                "</p><p>Read on</p><p>" + _HTML_CLOSER + "</p></article>"
+                "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a>"
+                "</footer></html>"
+            ),
+        ),
+        "utf-8",
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), html.alias("html")
+    )
+    jus = extract_blocs_html(
+        pages, min_words=3, max_link_density=0.4, context_sensitive=True
+    )
+    extracted = jus.where(F.col("label") == "body").select("url", "text")
+    gold = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    return token_prf(extracted, gold)
+
+
+def _extraction_eval_oracle() -> str:
+    from edspdf_spark.functions.eval import extraction_prf_oracle_sql
+
+    extracted = f"""
+SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'Read on' AS text FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, '{_HTML_CLOSER}' AS text FROM documents
+"""
+    gold = "SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents"
+    return extraction_prf_oracle_sql(extracted, gold)
+
+
+_PR_ITERATIONS = 4
+
+
+def _q_pagerank_links(spark, sf_dir):
+    """Link-graph build + fixed-point PageRank (functions/graph.py): pages
+    carry deterministic hrefs derived from doc_id (page i links to
+    ``(2i+1) mod N`` and ``(3i+7) mod N``; every fifth page also links to
+    the hub ``p0``, giving the hub real in-degree skew), the edges come out
+    of ``extract_links``'s single regexp projection, and PageRank runs
+    entirely in exact BIGINT micro-units — so the oracle (the same
+    recurrence unrolled as chained DuckDB CTEs) matches bit-for-bit, not
+    approximately."""
+    from edspdf_spark.functions.graph import extract_links, pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    t1 = F.concat(F.lit("p"), ((F.col("doc_id") * 2 + 1) % n).cast("string"))
+    t2 = F.concat(F.lit("p"), ((F.col("doc_id") * 3 + 7) % n).cast("string"))
+    hub = F.when(
+        F.col("doc_id") % 5 == 0, F.lit('<a href="p0">hub</a>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        t1,
+        F.lit('">one</a> <a href="'),
+        t2,
+        F.lit('">two</a> '),
+        hub,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    edges = extract_links(pages)
+    return pagerank(edges, iterations=_PR_ITERATIONS)
+
+
+def _pagerank_links_oracle() -> str:
+    from edspdf_spark.functions.graph import pagerank_oracle_sql
+
+    n = "(SELECT COUNT(*) FROM documents)"
+    edges = f"""
+SELECT 'p' || CAST(doc_id AS VARCHAR) AS src,
+       'p' || CAST((doc_id * 2 + 1) % {n} AS VARCHAR) AS dst FROM documents
+UNION ALL
+SELECT 'p' || CAST(doc_id AS VARCHAR) AS src,
+       'p' || CAST((doc_id * 3 + 7) % {n} AS VARCHAR) AS dst FROM documents
+UNION ALL
+SELECT 'p' || CAST(doc_id AS VARCHAR) AS src, 'p0' AS dst
+FROM documents WHERE doc_id % 5 = 0
+"""
+    return pagerank_oracle_sql(edges, iterations=_PR_ITERATIONS)
 
 
 # --- S-layer round-trip (S1/S2/S4/S5/S6) ------------------------------------
@@ -2347,6 +2521,28 @@ FROM pages GROUP BY 1, 2
 # q_order_following / q_order_rank / q_random_classifier.
 
 
+def _q_baseline_classifiers(spark, sf_dir):
+    """P4 + P5 in one union-tagged frame (same (url, page_num, bloc_ord,
+    label) shape): the constant DummyClassifier projection and the
+    counter-based hash-draw RandomClassifier — merged so both stay inside
+    the driver's 50-query window without burning two slots."""
+    from edspdf_spark import entry_queries as eq
+
+    d = eq.q_dummy_classifier(spark, sf_dir).withColumn("algo", F.lit("dummy"))
+    r = eq.q_random_classifier(spark, sf_dir).withColumn("algo", F.lit("random"))
+    return d.unionByName(r)
+
+
+def _baseline_classifiers_oracle() -> str:
+    from edspdf_spark import entry_queries as eq
+
+    return (
+        f"SELECT *, 'dummy' AS algo FROM ({eq.DUMMY_CLASSIFIER_ORACLE})\n"
+        "UNION ALL\n"
+        f"SELECT *, 'random' AS algo FROM ({eq.random_classifier_oracle()})"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from edspdf_spark import entry_embeddings as ee
     from edspdf_spark import entry_queries as eq
@@ -2369,8 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_roundtrip": _q_source_roundtrip,
         # classifier family (P3-P5, P8-P12: rules + trainable heads)
         "mask_argmax": eq.q_mask_argmax,
-        "dummy_classifier": eq.q_dummy_classifier,
-        "random_classifier": eq.q_random_classifier,
+        "baseline_classifiers": _q_baseline_classifiers,
         "forest_classifier": eq.q_forest_classifier,
         "begin_last_classifier": eq.q_begin_last_classifier,
         "type_classifier": eq.q_type_classifier,
@@ -2413,13 +2608,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "lsh_neardup": _q_lsh_neardup,
+        # extraction-quality eval + link-graph PageRank (round 3)
+        "extraction_eval": _q_extraction_eval,
+        "pagerank_links": _q_pagerank_links,
         # generic relational (composites)
         "pricing_summary": _q_pricing_summary,
         "relational_joins": _q_relational_joins,
         "relational_aggs": _q_relational_aggs,
-        # redundant twins last (each is a second check of a family above)
+        # redundant twin last (a second check of the flagship family; the
+        # exact O(n²) embedding_neardup baseline moved to pytest-only —
+        # tests/test_scale_safety.py asserts lsh_neardup ⊆ exact with
+        # matching scores and ≥90% recall)
         "pipeline_e2e_fused": _q_pipeline_fused,
-        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -2435,8 +2635,7 @@ def oracle_sql() -> dict[str, str]:
         "html_boilerplate": _HTML_BOILERPLATE_ORACLE,
         "source_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "mask_argmax": eq.mask_argmax_oracle(),
-        "dummy_classifier": eq.DUMMY_CLASSIFIER_ORACLE,
-        "random_classifier": eq.random_classifier_oracle(),
+        "baseline_classifiers": _baseline_classifiers_oracle(),
         "forest_classifier": eq.forest_classifier_oracle(),
         "begin_last_classifier": eq.begin_last_oracle(),
         "type_classifier": eq.type_classifier_oracle(),
@@ -2473,9 +2672,10 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle(),
         "ivf_ann_topk": _ivf_serve_oracle(),
         "lsh_neardup": _lsh_neardup_oracle(),
+        "extraction_eval": _extraction_eval_oracle(),
+        "pagerank_links": _pagerank_links_oracle(),
         "pricing_summary": _PRICING_ORACLE,
         "relational_joins": _relational_joins_oracle(),
         "relational_aggs": _relational_aggs_oracle(),
         "pipeline_e2e_fused": _PIPELINE_E2E_ORACLE,
-        "embedding_neardup": _embedding_neardup_oracle(),
     }

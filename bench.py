@@ -115,6 +115,41 @@ def bench_html_extract(spark, corpus_path):
     materialize(extract_blocs_html(pages, context_sensitive=True))
 
 
+def bench_consensus_extract(spark, corpus_path):
+    """Ensemble main-content extraction: the three HTML faces (jusText /
+    readability / boilerpipe) over one scan + 2-of-3 line voting + the
+    vote-filtered regroup — the highest-precision extraction path, priced
+    here at its true cost (3 Arrow stages + bounded-key exchanges)."""
+    from edspdf_spark.operators.extract_html import extract_blocs_consensus
+
+    pages = spark.read.parquet(corpus_path)
+    materialize(extract_blocs_consensus(pages, min_votes=2, context_sensitive=True))
+
+
+def bench_pagerank(spark, sf_dir):
+    """Link-graph authority: deterministic hrefs from the documents corpus
+    → extract_links (one regexp projection) → 5 rounds of exact
+    fixed-point PageRank (one keyed agg + one join per round)."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.graph import extract_links, pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    html = F.concat(
+        F.lit('<a href="p'),
+        ((F.col("doc_id") * 2 + 1) % n).cast("string"),
+        F.lit('">x</a><a href="p'),
+        ((F.col("doc_id") * 3 + 7) % n).cast("string"),
+        F.lit('">y</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    materialize(pagerank(extract_links(pages), iterations=5))
+
+
 def bench_warc_ingest(spark, warc_dir):
     """Common-Crawl wire format end-to-end: *.warc.gz directory → record
     parse (gzip members, HTTP envelopes) → charset-sniffed HTML
@@ -320,6 +355,8 @@ def main():
         ),
         "pdf_bytes": lambda: bench_pdf_bytes(spark, pdf_corpus),
         "html_extract": lambda: bench_html_extract(spark, html_corpus),
+        "consensus_extract": lambda: bench_consensus_extract(spark, html_corpus),
+        "pagerank_links": lambda: bench_pagerank(spark, SF_DIR),
         "warc_ingest": lambda: bench_warc_ingest(spark, warc_corpus),
         "warc_selective": lambda: bench_warc_selective(spark, cdx_path),
         "mask_argmax": lambda: bench_mask_argmax(spark, SF_DIR),
