@@ -615,12 +615,31 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.col("doc_id").alias("keep_id"),
         F.col("n_tokens_kept").alias("n_dups"),
     )
+    # per-domain quota probe (crawl-skew control): urls over the same 5
+    # synthetic domains, capped at 10 docs per domain by the deterministic
+    # (md5(seed|doc_id), doc_id) rank — exactly 50 rows survive regardless
+    # of partitioning; n_dups carries the 1-based in-domain rank
+    from edspdf_spark.functions.quality import domain_quota
+
+    quota_urls = ids.select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"), site, F.lit(".com/p/"), did).alias(
+            "url"
+        ),
+    )
+    quota_probe = domain_quota(quota_urls, max_docs=10, seed=0).select(
+        F.lit("quota").alias("probe"),
+        F.md5(F.col("domain")).alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("domain_rank").cast("long").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
         .unionAll(domain_probe)
         .unionAll(span_probe)
         .unionAll(sub_probe)
+        .unionAll(quota_probe)
     )
 
 
@@ -684,6 +703,19 @@ FROM ({_dedup.dedup_substrings_oracle_sql(
     + "' ELSE text END AS text FROM documents",
     w=8,
 )})
+UNION ALL
+SELECT 'quota' AS probe,
+       md5('site' || CAST(doc_id % 5 AS VARCHAR) || '.com') AS content_hash,
+       doc_id AS keep_id,
+       CAST(rk AS BIGINT) AS n_dups
+FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY doc_id % 5
+           ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 10
 """
 
 

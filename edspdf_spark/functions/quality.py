@@ -515,3 +515,42 @@ def sample_corpus(
         )
     )
     return joined.where(u < thresh).drop("_total")
+
+
+def domain_quota(
+    df: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Cap the corpus at ``max_docs`` documents per registered domain —
+    the standard crawl-skew control (a handful of hot hosts dominate a
+    Common-Crawl snapshot; training mixes cap them so one domain cannot
+    swamp the mixture).
+
+    Selection is deterministic and partitioning-independent: within a
+    domain, docs are ranked by ``(md5(seed|key), key)`` — a stable uniform
+    draw — and the first ``max_docs`` kept. "First N seen" semantics would
+    depend on scan order and break retry idempotence; this never does.
+
+    Returns the input rows that survive, plus ``domain`` and
+    ``domain_rank`` (1-based) columns.
+
+    Scale notes: ONE domain-keyed exchange for the window rank; the
+    per-domain sort is external (spills, never OOMs) and is the price of
+    an exact cap. The filter drops rank > ``max_docs`` immediately, so
+    downstream stages never carry the hot-domain skew — which is the
+    point of the operator. For a cap where approximate selection is
+    acceptable, ``sample_corpus(stratify_col="domain")`` is the
+    zero-sort alternative (hash-threshold keep at a per-domain rate).
+    """
+    from pyspark.sql import Window
+
+    pri = F.md5(F.concat(F.lit(str(seed) + "|"), F.col(key_col).cast("string")))
+    w = Window.partitionBy("domain").orderBy(pri.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("domain", registered_domain(F.col(url_col)))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .where(F.col("domain_rank") <= int(max_docs))
+    )

@@ -675,3 +675,68 @@ def test_c4_and_shape_duckdb_differential(spark):
             {"t": t},
         ).fetchone()
         assert spark_rows[i] == tuple(row), f"engine mismatch on doc {i}: {spark_rows[i]} vs {tuple(row)}"
+
+
+def test_domain_quota(spark):
+    from edspdf_spark.functions.quality import domain_quota
+
+    # 3 domains with 5/3/1 docs; cap at 2 -> 2+2+1 survive
+    rows = [
+        (i, f"https://www.site{d}.com/p/{i}")
+        for i, d in enumerate([0] * 5 + [1] * 3 + [2])
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    kept = domain_quota(df, max_docs=2, seed=0)
+    got = kept.collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert {d: len(v) for d, v in by_dom.items()} == {
+        "site0.com": 2,
+        "site1.com": 2,
+        "site2.com": 1,
+    }
+    # ranks are 1..k within each domain
+    for v in by_dom.values():
+        assert sorted(r["domain_rank"] for r in v) == list(
+            range(1, len(v) + 1)
+        )
+    # deterministic & partitioning-independent: same ids at 1 partition
+    kept_ids = sorted(r["doc_id"] for r in got)
+    again = sorted(
+        r["doc_id"]
+        for r in domain_quota(df.repartition(1), max_docs=2, seed=0).collect()
+    )
+    assert kept_ids == again
+    # different seed reshuffles the draw but keeps the same counts
+    other = domain_quota(df, max_docs=2, seed=7)
+    assert other.count() == 5
+
+
+def test_domain_quota_duckdb_differential(spark):
+    from edspdf_spark.functions.quality import domain_quota
+
+    rows = [
+        (i, f"https://www.site{i % 4}.com/a/{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = sorted(
+        (r["doc_id"], r["domain"], r["domain_rank"])
+        for r in domain_quota(df, max_docs=3, seed=0).collect()
+    )
+    want = duckdb.sql(
+        """
+        SELECT doc_id, domain, rk FROM (
+          SELECT i AS doc_id,
+                 'site' || CAST(i % 4 AS VARCHAR) || '.com' AS domain,
+                 row_number() OVER (
+                   PARTITION BY i % 4
+                   ORDER BY md5('0|' || CAST(i AS VARCHAR)), i
+                 ) AS rk
+          FROM range(40) t(i)
+        ) WHERE rk <= 3
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [(d, dom, rk) for d, dom, rk in want]

@@ -280,6 +280,68 @@ def main() -> None:
             "no exchange is keyed on anything finer than the page.",
             eq.q_order_following(spark, SF_DIR),
         ),
+        (
+            "consensus_extract (ensemble extraction path)",
+            "Three Arrow extraction faces over ONE shared page scan, "
+            "line-vote aggregation, and a vote-filtered regroup back onto "
+            "the jusText blocs. Expected: the three faces stay in the "
+            "scan's stage (pure mapInPandas, no exchange); the only "
+            "exchanges are keyed on (url, line) — the vote count and the "
+            "join back — plus the bloc-keyed regroup. All keys are bounded "
+            "by one document's line count; nothing is keyed finer, no "
+            "self-join of the corpus, no crossJoin.",
+            (lambda _f, _x: _x.extract_blocs_consensus(
+                _f.html_pages_from_documents(spark, SF_DIR),
+                min_votes=2,
+                context_sensitive=True,
+            ))(
+                __import__("edspdf_spark.fixtures", fromlist=["x"]),
+                __import__(
+                    "edspdf_spark.operators.extract_html", fromlist=["x"]
+                ),
+            ),
+        ),
+        (
+            "pagerank (link-graph authority, 2 rounds shown)",
+            "Per round: one join of ranks onto the out-degree edge list "
+            "(both sides keyed on the node — sort-merge or broadcast as "
+            "AQE sees fit) and ONE dst-keyed partial-aggregatable SUM. "
+            "Edges and per-round ranks are localCheckpoint-ed so the plan "
+            "below is per-round constant — lineage cannot grow with "
+            "iteration count, which is what kills naive iterative jobs at "
+            "scale. Exact BIGINT micro-unit arithmetic: no float "
+            "accumulation-order sensitivity, so partitioning changes can "
+            "never change the result.",
+            (lambda _g: _g.pagerank(
+                _g.extract_links(
+                    spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                    .select(
+                        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("url"),
+                        F.concat(
+                            F.lit('<a href="p'),
+                            ((F.col("doc_id") * 2 + 1) % 100).cast("string"),
+                            F.lit('">x</a>'),
+                        ).alias("html"),
+                    )
+                ),
+                iterations=2,
+            ))(__import__("edspdf_spark.functions.graph", fromlist=["x"])),
+        ),
+        (
+            "token_prf (extraction-quality eval)",
+            "CleanEval-style token-multiset P/R/F1 at corpus scale. "
+            "Tokenization is split+explode in the scan stage; the "
+            "exchanges are (doc, token)-keyed count aggregations with "
+            "map-side partial combine, the exact-integer least()-sum "
+            "intersection agg, and doc-keyed joins assembling the score "
+            "row. No collect, no crossJoin, no Python stage at all — the "
+            "eval of a 10^12-doc extraction run is an ordinary shuffle "
+            "workload bounded by corpus token count.",
+            (lambda _e: _e.token_prf(
+                docs.select(F.col("doc_id").cast("string").alias("url"), "text"),
+                docs.select(F.col("doc_id").cast("string").alias("url"), "text"),
+            ))(__import__("edspdf_spark.functions.eval", fromlist=["x"])),
+        ),
     ]
 
     sections = []
