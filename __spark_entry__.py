@@ -2072,8 +2072,49 @@ def _q_html_boilerplate(spark, sf_dir):
         context_sensitive=True,
     ).select("url", "label", "text", F.lit("consensus").alias("algo"))
 
+    # sixth leg: CETR tag-ratio face (pure-expression, zero-shuffle).
+    # Six source lines per page; with radius-2 smoothing over this
+    # template, lines 1-4 (nav through footer) are ALWAYS content —
+    # their 6·tr5 ≥ Σtr5 margins are text-independent — line 5 is
+    # always boilerplate, and line 0's label flips on len(text) ≥ 84,
+    # so the oracle exercises both branches against real corpus text.
+    from edspdf_spark.operators.extract_html import extract_blocs_cetr
+
+    cetr_html = F.encode(
+        F.concat(
+            F.lit(
+                "<html>\n"
+                "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+                "<a href='/c'>Contact</a></nav>\n"
+                "<p>"
+            ),
+            F.col("text"),
+            F.lit(
+                "</p>\n"
+                "<p>Tail words here</p>\n"
+                "<footer><a href='/p'>Privacy</a> "
+                "<a href='/t'>Terms</a></footer>\n"
+                "</html>"
+            ),
+        ),
+        "utf-8",
+    )
+    pages_cetr = docs.select(
+        F.col("doc_id").cast("string").alias("url"), cetr_html.alias("html")
+    )
+    cetr = extract_blocs_cetr(pages_cetr).select(
+        "url",
+        F.concat(F.lit("cetr:"), F.col("label")).alias("label"),
+        "text",
+        F.lit("cetr").alias("algo"),
+    )
+
     return (
-        jus.unionByName(rd).unionByName(bp).unionByName(meta).unionByName(cons)
+        jus.unionByName(rd)
+        .unionByName(bp)
+        .unionByName(meta)
+        .unionByName(cons)
+        .unionByName(cetr)
     )
 
 
@@ -2177,6 +2218,36 @@ FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'boilerplate' AS label,
        'Privacy Terms' AS text, 'consensus' AS algo
+FROM documents
+UNION ALL
+-- CETR leg: tr values per line are t0=0, t1=2250, t2=500*len(text),
+-- t3=7500, t4=2166, t5=0; radius-2 window sums give total = 55164+5v
+-- with v=500*len(text). 6*tr5 >= total resolves to: line 0 body iff
+-- v >= 41664 (len >= 84), lines 1-4 always body, line 5 never.
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN len(text) >= 84 THEN 'cetr:body'
+            ELSE 'cetr:boilerplate' END AS label,
+       '' AS text, 'cetr' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'cetr:body' AS label,
+       'Home About Contact' AS text, 'cetr' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'cetr:body' AS label, text,
+       'cetr' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'cetr:body' AS label,
+       'Tail words here' AS text, 'cetr' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'cetr:body' AS label,
+       'Privacy Terms' AS text, 'cetr' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'cetr:boilerplate' AS label,
+       '' AS text, 'cetr' AS algo
 FROM documents
 """
 

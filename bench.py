@@ -126,6 +126,17 @@ def bench_consensus_extract(spark, corpus_path):
     materialize(extract_blocs_consensus(pages, min_votes=2, context_sensitive=True))
 
 
+def bench_cetr_extract(spark, corpus_path):
+    """CETR tag-ratio extraction (Weninger et al. 2010) — the pure-
+    expression face: per-line tag ratios, zero-padded window smoothing
+    and the integer mean cutoff all in array-land Catalyst expressions;
+    one corpus scan, zero exchanges, zero Python."""
+    from edspdf_spark.operators.extract_html import extract_blocs_cetr
+
+    pages = spark.read.parquet(corpus_path)
+    materialize(extract_blocs_cetr(pages))
+
+
 def bench_pagerank(spark, sf_dir):
     """Link-graph authority: deterministic hrefs from the documents corpus
     → extract_links (one regexp projection) → 5 rounds of exact
@@ -356,6 +367,7 @@ def main():
         "pdf_bytes": lambda: bench_pdf_bytes(spark, pdf_corpus),
         "html_extract": lambda: bench_html_extract(spark, html_corpus),
         "consensus_extract": lambda: bench_consensus_extract(spark, html_corpus),
+        "cetr_extract": lambda: bench_cetr_extract(spark, html_corpus),
         "pagerank_links": lambda: bench_pagerank(spark, SF_DIR),
         "warc_ingest": lambda: bench_warc_ingest(spark, warc_corpus),
         "warc_selective": lambda: bench_warc_selective(spark, cdx_path),
