@@ -633,6 +633,24 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.col("doc_id").alias("keep_id"),
         F.col("domain_rank").cast("long").alias("n_dups"),
     )
+    # Bloom-sketch incremental-crawl probe: prior snapshot = every 7th
+    # doc; m=256/k=3 keeps the filter dense enough that real false
+    # positives occur at sf0.01, so the oracle checks the exact
+    # per-position arithmetic, not just the no-false-negative guarantee.
+    # n_dups carries maybe_seen (1 = all 3 bit positions present).
+    from edspdf_spark.functions.dedup import bloom_positions, bloom_probe
+
+    bloom_sketch = bloom_positions(
+        docs.where(F.col("doc_id") % 7 == 0), key_col="text", m_bits=256, k=3
+    )
+    bloom_leg = bloom_probe(
+        docs, bloom_sketch, key_col="text", id_col="doc_id", m_bits=256, k=3
+    ).select(
+        F.lit("bloom").alias("probe"),
+        F.md5(F.col("text")).alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("maybe_seen").cast("long").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
@@ -640,7 +658,18 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         .unionAll(span_probe)
         .unionAll(sub_probe)
         .unionAll(quota_probe)
+        .unionAll(bloom_leg)
     )
+
+
+def _bloom_poly15_sql() -> str:
+    """31-bit polynomial fold of a 15-char column ``s`` (BIGINT-seeded so
+    DuckDB doesn't overflow INT32) — the oracle twin of
+    ``edspdf_spark.functions.dedup._bloom_base_hash``."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(1, 16):
+        h = f"(({h}) * 31 + ascii(substr(s, {j}, 1))) % 2147483647"
+    return h
 
 
 _DEDUP_EXACT_NORM_ORACLE = f"""
@@ -670,6 +699,20 @@ span_rebuilt AS (
          COALESCE(string_agg(k.span, chr(10) ORDER BY k.pos), '') AS text
   FROM span_src d LEFT JOIN kept k ON k.doc_id = d.doc_id
   GROUP BY d.doc_id
+),
+bloom_h AS (
+  SELECT doc_id, text, {_bloom_poly15_sql()} AS h
+  FROM (SELECT doc_id, text, substr(md5(text), 1, 15) AS s FROM documents)
+),
+bloom_prior AS (
+  SELECT ((CAST(1103515245 AS BIGINT) * h + 12345) % 2147483647) % 256 AS pos
+  FROM bloom_h WHERE doc_id % 7 = 0
+  UNION
+  SELECT ((CAST(1140671485 AS BIGINT) * h + 12820163) % 2147483647) % 256
+  FROM bloom_h WHERE doc_id % 7 = 0
+  UNION
+  SELECT ((CAST(214013 AS BIGINT) * h + 2531011) % 2147483647) % 256
+  FROM bloom_h WHERE doc_id % 7 = 0
 )
 SELECT 'exact' AS probe, * FROM ({_DEDUP_EXACT_ORACLE})
 UNION ALL
@@ -716,6 +759,18 @@ FROM (
          ) AS rk
   FROM documents
 ) WHERE rk <= 10
+UNION ALL
+SELECT 'bloom' AS probe, md5(text) AS content_hash,
+       CAST(doc_id AS BIGINT) AS keep_id,
+       CAST(CASE WHEN
+         ((CAST(1103515245 AS BIGINT) * h + 12345) % 2147483647) % 256
+           IN (SELECT pos FROM bloom_prior)
+         AND ((CAST(1140671485 AS BIGINT) * h + 12820163) % 2147483647) % 256
+           IN (SELECT pos FROM bloom_prior)
+         AND ((CAST(214013 AS BIGINT) * h + 2531011) % 2147483647) % 256
+           IN (SELECT pos FROM bloom_prior)
+       THEN 1 ELSE 0 END AS BIGINT) AS n_dups
+FROM bloom_h
 """
 
 

@@ -783,3 +783,130 @@ SELECT s.{id_col} AS {id_col},
 FROM src s LEFT JOIN kept k ON k.{id_col} = s.{id_col}
 GROUP BY s.{id_col}
 """
+
+
+# --- Bloom-sketch incremental dedup ------------------------------------------
+
+def _bloom_base_hash(key: Column) -> Column:
+    """Deterministic 31-bit base hash of an arbitrary string key:
+    polynomial fold of the first 15 hex chars of ``md5(key)`` — fixed
+    length, so the fold unrolls to a closed-form expression that Spark
+    and DuckDB evaluate identically (same trick as the MinHash shingle
+    hash)."""
+    return _poly_shingle_hash(F.substring(F.md5(key), 1, 15), 15)
+
+
+def bloom_positions(
+    df: DataFrame,
+    key_col: str = "content_hash",
+    m_bits: int = 1 << 24,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-sketch BUILD: the distinct set bit positions of a Bloom
+    filter over ``key_col`` — position ``i`` of a key is
+    ``((a_i·H + b_i) mod p) mod m_bits`` with ``H`` the md5-derived base
+    hash and ``(a_i, b_i)`` the fixed universal-hash constants
+    (``MINHASH_PARAMS``), so the sketch is a pure function of the key
+    set: deterministic, partitioning-independent, SQL-replayable.
+
+    Returns a one-column DataFrame ``pos: bigint`` with at most
+    ``min(rows·k, m_bits)`` rows. This relational formulation (sorted
+    set of positions instead of a packed bitmap) is what keeps the
+    MEMBERSHIP check exact in both engines; at 10^12 prior keys you
+    would size ``m_bits`` to the snapshot (the positions table is
+    bounded by ``m_bits`` regardless of corpus size) and let the probe
+    join shuffle-hash instead of broadcast.
+    """
+    assert k <= len(MINHASH_PARAMS)
+    h = _bloom_base_hash(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
+    pos = F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)) % F.lit(int(m_bits))
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    )
+    return (
+        df.select(F.explode(pos).alias("pos"))
+        .groupBy("pos")
+        .agg(F.lit(1).alias("_one"))
+        .select("pos")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    sketch: DataFrame,
+    key_col: str = "content_hash",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 24,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-sketch PROBE: adds ``maybe_seen`` (true iff ALL ``k`` bit
+    positions of the row's key are present in ``sketch``). Bloom
+    guarantee: a key that went into the build is NEVER flagged new
+    (no false negatives); a fresh key is flagged seen with the standard
+    false-positive rate, tunable via ``m_bits``/``k``.
+
+    This is the incremental-crawl fast path: probe a new batch against
+    the PRIOR snapshot's sketch, route ``maybe_seen`` rows (true dups +
+    ε false positives) to the exact anti-join, and pass definitely-new
+    rows straight through — the expensive exact join then processes
+    ``|dups| + ε·|batch|`` rows instead of the whole batch.
+
+    Plan: k-way explode of the positions array → one equi-join against
+    the sketch (AQE broadcasts it while it fits; it is bounded by
+    ``m_bits`` rows) → one ``id``-keyed count aggregation. No collect,
+    no driver state.
+    """
+    assert k <= len(MINHASH_PARAMS)
+    h = _bloom_base_hash(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
+    pos = F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)) % F.lit(int(m_bits))
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(pos).alias("pos")
+    )
+    marked = exploded.join(
+        sketch.select("pos", F.lit(1).alias("_hit")), on="pos", how="left"
+    )
+    seen = (
+        marked.groupBy(id_col)
+        .agg((F.count("_hit") == F.lit(int(k))).alias("maybe_seen"))
+    )
+    return df.join(seen, on=id_col, how="inner")
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    prior_df: DataFrame,
+    key_col: str = "content_hash",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 24,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental batch-vs-snapshot dedup: keep the rows of ``new_df``
+    whose key does not appear in ``prior_df``. The Bloom probe prunes
+    the definitely-new rows for free; only the ``maybe_seen`` sliver
+    takes the exact LEFT ANTI join against the prior keys, so the
+    exact join's probe side shrinks from ``|batch|`` to
+    ``|dups| + ε·|batch|``. Output = exact result (the sketch never
+    drops a row the exact join would keep, and every false positive is
+    rescued by the anti-join)."""
+    probed = bloom_probe(
+        new_df, bloom_positions(prior_df, key_col, m_bits, k),
+        key_col, id_col, m_bits, k,
+    )
+    fast = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    rescued = (
+        probed.where(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .join(
+            prior_df.select(F.col(key_col)).distinct(),
+            on=key_col,
+            how="left_anti",
+        )
+    )
+    return fast.unionByName(rescued)

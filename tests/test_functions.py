@@ -409,3 +409,79 @@ def test_dedup_url_groups(spark):
         ),
         "https://example.com/other": ("https://example.com/other", 1),
     }
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    from edspdf_spark.functions.dedup import bloom_positions, bloom_probe
+
+    prior = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(0, 60, 2)], "doc_id int, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(60)], "doc_id int, content_hash string"
+    )
+    # tiny filter => real false positives, but never false negatives
+    sketch = bloom_positions(prior, m_bits=128, k=3)
+    got = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_probe(new, sketch, m_bits=128, k=3).collect()
+    }
+    assert len(got) == 60
+    for i in range(0, 60, 2):
+        assert got[i], f"inserted key {i} flagged new (false negative)"
+    # determinism: same sketch, same verdicts
+    again = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_probe(new, sketch, m_bits=128, k=3).collect()
+    }
+    assert got == again
+
+
+def test_dedup_incremental_exact(spark):
+    from edspdf_spark.functions.dedup import dedup_incremental
+
+    prior = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(0, 50, 2)], "doc_id int, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(50)], "doc_id int, content_hash string"
+    )
+    # small m forces false positives; the anti-join must rescue them all
+    out = sorted(
+        r.doc_id
+        for r in dedup_incremental(new, prior, m_bits=64, k=3).collect()
+    )
+    assert out == sorted(i for i in range(50) if i % 2 == 1)
+
+
+def test_bloom_positions_duckdb_differential(spark):
+    import duckdb
+
+    from edspdf_spark.functions.dedup import (
+        MINHASH_PARAMS,
+        bloom_positions,
+    )
+
+    rows = [(i, f"doc body {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, content_hash string")
+    got = sorted(r.pos for r in bloom_positions(df, m_bits=4096, k=4).collect())
+
+    poly = "CAST(0 AS BIGINT)"
+    for j in range(1, 16):
+        poly = f"(({poly}) * 31 + ascii(substr(s, {j}, 1))) % 2147483647"
+    legs = " UNION ".join(
+        f"SELECT ((CAST({a} AS BIGINT) * h + {b}) % 2147483647) % 4096 AS pos FROM hashed"
+        for a, b in MINHASH_PARAMS[:4]
+    )
+    want = duckdb.sql(
+        f"""
+        WITH keys AS (
+          SELECT 'doc body ' || CAST(i AS VARCHAR) AS key FROM range(40) t(i)
+        ), hashed AS (
+          SELECT (SELECT {poly} FROM (SELECT substr(md5(key), 1, 15) AS s)) AS h
+          FROM keys
+        )
+        SELECT DISTINCT pos FROM ({legs}) ORDER BY pos
+        """
+    ).fetchall()
+    assert got == [w[0] for w in want]
