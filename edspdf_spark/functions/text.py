@@ -109,6 +109,102 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: UTF-8 bytes mis-decoded as cp1252/latin-1 → the intended character
+#: (ftfy-style repair table, longest sequences first so the 3-byte
+#: punctuation forms never get half-eaten by the 2-byte accent rules).
+#: Pure string literals, so the repair chain replays identically in SQL.
+MOJIBAKE_PAIRS = [
+    ("â€™", "’"),  # right single quote
+    ("â€˜", "‘"),  # left single quote
+    ("â€œ", "“"),  # left double quote
+    ("â€\x9d", "”"),  # right double quote (9D unmapped in cp1252)
+    ("â€“", "–"),  # en dash
+    ("â€”", "—"),  # em dash
+    ("â€¦", "…"),  # ellipsis
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ãª", "ê"),
+    ("Ã«", "ë"),
+    ("Ã¡", "á"),
+    ("Ã\xa0", "à"),  # C3 A0 → "Ã" + NBSP
+    ("Ã¢", "â"),
+    ("Ã®", "î"),
+    ("Ã¯", "ï"),
+    ("Ã´", "ô"),
+    ("Ã¶", "ö"),
+    ("Ã¹", "ù"),
+    ("Ã»", "û"),
+    ("Ã¼", "ü"),
+    ("Ã§", "ç"),
+    ("Ã±", "ñ"),
+    ("Ã³", "ó"),
+    ("Ã\xad", "í"),  # C3 AD → "Ã" + soft hyphen
+    ("Ãº", "ú"),
+    ("Ã‰", "É"),
+    ("Ã–", "Ö"),
+    ("Ãœ", "Ü"),
+    ("Â«", "«"),
+    ("Â»", "»"),
+    ("Â°", "°"),
+    ("Â·", "·"),
+    ("Â\xa0", "\xa0"),  # C2 A0 → "Â" + NBSP → plain NBSP
+]
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the classic web-corpus encoding damage: UTF-8 text that was
+    decoded as cp1252/latin-1 somewhere in the crawl chain ("Ã©" → "é",
+    "â€™" → "’"). A fixed longest-first literal-replace chain over
+    :data:`MOJIBAKE_PAIRS` — pure JVM string expressions, zero UDFs, one
+    pass per pattern inside a single codegen'd projection. (Full ftfy
+    does codec round-trip detection; this table covers the dominant
+    single-mis-decode class seen in Common-Crawl text.)"""
+    out = col
+    for broken, fixed in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    return out
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split each document into fixed token windows for LM training
+    samples: chunks start at offsets ``0, stride, 2·stride, …`` while the
+    offset is inside the doc, each chunk takes ``window`` whitespace
+    tokens (the tail chunk may be shorter; chunks under ``min_tokens``
+    are dropped). ``stride < window`` gives overlapping context windows.
+
+    Returns one row per chunk: ``(id_col, chunk_idx, chunk_n_tokens,
+    chunk_text)``. Pure array expressions + one ``posexplode`` — a
+    zero-shuffle scan-stage operator; output rows scale with token count,
+    never with corpus² .
+    """
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    offsets = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(int(stride))),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        offsets, lambda o: F.slice(toks, o + 1, int(window))
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk")
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size("_chunk").cast("long").alias("chunk_n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    ).where(F.col("chunk_n_tokens") >= F.lit(int(min_tokens)))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: MD5 (engine-portable, used by the oracle) and
     a 64-bit polynomial rolling hash over codepoints (Spark-side)."""

@@ -1,0 +1,115 @@
+"""DSIR importance scoring/resampling + chunking + mojibake repair."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edspdf_spark.functions.dsir import (
+    fit_dsir,
+    importance_resample,
+    with_importance,
+)
+from edspdf_spark.functions.text import chunk_tokens, fix_mojibake
+
+TARGETY = "spark data pipelines shuffle partitions broadcast join aggregate"
+SOURCY = "zzq qqz xoxo blargh wub wub glorp mimble wimble"
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(30):
+        rows.append((i, f"{TARGETY} doc {i}"))
+    for i in range(30, 60):
+        rows.append((i, f"{SOURCY} doc {i}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dsir_target_like_scores_higher(spark):
+    corpus = _corpus(spark)
+    target = corpus.where(F.col("doc_id") < 5)  # pure target-flavored slice
+    model = fit_dsir(target, corpus, m_buckets=256)
+    scored = with_importance(corpus, model, m_buckets=256)
+    rows = {r.doc_id: r.dsir_lw_micro for r in scored.collect()}
+    assert len(rows) == 60
+    worst_targety = min(rows[i] for i in range(30))
+    best_sourcy = max(rows[i] for i in range(30, 60))
+    assert worst_targety > best_sourcy
+
+
+def test_dsir_deterministic_and_blank_safe(spark):
+    corpus = _corpus(spark).unionAll(
+        spark.createDataFrame([(999, "   ")], "doc_id int, text string")
+    )
+    model = fit_dsir(corpus.where(F.col("doc_id") % 3 == 0), corpus, m_buckets=128)
+    a = sorted(
+        (r.doc_id, r.dsir_lw_micro, r.dsir_n_ngrams)
+        for r in with_importance(corpus, model, m_buckets=128).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.dsir_lw_micro, r.dsir_n_ngrams)
+        for r in with_importance(corpus, model, m_buckets=128).collect()
+    )
+    assert a == b
+    blank = [t for t in a if t[0] == 999][0]
+    assert blank[1] == 0 and blank[2] == 0
+
+
+def test_importance_resample_topk(spark):
+    corpus = _corpus(spark)
+    target = corpus.where(F.col("doc_id") < 5)
+    model = fit_dsir(target, corpus, m_buckets=256)
+    scored = with_importance(corpus, model, m_buckets=256)
+    picked = importance_resample(scored, n=20, seed=7)
+    ids = [r.doc_id for r in picked.collect()]
+    assert len(ids) == len(set(ids)) == 20
+    # the Gumbel noise perturbs, but with this score separation the
+    # resample should be dominated by target-flavored docs
+    assert sum(1 for i in ids if i < 30) >= 15
+    again = [r.doc_id for r in importance_resample(scored, n=20, seed=7).collect()]
+    assert ids == again
+    other = [r.doc_id for r in importance_resample(scored, n=20, seed=8).collect()]
+    assert set(ids) != set(other) or ids != other  # seed actually matters
+
+
+def test_chunk_tokens_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "   ")],
+        "doc_id int, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_n_tokens, r.chunk_text)
+        for r in chunk_tokens(df, window=4, stride=2).collect()
+    )
+    assert out == [
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "c d e f"),
+        (1, 2, 3, "e f g"),
+        (1, 3, 1, "g"),
+        (2, 0, 1, "x"),
+    ]
+    # min_tokens drops short tails; non-overlapping stride == window
+    out2 = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text)
+        for r in chunk_tokens(df, window=4, stride=4, min_tokens=3).collect()
+    )
+    assert out2 == [(1, 0, "a b c d"), (1, 1, "e f g")]
+
+
+def test_fix_mojibake(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "CafÃ© â€” itâ€™s â€œfineâ€\x9d, naÃ¯ve rÃ©sumÃ©"),
+            (2, "plain ascii stays"),
+            (3, "Ã\xa0 bientÃ´t Â« lÃ\xa0 Â»"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.fixed
+        for r in df.select(
+            "doc_id", fix_mojibake(F.col("text")).alias("fixed")
+        ).collect()
+    }
+    assert got[1] == "Café — it’s “fine”, naïve résumé"
+    assert got[2] == "plain ascii stays"
+    assert got[3] == "à bientôt « là »"
