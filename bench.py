@@ -268,6 +268,26 @@ def bench_perplexity(spark, sf_dir):
     materialize(with_perplexity(docs, lm))
 
 
+def bench_dsir(spark, sf_dir):
+    """DSIR importance selection: fit hashed-ngram target/source bucket
+    distributions (two explode→agg passes), score every doc (one
+    (doc,bucket)-keyed agg + broadcast ratio join + doc-keyed sum),
+    Gumbel top-1000 resample (distributed top-k), then chunk the picked
+    docs into 128-token training windows."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.dsir import dsir_select
+    from edspdf_spark.functions.text import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    picked = dsir_select(
+        docs, docs.where(F.col("doc_id") % 5 == 0), n=1000, m_buckets=4096, seed=7
+    )
+    materialize(chunk_tokens(picked, window=128, stride=128))
+
+
 def main():
     spark = get_spark(
         master=f"local[{CPUS}]",
@@ -380,6 +400,7 @@ def main():
         "text_embedding": lambda: bench_text_embedding(spark, SF_DIR),
         "quality_gate": lambda: bench_quality_gate(spark, SF_DIR),
         "perplexity": lambda: bench_perplexity(spark, SF_DIR),
+        "dsir_select": lambda: bench_dsir(spark, SF_DIR),
     }
 
     # min-of-N per query: this VM shows ±30-100% wall variance between

@@ -107,12 +107,12 @@ def fit_dsir(
     """
     t_counts = _bucket_counts(target, text_col, m_buckets)
     s_counts = _bucket_counts(source, text_col, m_buckets)
-    t_tot = target.select(
-        F.coalesce(F.sum(F.size(_ngrams(F.col(text_col)))), F.lit(0)).alias("nt")
-    )
-    s_tot = source.select(
-        F.coalesce(F.sum(F.size(_ngrams(F.col(text_col)))), F.lit(0)).alias("ns")
-    )
+    # totals derived FROM the count tables (Σ_k c_k ≡ total n-gram count),
+    # not from a fresh corpus scan: the totals agg then sits on the same
+    # bucket-keyed exchange as the ratio join's input, so ReuseExchange
+    # dedupes it — one scan per corpus for the whole fit, not two.
+    t_tot = t_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
+    s_tot = s_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("ns"))
     totals = t_tot.crossJoin(s_tot)
     m = F.lit(float(m_buckets))
     q = F.lit(float(quantum))
@@ -184,6 +184,73 @@ def with_importance(
         F.coalesce(F.col("dsir_n_ngrams"), F.lit(0)).alias("dsir_n_ngrams"),
         F.coalesce(F.col("dsir_lw_micro"), F.lit(0)).alias("dsir_lw_micro"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 1024,
+    seed: int = 1,
+    quantum: float = DSIR_QUANTUM,
+) -> DataFrame:
+    """One-stop fit+score+resample where the SOURCE distribution is the
+    scored corpus itself (the common DSIR deployment): builds the
+    per-doc bucket table ONCE and derives the source bucket counts from
+    it (``Σ_docs c`` — the rollup consumes the same (doc, bucket)-keyed
+    exchange AQE already materialized for scoring, so the corpus is
+    n-gram-exploded exactly once; the target slice scan is the only
+    other data pass). Returns the Gumbel top-``n`` rows of ``df`` with
+    the score columns appended."""
+    doc_buckets = (
+        df.select(
+            F.col(id_col), F.explode(_ngrams(F.col(text_col))).alias("ng")
+        )
+        .select(id_col, _bucket(F.col("ng"), m_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_counts = _bucket_counts(target, text_col, m_buckets)
+    s_counts = doc_buckets.groupBy("bucket").agg(F.sum("c").alias("c"))
+    t_tot = t_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
+    s_tot = s_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("ns"))
+    totals = t_tot.crossJoin(s_tot)
+    m = F.lit(float(m_buckets))
+    q = F.lit(float(quantum))
+
+    def lr_micro(ct: Column, cs: Column) -> Column:
+        p = (ct + 1).cast("double") / (F.col("nt").cast("double") + m)
+        qq = (cs + 1).cast("double") / (F.col("ns").cast("double") + m)
+        return F.floor((F.log(p) - F.log(qq)) * q).cast("long")
+
+    ratio = (
+        t_counts.withColumnRenamed("c", "ct")
+        .join(s_counts.withColumnRenamed("c", "cs"), on="bucket", how="full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            lr_micro(
+                F.coalesce(F.col("ct"), F.lit(0)),
+                F.coalesce(F.col("cs"), F.lit(0)),
+            ).alias("lr_micro"),
+        )
+    )
+    scored = (
+        doc_buckets.join(F.broadcast(ratio), on="bucket", how="inner")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("dsir_n_ngrams"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("dsir_lw_micro"),
+        )
+    )
+    out = df.join(scored, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(F.col("dsir_n_ngrams"), F.lit(0)).alias("dsir_n_ngrams"),
+        F.coalesce(F.col("dsir_lw_micro"), F.lit(0)).alias("dsir_lw_micro"),
+    )
+    return importance_resample(out, n, id_col=id_col, seed=seed, quantum=quantum)
 
 
 def gumbel_key_micro(

@@ -71,6 +71,25 @@ def test_importance_resample_topk(spark):
     assert set(ids) != set(other) or ids != other  # seed actually matters
 
 
+def test_dsir_select_matches_composed_path(spark):
+    from edspdf_spark.functions.dsir import dsir_select
+
+    corpus = _corpus(spark)
+    target = corpus.where(F.col("doc_id") < 5)
+    model = fit_dsir(target, corpus, m_buckets=256)
+    composed = importance_resample(
+        with_importance(corpus, model, m_buckets=256), n=20, seed=7
+    )
+    fused = dsir_select(corpus, target, n=20, m_buckets=256, seed=7)
+    a = sorted(
+        (r.doc_id, r.dsir_lw_micro, r.dsir_key_micro) for r in composed.collect()
+    )
+    b = sorted(
+        (r.doc_id, r.dsir_lw_micro, r.dsir_key_micro) for r in fused.collect()
+    )
+    assert a == b
+
+
 def test_chunk_tokens_windows(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "x"), (3, "   ")],

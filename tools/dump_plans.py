@@ -342,6 +342,28 @@ def main() -> None:
                 docs.select(F.col("doc_id").cast("string").alias("url"), "text"),
             ))(__import__("edspdf_spark.functions.eval", fromlist=["x"])),
         ),
+        (
+            "dsir_select (importance resampling production path)",
+            "DSIR fit+score+resample in one plan. The corpus is n-gram-"
+            "exploded ONCE into a (doc, bucket)-keyed aggregation; the "
+            "source bucket distribution is a rollup of that same table and "
+            "the fitted ratio table (≤ m_buckets rows) joins back as a "
+            "BROADCAST — the model never shuffles the corpus. Expected "
+            "corpus-keyed exchanges: (doc, bucket) counts, doc-keyed score "
+            "sum, doc-keyed join back to the spine; the resample is a "
+            "TakeOrderedAndProject (distributed top-k, NO global sort). "
+            "With AQE on at runtime the target-slice count exchanges are "
+            "additionally deduped by ReuseExchange (4 reused stages "
+            "observed); shown here with AQE off, so the static plan "
+            "over-counts scans.",
+            (lambda _d: _d.dsir_select(
+                docs.select("doc_id", "text"),
+                docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text"),
+                n=100,
+                m_buckets=4096,
+                seed=7,
+            ))(__import__("edspdf_spark.functions.dsir", fromlist=["x"])),
+        ),
     ]
 
     sections = []
