@@ -651,6 +651,43 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.col("doc_id").alias("keep_id"),
         F.col("maybe_seen").cast("long").alias("n_dups"),
     )
+    # robots.txt politeness probe: 7 synthetic hosts (even k: a testbot
+    # group + a *-group the crawler must IGNORE; odd k: *-group only with
+    # a $-anchored rule), 5 path shapes per doc exercising longest-match,
+    # the * wildcard, the $ anchor and group exclusivity. The oracle is
+    # GROUND TRUTH (a closed-form CASE over doc_id), not a SQL robots
+    # re-implementation.
+    from edspdf_spark.functions.robots import with_robots_verdict
+
+    k = F.col("doc_id") % 7
+    v = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/d1/p"), did))
+        .when(v == 1, F.concat(F.lit("/d1/okay"), did))
+        .when(v == 2, F.concat(F.lit("/f"), did, F.lit(".bin")))
+        .when(v == 3, F.concat(F.lit("/f"), did, F.lit(".binx")))
+        .otherwise(F.lit("/a"))
+    )
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), k.cast("string"), path).alias("url"),
+    )
+    even_txt = (
+        "User-agent: testbot\nDisallow: /d1/\nAllow: /d1/ok*\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    odd_txt = "User-agent: *\nDisallow: /*.bin$\nAllow: /a\n"
+    robots_df = spark.createDataFrame(
+        [(f"h{i}", even_txt if i % 2 == 0 else odd_txt) for i in range(7)],
+        "host string, robots_txt string",
+    )
+    robots_leg = with_robots_verdict(frontier, robots_df, agent="testbot").select(
+        F.lit("robots").alias("probe"),
+        F.col("url").alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("robots_allowed").cast("long").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
@@ -659,6 +696,7 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         .unionAll(sub_probe)
         .unionAll(quota_probe)
         .unionAll(bloom_leg)
+        .unionAll(robots_leg)
     )
 
 
@@ -771,6 +809,20 @@ SELECT 'bloom' AS probe, md5(text) AS content_hash,
            IN (SELECT pos FROM bloom_prior)
        THEN 1 ELSE 0 END AS BIGINT) AS n_dups
 FROM bloom_h
+UNION ALL
+SELECT 'robots' AS probe,
+       'http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+       CASE doc_id % 5
+         WHEN 0 THEN '/d1/p' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/d1/okay' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/f' || CAST(doc_id AS VARCHAR) || '.bin'
+         WHEN 3 THEN '/f' || CAST(doc_id AS VARCHAR) || '.binx'
+         ELSE '/a' END AS content_hash,
+       CAST(doc_id AS BIGINT) AS keep_id,
+       CAST(CASE WHEN ((doc_id % 7) % 2 = 0 AND doc_id % 5 = 0)
+               OR ((doc_id % 7) % 2 = 1 AND doc_id % 5 = 2)
+            THEN 0 ELSE 1 END AS BIGINT) AS n_dups
+FROM documents
 """
 
 

@@ -1,0 +1,209 @@
+"""robots.txt (RFC 9309 Robots Exclusion Protocol) parsing and frontier
+filtering — the crawl-politeness gate every Common-Crawl-style pipeline
+applies before fetching or keeping a URL.
+
+Spark-first shape, no UDFs anywhere:
+
+- ``parse_robots`` turns a ``(host, robots_txt)`` corpus into a RULES
+  table ``(host, agent, rule_type, pattern)`` with one line explode +
+  one host-keyed window (group assembly is inherently sequential per
+  file, and a window over the line index IS the relational form of that
+  sequence — robots files are tiny, so the per-host partition is bytes,
+  not gigabytes).
+- ``robots_like_pattern`` compiles a robots path pattern (literal prefix
+  + ``*`` wildcards + trailing ``$`` anchor) to a SQL ``LIKE`` pattern:
+  ``%``/``_``/escape metachars escaped, ``*`` → ``%``, and a trailing
+  ``%`` appended unless the pattern is ``$``-anchored (robots rules are
+  prefix rules). ``LIKE`` with a per-row pattern is a plain JVM
+  expression — and replays verbatim in the DuckDB oracle.
+- ``robots_filter``/``with_robots_verdict`` joins a URL frontier against
+  the rules on the HOST key (the natural crawl partitioning; rules per
+  host are bounded by the robots file size) and applies RFC 9309
+  longest-match semantics: the longest matching pattern wins, ``allow``
+  wins length ties, no match ⇒ allowed.
+
+Agent selection follows the RFC: a crawler uses the group whose
+``User-agent`` token equals its own (case-insensitive), else the ``*``
+group. Empty ``Disallow:`` lines (allow-everything idiom) are dropped at
+parse time per the spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_like_pattern(pattern: Column) -> Column:
+    """robots path pattern → SQL LIKE pattern (ESCAPE ``\\``):
+    escape ``\\``, ``%``, ``_``; ``*`` → ``%``; a trailing ``$`` anchors
+    (no trailing ``%``), otherwise the prefix-rule ``%`` is appended."""
+    esc = F.replace(pattern, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    wild = F.replace(esc, F.lit("*"), F.lit("%"))
+    anchored = wild.endswith("$")
+    return F.when(
+        anchored, F.substring(wild, 1, F.length(wild) - 1)
+    ).otherwise(F.concat(wild, F.lit("%")))
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, robots_txt)`` → rules table ``(host, agent, rule_type,
+    pattern)`` with ``rule_type ∈ {allow, disallow}`` and ``agent``
+    lowercased (``*`` for the catch-all group).
+
+    Group assembly per RFC 9309 §2.2.1: consecutive ``User-agent`` lines
+    open ONE group; every rule line that follows belongs to all of that
+    group's agents until the next User-agent run starts. Relationally: a
+    group starts at a UA line whose previous directive line is not a UA
+    line (one ``lag`` + running ``sum`` window over the line index,
+    partitioned by host — the only exchange), then agents ⨝ rules on the
+    group number. Comments, blank lines, unknown directives and empty
+    ``Disallow:`` (allow-all idiom) are dropped.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("idx", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    directive = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
+    parsed = (
+        lines.select(
+            "host",
+            "idx",
+            F.when(directive == "user-agent", F.lit("ua"))
+            .when(directive == "allow", F.lit("allow"))
+            .when(directive == "disallow", F.lit("disallow"))
+            .alias("kind"),
+            value.alias("value"),
+        )
+        .where(F.col("kind").isNotNull())
+        # empty Disallow: = no restriction (RFC 9309 §2.2.2); empty Allow
+        # likewise matches nothing useful — drop both. Empty UA is junk.
+        .where(F.col("value") != "")
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    starts_group = (F.col("kind") == "ua") & (
+        F.coalesce(F.lag("kind").over(w), F.lit("")) != "ua"
+    )
+    grouped = parsed.withColumn(
+        "grp", F.sum(starts_group.cast("int")).over(w)
+    ).where(F.col("grp") > 0)  # rules before any User-agent line are ignored
+    agents = grouped.where(F.col("kind") == "ua").select(
+        "host", "grp", F.lower(F.col("value")).alias("agent")
+    )
+    rules = grouped.where(F.col("kind") != "ua").select(
+        "host",
+        "grp",
+        F.col("kind").alias("rule_type"),
+        F.col("value").alias("pattern"),
+    )
+    return agents.join(rules, on=["host", "grp"]).select(
+        "host", "agent", "rule_type", "pattern"
+    )
+
+
+def _url_host_path(url: Column) -> tuple[Column, Column]:
+    """Lowercased host (port kept — robots scope is per authority) and
+    the path+query robots rules match against (``/`` when absent)."""
+    after = F.regexp_extract(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    host = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    rest = F.regexp_replace(F.regexp_extract(after, r"^[^/?#]*(.*)$", 1), "#.*$", "")
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return host, path
+
+
+def with_robots_verdict(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Append ``robots_allowed`` (boolean) and ``robots_rule`` (the
+    winning pattern, NULL when no rule matched) to a URL frontier.
+
+    RFC 9309 evaluation: among the chosen agent group's rules whose
+    pattern matches the url path, the LONGEST pattern wins and ``allow``
+    wins exact-length ties; a url with no matching rule (or no rules for
+    its host) is allowed. Group choice: the crawler's own token if that
+    group exists for the host, else ``*``.
+
+    Plan shape: rules parse (one host-keyed window) → frontier LEFT join
+    on host (equi-join on the crawl's natural key; a hot host is a plain
+    AQE-splittable skew) → LIKE match filter → one url-keyed max_by
+    aggregation (partial-aggregatable) → LEFT join back to the frontier.
+    No collect, no crossJoin, no UDF.
+    """
+    rules = parse_robots(robots, host_col=host_col, robots_col=robots_col)
+    agent_lc = agent.lower()
+    # choose group per host: own token if present, else '*'
+    own = rules.where(F.col("agent") == agent_lc)
+    star = rules.where(F.col("agent") == "*").join(
+        own.select("host").distinct(), on="host", how="left_anti"
+    )
+    chosen = own.unionByName(star)
+
+    host, path = _url_host_path(F.col(url_col))
+    frontier = urls.select(
+        F.col(url_col), host.alias("_rhost"), path.alias("_rpath")
+    )
+    cand = frontier.join(
+        chosen.withColumnRenamed("host", "_rhost"), on="_rhost", how="inner"
+    ).where(
+        F.like(
+            F.col("_rpath"), robots_like_pattern(F.col("pattern")), F.lit("\\")
+        )
+    )
+    verdict = cand.groupBy(url_col).agg(
+        F.max_by(
+            F.struct(
+                (F.col("rule_type") == "allow").alias("allowed"),
+                F.col("pattern").alias("rule"),
+            ),
+            # longest pattern wins; allow beats disallow on equal length
+            F.struct(
+                F.length("pattern").alias("l"),
+                (F.col("rule_type") == "allow").cast("int").alias("a"),
+                # deterministic final tie-break: pattern text
+                F.col("pattern").alias("p"),
+            ),
+        ).alias("_v")
+    )
+    out = urls.join(verdict, on=url_col, how="left")
+    return out.select(
+        *urls.columns,
+        F.coalesce(F.col("_v.allowed"), F.lit(True)).alias("robots_allowed"),
+        F.col("_v.rule").alias("robots_rule"),
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Keep only the frontier rows robots.txt allows for ``agent``
+    (columns unchanged)."""
+    return (
+        with_robots_verdict(
+            urls,
+            robots,
+            agent=agent,
+            url_col=url_col,
+            host_col=host_col,
+            robots_col=robots_col,
+        )
+        .where(F.col("robots_allowed"))
+        .select(*urls.columns)
+    )

@@ -1,0 +1,130 @@
+"""robots.txt parsing + RFC 9309 longest-match frontier filtering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edspdf_spark.functions.robots import (
+    parse_robots,
+    robots_filter,
+    with_robots_verdict,
+)
+
+ROBOTS_A = """\
+# crawl policy
+User-agent: googlebot
+User-agent: bingbot
+Disallow: /private/
+Allow: /private/ok*
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /*.pdf$
+Allow: /
+Disallow:
+"""
+
+ROBOTS_B = """\
+Disallow: /before-any-group/
+User-agent: *
+Disallow: /a_b
+"""
+
+
+def _robots(spark):
+    return spark.createDataFrame(
+        [("a.test", ROBOTS_A), ("b.test", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+
+
+def test_parse_robots_groups(spark):
+    rules = sorted(
+        (r.host, r.agent, r.rule_type, r.pattern)
+        for r in parse_robots(_robots(spark)).collect()
+    )
+    # both UA lines of group 1 share its two rules; empty Disallow dropped;
+    # rules before any User-agent line are ignored
+    assert rules == [
+        ("a.test", "*", "allow", "/"),
+        ("a.test", "*", "disallow", "/*.pdf$"),
+        ("a.test", "*", "disallow", "/tmp/"),
+        ("a.test", "bingbot", "allow", "/private/ok*"),
+        ("a.test", "bingbot", "disallow", "/private/"),
+        ("a.test", "googlebot", "allow", "/private/ok*"),
+        ("a.test", "googlebot", "disallow", "/private/"),
+        ("b.test", "*", "disallow", "/a_b"),
+    ]
+
+
+def _verdicts(spark, urls, agent):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = with_robots_verdict(df, _robots(spark), agent=agent)
+    return {r.url: (r.robots_allowed, r.robots_rule) for r in out.collect()}
+
+
+def test_longest_match_and_anchor(spark):
+    got = _verdicts(
+        spark,
+        [
+            "http://a.test/private/secret",  # disallow /private/
+            "http://a.test/private/okfile",  # allow /private/ok* (longer)
+            "http://a.test/tmp/x",  # disallow /tmp/ beats allow /
+            "http://a.test/doc.pdf",  # $-anchored disallow
+            "http://a.test/doc.pdfx",  # anchor must NOT fire
+            "http://a.test/page",  # allow /
+            "http://nohost.test/x",  # no robots → allowed
+        ],
+        agent="googlebot",
+    )
+    assert got["http://a.test/private/secret"] == (False, "/private/")
+    assert got["http://a.test/private/okfile"] == (True, "/private/ok*")
+    # googlebot group exists for a.test → the * group's /tmp/ rule does
+    # NOT apply to googlebot (RFC: exactly one group governs a crawler)
+    assert got["http://a.test/tmp/x"][0] is True
+    # the $-anchored pdf rule lives in the * group, which googlebot ignores
+    assert got["http://a.test/doc.pdf"][0] is True
+    assert got["http://a.test/doc.pdfx"][0] is True
+    assert got["http://a.test/page"][0] is True
+    assert got["http://nohost.test/x"] == (True, None)
+
+
+def test_star_group_and_fallback_agent(spark):
+    got = _verdicts(
+        spark,
+        [
+            "http://a.test/tmp/x",
+            "http://a.test/doc.pdf",
+            "http://a.test/doc.pdfx",
+            "http://a.test/private/secret",  # * group has no /private/ rule
+            "http://b.test/a_b",
+            "http://b.test/axb",  # '_' must stay literal, not LIKE wildcard
+        ],
+        agent="mybot",  # not listed anywhere → '*' group
+    )
+    assert got["http://a.test/tmp/x"] == (False, "/tmp/")
+    assert got["http://a.test/doc.pdf"] == (False, "/*.pdf$")
+    assert got["http://a.test/doc.pdfx"] == (True, "/")
+    assert got["http://a.test/private/secret"] == (True, "/")
+    assert got["http://b.test/a_b"][0] is False
+    assert got["http://b.test/axb"] == (True, None)
+
+
+def test_allow_wins_length_tie(spark):
+    robots = spark.createDataFrame(
+        [("t.test", "User-agent: *\nAllow: /page\nDisallow: /page\n")],
+        "host string, robots_txt string",
+    )
+    df = spark.createDataFrame([("http://t.test/page/x",)], "url string")
+    row = with_robots_verdict(df, robots).collect()[0]
+    assert row.robots_allowed is True
+
+
+def test_robots_filter_keeps_columns(spark):
+    urls = spark.createDataFrame(
+        [(1, "http://a.test/tmp/x"), (2, "http://a.test/fine")],
+        "doc_id int, url string",
+    )
+    kept = robots_filter(urls, _robots(spark), agent="mybot")
+    assert kept.columns == ["doc_id", "url"]
+    assert [r.doc_id for r in kept.collect()] == [2]
