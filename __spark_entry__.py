@@ -940,10 +940,21 @@ def _q_dsir_selection(spark, sf_dir):
     return score_leg.unionAll(sample_leg).unionAll(chunk_leg).unionAll(fix_leg)
 
 
+def _hex15_sql() -> str:
+    """Exact hex-value fold of a 15-char lowercase-hex column ``s`` — the
+    oracle twin of ``edspdf_spark.functions.dsir._hex15_hash`` (Spark
+    side: one ``conv(s, 16, 10)``; 60 bits, exact in BIGINT)."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(1, 16):
+        a = f"ascii(substr(s, {j}, 1))"
+        h = f"(({h}) * 16 + CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+    return h
+
+
 def _dsir_selection_oracle() -> str:
     from edspdf_spark.functions.text import MOJIBAKE_PAIRS
 
-    poly = _bloom_poly15_sql()
+    poly = _hex15_sql()
 
     def esc(s: str) -> str:
         return s.replace("'", "''")
@@ -1004,7 +1015,7 @@ allscores AS (
 gum AS (
   SELECT doc_id,
          CAST(floor(-ln(-ln((h + 1) / 2147483649.0)) * 10000.0) AS BIGINT) AS g
-  FROM (SELECT doc_id, ({poly}) AS h
+  FROM (SELECT doc_id, ({poly}) % 2147483647 AS h
         FROM (SELECT doc_id,
                      substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS s
               FROM d))
