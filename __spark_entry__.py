@@ -2613,7 +2613,12 @@ def _q_pagerank_links(spark, sf_dir):
     entirely in exact BIGINT micro-units — so the oracle (the same
     recurrence unrolled as chained DuckDB CTEs) matches bit-for-bit, not
     approximately."""
-    from edspdf_spark.functions.graph import extract_links, pagerank
+    from edspdf_spark.functions.graph import (
+        anchor_text_rollup,
+        extract_anchors,
+        extract_links,
+        pagerank,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id")
     n = docs.count()
@@ -2636,7 +2641,21 @@ def _q_pagerank_links(spark, sf_dir):
         html.alias("html"),
     )
     edges = extract_links(pages)
-    return pagerank(edges, iterations=_PR_ITERATIONS)
+    # round-3 extension: inbound anchor-text features (how the web
+    # DESCRIBES each page) joined onto the rank frame — self-links
+    # excluded on both legs so rank and rollup agree on the graph
+    anchors = extract_anchors(pages).where(F.col("src") != F.col("dst"))
+    roll = anchor_text_rollup(anchors).withColumnRenamed("dst", "node")
+    pr = pagerank(edges, iterations=_PR_ITERATIONS)
+    return pr.join(roll, on="node", how="left").select(
+        "node",
+        "rank_micro",
+        "rank",
+        F.coalesce(F.col("n_inlinks"), F.lit(0)).alias("n_inlinks"),
+        F.coalesce(F.col("n_srcs"), F.lit(0)).alias("n_srcs"),
+        "top_anchor",
+        "top_anchor_count",
+    )
 
 
 def _pagerank_links_oracle() -> str:
@@ -2653,7 +2672,41 @@ UNION ALL
 SELECT 'p' || CAST(doc_id AS VARCHAR) AS src, 'p0' AS dst
 FROM documents WHERE doc_id % 5 = 0
 """
-    return pagerank_oracle_sql(edges, iterations=_PR_ITERATIONS)
+    anchors = f"""
+SELECT * FROM (
+  SELECT 'p' || CAST(doc_id AS VARCHAR) AS src,
+         'p' || CAST((doc_id * 2 + 1) % {n} AS VARCHAR) AS dst,
+         'one' AS anchor FROM documents
+  UNION ALL
+  SELECT 'p' || CAST(doc_id AS VARCHAR),
+         'p' || CAST((doc_id * 3 + 7) % {n} AS VARCHAR), 'two' FROM documents
+  UNION ALL
+  SELECT 'p' || CAST(doc_id AS VARCHAR), 'p0', 'hub'
+  FROM documents WHERE doc_id % 5 = 0
+) WHERE src <> dst
+"""
+    pr = pagerank_oracle_sql(edges, iterations=_PR_ITERATIONS)
+    return f"""
+SELECT r.node, r.rank_micro, r.rank,
+       COALESCE(b.n_inlinks, 0) AS n_inlinks,
+       COALESCE(b.n_srcs, 0) AS n_srcs,
+       t.top_anchor, t.top_anchor_count
+FROM ({pr}) r
+LEFT JOIN (
+  SELECT dst, COUNT(*) AS n_inlinks, COUNT(DISTINCT src) AS n_srcs
+  FROM ({anchors}) GROUP BY dst
+) b ON r.node = b.dst
+LEFT JOIN (
+  SELECT dst, anchor AS top_anchor, cnt AS top_anchor_count
+  FROM (
+    SELECT dst, anchor, COUNT(*) AS cnt,
+           row_number() OVER (
+             PARTITION BY dst ORDER BY COUNT(*) DESC, anchor
+           ) AS rn
+    FROM ({anchors}) WHERE anchor <> '' GROUP BY dst, anchor
+  ) WHERE rn = 1
+) t ON r.node = t.dst
+"""
 
 
 # --- S-layer round-trip (S1/S2/S4/S5/S6) ------------------------------------

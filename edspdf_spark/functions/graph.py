@@ -42,10 +42,21 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "pagerank", "pagerank_oracle_sql", "HREF_RE", "SCALE"]
+__all__ = [
+    "extract_links",
+    "extract_anchors",
+    "anchor_text_rollup",
+    "pagerank",
+    "pagerank_oracle_sql",
+    "HREF_RE",
+    "ANCHOR_RE",
+    "SCALE",
+]
 
 # Java ∩ RE2 common dialect (no lookaround/backrefs) — DuckDB replays it.
 HREF_RE = r"href=\"([^\"]+)\""
+#: <a href="…">text</a> with a simple (non-nested) anchor body
+ANCHOR_RE = r"<a [^>]*href=\"([^\"]+)\"[^>]*>([^<]*)</a>"
 
 SCALE = 10**12  # 1.0 of rank mass, in micro-units
 _D_NUM, _D_DEN = 17, 20  # damping 0.85 as an exact rational
@@ -68,6 +79,77 @@ def extract_links(
         F.col(url_col).alias("src"),
         F.explode(F.regexp_extract_all(html, F.lit(HREF_RE), F.lit(1))).alias("dst"),
     )
+
+
+def extract_anchors(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    charset: str = "utf-8",
+) -> DataFrame:
+    """``(url, html)`` → one ``(src, dst, anchor)`` row per
+    ``<a href="…">text</a>`` occurrence (anchor whitespace-normalized,
+    may be empty). Two ``regexp_extract_all`` passes over the same
+    pattern (Java regex extracts one group per call) zipped positionally
+    — still a single scan-stage projection, zero Python, zero shuffle;
+    the pattern is in the Java∩RE2 common dialect so the DuckDB oracle
+    replays it."""
+    html = F.col(html_col)
+    dtype = dict(pages.dtypes)[html_col]
+    if dtype == "binary":
+        html = F.decode(html, charset)
+    pair = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(ANCHOR_RE), F.lit(1)).alias("dst"),
+            F.regexp_extract_all(html, F.lit(ANCHOR_RE), F.lit(2)).alias("anchor"),
+        )
+    )
+    return pages.select(F.col(url_col).alias("src"), pair.alias("_a")).select(
+        "src",
+        F.col("_a.dst").alias("dst"),
+        F.trim(F.regexp_replace(F.col("_a.anchor"), r"\s+", " ")).alias("anchor"),
+    )
+
+
+def anchor_text_rollup(
+    anchors: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Inbound anchor-text features per target: ``(dst, n_inlinks,
+    n_srcs, top_anchor, top_anchor_count)`` where ``top_anchor`` is the
+    most frequent non-empty inbound anchor text (ties → lexicographically
+    smallest). The classic web-corpus signal: how the web DESCRIBES a
+    page, independent of the page's own content.
+
+    ``n_inlinks``/``n_srcs`` count every inbound link (anchor may be
+    empty); ``top_anchor`` considers non-empty texts only (NULL when a
+    page has none).
+
+    Plan shape: one ``dst``-keyed count/count-distinct aggregation, one
+    ``(dst, anchor)``-keyed count aggregation (map-side partial combine
+    bounds hub-page hot keys) reduced by a ``dst``-keyed ``min_by`` over
+    ``(−count, anchor)`` — partial-aggregatable, so no window sort over
+    the corpus and nothing is ever collected per key (a mega-hub with
+    millions of distinct anchors still reduces pairwise) — then one
+    ``dst``-keyed join of the two small result frames."""
+    base = anchors.groupBy(dst_col).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.count_distinct(src_col).alias("n_srcs"),
+    )
+    per_pair = (
+        anchors.where(F.col(anchor_col) != "")
+        .groupBy(dst_col, anchor_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = per_pair.groupBy(dst_col).agg(
+        F.min_by(
+            F.col(anchor_col), F.struct((-F.col("cnt")).alias("nc"), anchor_col)
+        ).alias("top_anchor"),
+        F.max("cnt").alias("top_anchor_count"),
+    )
+    return base.join(top, on=dst_col, how="left")
 
 
 def pagerank(

@@ -118,3 +118,42 @@ def test_token_prf_matches_duckdb(spark):
         for u, ne, ng, tp, p, r, f in con.execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_extract_anchors_and_rollup(spark):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.graph import anchor_text_rollup, extract_anchors
+
+    pages = spark.createDataFrame(
+        [
+            ("a", '<a href="t">Nice  Page</a> <a class="x" href="t">nice2</a>'),
+            ("b", '<a href="t">Nice Page</a> <a href="u"></a>'),
+            ("c", '<a href="u">  spaced   out </a><a href="t">Apple</a>'),
+        ],
+        "url string, html string",
+    )
+    anchors = sorted(
+        (r.src, r.dst, r.anchor) for r in extract_anchors(pages).collect()
+    )
+    assert ("a", "t", "Nice Page") in anchors  # whitespace normalized
+    assert ("b", "u", "") in anchors  # empty anchors kept in the edge list
+    assert ("c", "u", "spaced out") in anchors
+
+    roll = {
+        r.dst: (r.n_inlinks, r.n_srcs, r.top_anchor, r.top_anchor_count)
+        for r in anchor_text_rollup(extract_anchors(pages)).collect()
+    }
+    # t: 4 inbound links from 3 distinct sources; "Nice Page" wins (2 hits);
+    # tie-break check: Apple(1) vs nice2(1) both lose to the count-2 winner
+    assert roll["t"] == (4, 3, "Nice Page", 2)
+    # u: 2 inbound, one empty anchor → top is the only non-empty text
+    assert roll["u"] == (2, 2, "spaced out", 1)
+
+    # count tie → lexicographically smallest anchor wins
+    tie = spark.createDataFrame(
+        [("x", '<a href="t">beta</a>'), ("y", '<a href="t">alpha</a>')],
+        "url string, html string",
+    )
+    r = anchor_text_rollup(extract_anchors(tie)).collect()[0]
+    assert (r.top_anchor, r.top_anchor_count) == ("alpha", 1)
