@@ -937,7 +937,41 @@ def _q_dsir_selection(spark, sf_dir):
         F.length(fixed).cast("long").alias("num"),
         F.md5(fixed).alias("txt"),
     )
-    return score_leg.unionAll(sample_leg).unionAll(chunk_leg).unionAll(fix_leg)
+    # leakage-safe deterministic split assignment (quality.split_assign)
+    from edspdf_spark.functions.quality import split_assign
+    from edspdf_spark.functions.text import pack_chunks
+
+    split_leg = split_assign(docs, by_col="doc_id", seed=3).select(
+        F.lit("split").alias("probe"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.lit(None).cast("long").alias("num"),
+        F.col("split").alias("txt"),
+    )
+    # shard-local sequence packing of the 64/48 chunks into 128-token packs
+    packed = pack_chunks(
+        chunk_tokens(docs, window=64, stride=48), seq_len=128, n_shards=8
+    )
+    pack_leg = packed.select(
+        F.lit("pack").alias("probe"),
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("k1"),
+        F.col("pack_offset").alias("num"),
+        F.concat(
+            F.col("shard").cast("string"),
+            F.lit(":"),
+            F.col("pack_id").cast("string"),
+        ).alias("txt"),
+    )
+    return (
+        score_leg.unionAll(sample_leg)
+        .unionAll(chunk_leg)
+        .unionAll(fix_leg)
+        .unionAll(split_leg)
+        .unionAll(pack_leg)
+    )
 
 
 def _hex15_sql() -> str:
@@ -1047,6 +1081,37 @@ UNION ALL
 SELECT 'fixtext', CAST(doc_id AS VARCHAR),
        CAST(length(fixed) AS BIGINT), md5(fixed)
 FROM (SELECT doc_id, {fixed_expr} AS fixed FROM d)
+UNION ALL
+SELECT 'split', CAST(doc_id AS VARCHAR), CAST(NULL AS BIGINT),
+       CASE WHEN u < 900000 THEN 'train'
+            WHEN u < 950000 THEN 'valid' ELSE 'test' END
+FROM (SELECT doc_id, ({poly}) % 1000000 AS u
+      FROM (SELECT doc_id,
+                   substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 15) AS s
+            FROM d))
+UNION ALL
+SELECT 'pack',
+       CAST(doc_id AS VARCHAR) || ':' || CAST(ci AS VARCHAR),
+       CAST(strt % 128 AS BIGINT),
+       CAST(shard AS VARCHAR) || ':' || CAST(strt // 128 AS VARCHAR)
+FROM (
+  SELECT doc_id, ci, shard,
+         SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id, ci
+                         ROWS UNBOUNDED PRECEDING) - ntok AS strt
+  FROM (
+    SELECT doc_id, (o // 48) AS ci, CAST(len(ws[o + 1 : o + 64]) AS BIGINT) AS ntok,
+           ({poly}) % 8 AS shard
+    FROM (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS s
+          FROM d),
+         UNNEST(CASE WHEN len(ws) > 0
+                     THEN generate_series(0, len(ws) - 1, 48)
+                     ELSE CAST([] AS BIGINT[]) END) AS t(o)
+    WHERE len(ws[o + 1 : o + 64]) >= 1
+  )
+)
 """
 
 

@@ -554,3 +554,38 @@ def domain_quota(
         .withColumn("domain_rank", F.row_number().over(w))
         .where(F.col("domain_rank") <= int(max_docs))
     )
+
+
+def split_assign(
+    df: DataFrame,
+    by_col: str = "url",
+    weights: tuple = (0.9, 0.05, 0.05),
+    names: tuple = ("train", "valid", "test"),
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe deterministic train/valid/test assignment: the split
+    is a pure function of ``by_col`` (pass the DOMAIN to keep every page
+    of a site in one split — the standard guard against near-dup leakage
+    across splits), so any engine, retry, partitioning, or incremental
+    crawl batch assigns identically and the splits never drift.
+
+    ``u = hexval(md5(seed|key)[:15]) mod 10^6`` picks the split by
+    cumulative integer thresholds ``floor(cum_weight · 10^6)`` — all
+    integer compares, zero RNG state, a single scan-stage projection
+    (no shuffle, no join). Appends a ``split`` column.
+    """
+    from edspdf_spark.functions.dsir import _hex15_hash
+
+    assert len(weights) == len(names) and abs(sum(weights) - 1.0) < 1e-9
+    u = _hex15_hash(
+        F.concat(F.lit(f"{seed}|"), F.col(by_col).cast("string"))
+    ) % F.lit(1_000_000)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    bounds = []
+    for w_, nm in zip(weights[:-1], names[:-1]):
+        cum += w_
+        bounds.append((int(cum * 1_000_000), nm))
+    for bound, nm in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(nm)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -215,3 +215,52 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(2147483647),
     )
     return df.withColumn("fp_md5", F.md5(t)).withColumn("fp_poly", poly)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "chunk_n_tokens",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate chunks in deterministic
+    ``(id, idx)`` order and cut the token stream every ``seq_len`` tokens,
+    so short documents share training sequences instead of wasting pad.
+    A chunk is assigned to the pack its FIRST token falls in (packs can
+    overflow by < one chunk; size chunks ≤ seq_len for bounded overflow).
+
+    Exact global packing needs a total order over the corpus — a
+    single-partition sort that cannot scale — so packing is SHARD-LOCAL:
+    ``shard = hexval(md5(id)) mod n_shards`` (all chunks of a doc stay
+    together), the running token offset is one window cumsum per shard
+    (shard-keyed exchange + external per-shard sort), and pack ids are
+    ``(shard, pack_in_shard)``. At 10^12 docs, raise ``n_shards`` until a
+    shard's token stream fits one task's spill budget; each shard's last
+    pack is the only fragmentation cost.
+
+    Appends ``shard``, ``pack_id`` (within shard) and ``pack_offset``
+    (the chunk's first-token offset within its pack) — all exact BIGINT
+    arithmetic, replayable in SQL window functions.
+    """
+    from pyspark.sql import Window
+
+    from edspdf_spark.functions.dsir import _hex15_hash
+
+    shard = _hex15_hash(F.col(id_col).cast("string")) % F.lit(int(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col), F.col(idx_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = chunks.withColumn("shard", shard).withColumn(
+        "_start", (F.sum(tok_col).over(w) - F.col(tok_col)).cast("long")
+    )
+    return (
+        out.withColumn(
+            "pack_id", (F.col("_start") / F.lit(int(seq_len))).cast("long")
+        )
+        .withColumn("pack_offset", F.col("_start") % F.lit(int(seq_len)))
+        .drop("_start")
+    )

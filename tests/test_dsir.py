@@ -132,3 +132,49 @@ def test_fix_mojibake(spark):
     assert got[1] == "Café — it’s “fine”, naïve résumé"
     assert got[2] == "plain ascii stays"
     assert got[3] == "à bientôt « là »"
+
+
+def test_split_assign_deterministic_and_ratioed(spark):
+    from edspdf_spark.functions.quality import split_assign
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 500}.com") for i in range(3000)], "doc_id int, domain string"
+    )
+    out = split_assign(df, by_col="domain", seed=3)
+    rows = out.collect()
+    by_domain = {}
+    for r in rows:
+        by_domain.setdefault(r.domain, set()).add(r.split)
+    # leakage-safety: every page of a domain lands in ONE split
+    assert all(len(s) == 1 for s in by_domain.values())
+    frac = {s: 0 for s in ("train", "valid", "test")}
+    for r in rows:
+        frac[r.split] += 1
+    assert frac["train"] > 2300 and frac["valid"] > 30 and frac["test"] > 30
+    again = {r.doc_id: r.split for r in split_assign(df, by_col="domain", seed=3).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_pack_chunks_offsets(spark):
+    from edspdf_spark.functions.text import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 6), (1, 1, 6), (2, 0, 5), (2, 1, 2)],
+        "doc_id int, chunk_idx int, chunk_n_tokens int",
+    )
+    out = pack_chunks(chunks, seq_len=8, n_shards=1)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.shard, r.pack_id, r.pack_offset)
+        for r in out.collect()
+    }
+    # stream order (1,0)(1,1)(2,0)(2,1): starts 0,6,12,17 → packs 0,0,1,2
+    assert got[(1, 0)] == (0, 0, 0)
+    assert got[(1, 1)] == (0, 0, 6)
+    assert got[(2, 0)] == (0, 1, 4)
+    assert got[(2, 1)] == (0, 2, 1)
+    # sharded: all chunks of a doc stay in one shard
+    sharded = pack_chunks(chunks, seq_len=8, n_shards=64)
+    per_doc = {}
+    for r in sharded.collect():
+        per_doc.setdefault(r.doc_id, set()).add(r.shard)
+    assert all(len(s) == 1 for s in per_doc.values())
