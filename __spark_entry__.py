@@ -2682,6 +2682,7 @@ def _q_pagerank_links(spark, sf_dir):
         anchor_text_rollup,
         extract_anchors,
         extract_links,
+        hits,
         pagerank,
     )
 
@@ -2712,19 +2713,26 @@ def _q_pagerank_links(spark, sf_dir):
     anchors = extract_anchors(pages).where(F.col("src") != F.col("dst"))
     roll = anchor_text_rollup(anchors).withColumnRenamed("dst", "node")
     pr = pagerank(edges, iterations=_PR_ITERATIONS)
-    return pr.join(roll, on="node", how="left").select(
-        "node",
-        "rank_micro",
-        "rank",
-        F.coalesce(F.col("n_inlinks"), F.lit(0)).alias("n_inlinks"),
-        F.coalesce(F.col("n_srcs"), F.lit(0)).alias("n_srcs"),
-        "top_anchor",
-        "top_anchor_count",
+    ha = hits(edges, iterations=2)
+    return (
+        pr.join(roll, on="node", how="left")
+        .join(ha, on="node", how="left")
+        .select(
+            "node",
+            "rank_micro",
+            "rank",
+            F.coalesce(F.col("n_inlinks"), F.lit(0)).alias("n_inlinks"),
+            F.coalesce(F.col("n_srcs"), F.lit(0)).alias("n_srcs"),
+            "top_anchor",
+            "top_anchor_count",
+            "auth_micro",
+            "hub_micro",
+        )
     )
 
 
 def _pagerank_links_oracle() -> str:
-    from edspdf_spark.functions.graph import pagerank_oracle_sql
+    from edspdf_spark.functions.graph import hits_oracle_sql, pagerank_oracle_sql
 
     n = "(SELECT COUNT(*) FROM documents)"
     edges = f"""
@@ -2751,12 +2759,15 @@ SELECT * FROM (
 ) WHERE src <> dst
 """
     pr = pagerank_oracle_sql(edges, iterations=_PR_ITERATIONS)
+    ha = hits_oracle_sql(edges, iterations=2)
     return f"""
 SELECT r.node, r.rank_micro, r.rank,
        COALESCE(b.n_inlinks, 0) AS n_inlinks,
        COALESCE(b.n_srcs, 0) AS n_srcs,
-       t.top_anchor, t.top_anchor_count
+       t.top_anchor, t.top_anchor_count,
+       h.auth_micro, h.hub_micro
 FROM ({pr}) r
+LEFT JOIN ({ha}) h ON r.node = h.node
 LEFT JOIN (
   SELECT dst, COUNT(*) AS n_inlinks, COUNT(DISTINCT src) AS n_srcs
   FROM ({anchors}) GROUP BY dst

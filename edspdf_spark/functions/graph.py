@@ -48,6 +48,8 @@ __all__ = [
     "anchor_text_rollup",
     "pagerank",
     "pagerank_oracle_sql",
+    "hits",
+    "hits_oracle_sql",
     "HREF_RE",
     "ANCHOR_RE",
     "SCALE",
@@ -225,6 +227,148 @@ def pagerank(
         "node",
         "rank_micro",
         (F.col("rank_micro") / F.lit(float(SCALE))).alias("rank"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Kleinberg HITS hubs & authorities in exact fixed-point integers.
+
+    Per round (classic update order): ``auth'(v) = Σ_{u→v} hub(u)`` then
+    ``hub'(u) = Σ_{u→v} auth'(v)``, each rescaled back under ``SCALE`` by
+    ``x div ceil(max(x) / SCALE)`` — an exact integer division against a
+    global max (one tiny broadcast per round) that never widens past the
+    sum itself (``x·SCALE div max`` would overflow BIGINT), replacing the
+    float L2 normalization so the result is bit-identical under any
+    partitioning and replayable by an unrolled-CTE SQL oracle. Nodes with
+    no inbound (outbound) edges hold authority (hub) 0.
+
+    Returns ``(node, auth_micro, hub_micro)``. Overflow bound: a sum is
+    ≤ degree·SCALE, so BIGINT is safe while max in/out-degree < 9·10⁶ at
+    the default SCALE=10¹² (lower SCALE for spammier graphs). Per round:
+    two node-keyed join+SUM aggregations (map-side combined) and two
+    single-row max aggregations; ``localCheckpoint`` truncates lineage.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = e.localCheckpoint() if checkpoint else e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint()
+
+    hub = nodes.select("node", F.lit(SCALE).cast("long").alias("hub_micro"))
+    auth = None
+    for _ in range(iterations):
+        raw_auth = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_micro").alias("x"))
+        )
+        m_a = raw_auth.agg(F.max("x").alias("m"))
+        auth = (
+            nodes.join(raw_auth, "node", "left")
+            .crossJoin(F.broadcast(m_a))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(x, 0L) div greatest((coalesce(m, 0L)"
+                    f" + {SCALE - 1}) div {SCALE}, 1L)"
+                ).alias("auth_micro"),
+            )
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint()
+        raw_hub = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_micro").alias("x"))
+        )
+        m_h = raw_hub.agg(F.max("x").alias("m"))
+        hub = (
+            nodes.join(raw_hub, "node", "left")
+            .crossJoin(F.broadcast(m_h))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(x, 0L) div greatest((coalesce(m, 0L)"
+                    f" + {SCALE - 1}) div {SCALE}, 1L)"
+                ).alias("hub_micro"),
+            )
+        )
+        if checkpoint:
+            hub = hub.localCheckpoint()
+    return nodes.join(auth, "node", "left").join(hub, "node", "left").select(
+        "node",
+        F.coalesce("auth_micro", F.lit(0)).cast("long").alias("auth_micro"),
+        F.coalesce("hub_micro", F.lit(0)).cast("long").alias("hub_micro"),
+    )
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+) -> str:
+    """DuckDB replica of :func:`hits` — the same exact integer recurrence
+    unrolled as chained CTEs, bit-level match."""
+    ctes = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""ra{i} AS (
+  SELECT e.dst AS node, SUM(h{i}.hub) AS x
+  FROM e JOIN h{i} ON e.src = h{i}.node GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""a{i + 1} AS (
+  SELECT nodes.node,
+         COALESCE(ra{i}.x, 0) // GREATEST(
+           ((SELECT COALESCE(MAX(x), 0) FROM ra{i}) + {SCALE - 1}) // {SCALE}, 1)
+           AS auth
+  FROM nodes LEFT JOIN ra{i} ON nodes.node = ra{i}.node
+)"""
+        )
+        ctes.append(
+            f"""rh{i} AS (
+  SELECT e.src AS node, SUM(a{i + 1}.auth) AS x
+  FROM e JOIN a{i + 1} ON e.dst = a{i + 1}.node GROUP BY e.src
+)"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+  SELECT nodes.node,
+         COALESCE(rh{i}.x, 0) // GREATEST(
+           ((SELECT COALESCE(MAX(x), 0) FROM rh{i}) + {SCALE - 1}) // {SCALE}, 1)
+           AS hub
+  FROM nodes LEFT JOIN rh{i} ON nodes.node = rh{i}.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT nodes.node,
+       CAST(COALESCE(a{iterations}.auth, 0) AS BIGINT) AS auth_micro,
+       CAST(COALESCE(h{iterations}.hub, 0) AS BIGINT) AS hub_micro
+FROM nodes
+LEFT JOIN a{iterations} ON nodes.node = a{iterations}.node
+LEFT JOIN h{iterations} ON nodes.node = h{iterations}.node
+"""
     )
 
 

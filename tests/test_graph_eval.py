@@ -157,3 +157,53 @@ def test_extract_anchors_and_rollup(spark):
     )
     r = anchor_text_rollup(extract_anchors(tie)).collect()[0]
     assert (r.top_anchor, r.top_anchor_count) == ("alpha", 1)
+
+
+def test_hits_star_graph(spark):
+    from edspdf_spark.functions.graph import SCALE, hits
+
+    # star: spokes all link to the center → center is THE authority,
+    # spokes are equal hubs, center has hub 0 (no out-links)
+    edges = spark.createDataFrame(
+        [(f"s{i}", "c") for i in range(5)], "src string, dst string"
+    )
+    got = {r.node: (r.auth_micro, r.hub_micro) for r in hits(edges, 2).collect()}
+    assert got["c"] == (SCALE, 0)
+    for i in range(5):
+        assert got[f"s{i}"] == (0, SCALE)
+
+
+def test_hits_matches_duckdb_unrolled(spark):
+    import duckdb
+
+    from edspdf_spark.functions.graph import hits, hits_oracle_sql
+
+    rows = [(i, (i * 2 + 1) % 17) for i in range(17)] + [
+        (i, (i * 5 + 3) % 17) for i in range(17)
+    ]
+    edges = spark.createDataFrame(rows, "src int, dst int")
+    got = sorted(
+        (r.node, r.auth_micro, r.hub_micro) for r in hits(edges, 3).collect()
+    )
+    sql = hits_oracle_sql(
+        "SELECT (i * 1) % 17 AS src, (i * 2 + 1) % 17 AS dst FROM range(17) t(i) "
+        "UNION ALL SELECT i % 17, (i * 5 + 3) % 17 FROM range(17) t(i)",
+        iterations=3,
+    )
+    want = sorted((int(n), int(a), int(h)) for n, a, h in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_hits_deterministic_across_partitioning(spark):
+    from edspdf_spark.functions.graph import hits
+
+    rows = [(i, (i * 3 + 1) % 23) for i in range(23)]
+    a = sorted(
+        tuple(r)
+        for r in hits(spark.createDataFrame(rows, "src int, dst int").repartition(1), 2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in hits(spark.createDataFrame(rows, "src int, dst int").repartition(7), 2).collect()
+    )
+    assert a == b
