@@ -965,12 +965,37 @@ def _q_dsir_selection(spark, sf_dir):
             F.col("pack_id").cast("string"),
         ).alias("txt"),
     )
+    # hashed-ngram logistic quality classifier: trained for 2 exact
+    # integer-GD epochs on a deterministic length label, weights + serve
+    # margins both probed (the oracle replays the full training loop as
+    # unrolled CTEs — a TRAINED model checked value-level in SQL)
+    from edspdf_spark.functions.classifier import (
+        fit_logreg_hashed,
+        predict_logreg,
+    )
+
+    train = docs.withColumn("label", (F.length("text") >= 600).cast("int"))
+    wtab = fit_logreg_hashed(train, m_buckets=512, epochs=2)
+    clf_w_leg = wtab.select(
+        F.lit("clf_w").alias("probe"),
+        F.col("bucket").cast("string").alias("k1"),
+        F.col("w_micro").alias("num"),
+        F.lit(None).cast("string").alias("txt"),
+    )
+    clf_serve_leg = predict_logreg(train, wtab, m_buckets=512).select(
+        F.lit("clf_serve").alias("probe"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("lr_z_micro").alias("num"),
+        F.col("lr_pred").cast("string").alias("txt"),
+    )
     return (
         score_leg.unionAll(sample_leg)
         .unionAll(chunk_leg)
         .unionAll(fix_leg)
         .unionAll(split_leg)
         .unionAll(pack_leg)
+        .unionAll(clf_w_leg)
+        .unionAll(clf_serve_leg)
     )
 
 
@@ -983,6 +1008,62 @@ def _hex15_sql() -> str:
         a = f"ascii(substr(s, {j}, 1))"
         h = f"(({h}) * 16 + CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
     return h
+
+
+def _clf_oracle_ctes(epochs: int = 2, lr_num: int = 1, lr_den: int = 2) -> str:
+    """Unrolled integer-GD training of the hashed-ngram logistic
+    classifier (functions/classifier.py) as chained CTEs; reuses the
+    ``d``/``hashed`` CTEs of the DSIR oracle (same feature map)."""
+    n = "(SELECT n FROM nlab)"
+    ctes = [
+        "lab AS (SELECT doc_id, CASE WHEN length(text) >= 600"
+        " THEN 1 ELSE 0 END AS y FROM d)",
+        "clf_feats AS (SELECT doc_id, bucket, COUNT(*) AS c FROM hashed"
+        " GROUP BY doc_id, bucket"
+        " UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM d)",
+        "nlab AS (SELECT COUNT(*) AS n FROM lab)",
+    ]
+    prev_w = None
+    for e in range(epochs):
+        if prev_w is None:
+            ctes.append(f"z{e} AS (SELECT doc_id, CAST(0 AS BIGINT) AS dot FROM d)")
+        else:
+            ctes.append(
+                f"z{e} AS (SELECT f.doc_id,"
+                f" CAST(SUM(c * COALESCE(w_micro, 0)) AS BIGINT) AS dot"
+                f" FROM clf_feats f LEFT JOIN {prev_w} USING (bucket)"
+                f" GROUP BY f.doc_id)"
+            )
+        ctes.append(
+            f"r{e} AS (SELECT lab.doc_id,"
+            f" CAST(floor((1.0 / (1.0 + exp(-(COALESCE(dot, 0) / 1000000.0)))"
+            f" - y) * 1000000.0) AS BIGINT) AS r"
+            f" FROM lab LEFT JOIN z{e} USING (doc_id))"
+        )
+        ctes.append(
+            f"g{e} AS (SELECT bucket, CAST(SUM(c * r) AS BIGINT) AS g"
+            f" FROM clf_feats JOIN r{e} USING (doc_id) GROUP BY bucket)"
+        )
+        if prev_w is None:
+            ctes.append(
+                f"w{e + 1} AS (SELECT bucket,"
+                f" -(({lr_num} * g) // ({lr_den} * {n})) AS w_micro FROM g{e})"
+            )
+        else:
+            ctes.append(
+                f"w{e + 1} AS (SELECT COALESCE(g.bucket, pw.bucket) AS bucket,"
+                f" COALESCE(pw.w_micro, 0)"
+                f" - (({lr_num} * COALESCE(g.g, 0)) // ({lr_den} * {n})) AS w_micro"
+                f" FROM g{e} g FULL OUTER JOIN {prev_w} pw ON g.bucket = pw.bucket)"
+            )
+        prev_w = f"w{e + 1}"
+    ctes.append(
+        f"zserve AS (SELECT f.doc_id,"
+        f" CAST(SUM(c * COALESCE(w_micro, 0)) AS BIGINT) AS dot"
+        f" FROM clf_feats f LEFT JOIN {prev_w} USING (bucket)"
+        f" GROUP BY f.doc_id)"
+    )
+    return ",\n".join(ctes)
 
 
 def _dsir_selection_oracle() -> str:
@@ -1053,7 +1134,8 @@ gum AS (
         FROM (SELECT doc_id,
                      substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS s
               FROM d))
-)
+),
+{_clf_oracle_ctes(epochs=2)}
 SELECT 'score' AS probe, CAST(doc_id AS VARCHAR) AS k1,
        lw AS num, CAST(nng AS VARCHAR) AS txt
 FROM allscores
@@ -1112,6 +1194,12 @@ FROM (
     WHERE len(ws[o + 1 : o + 64]) >= 1
   )
 )
+UNION ALL
+SELECT 'clf_w', CAST(bucket AS VARCHAR), w_micro, NULL FROM w2
+UNION ALL
+SELECT 'clf_serve', CAST(doc_id AS VARCHAR), CAST(COALESCE(dot, 0) AS BIGINT),
+       CASE WHEN COALESCE(dot, 0) >= 0 THEN 'true' ELSE 'false' END
+FROM d LEFT JOIN zserve USING (doc_id)
 """
 
 
