@@ -988,6 +988,15 @@ def _q_dsir_selection(spark, sf_dir):
         F.col("lr_z_micro").alias("num"),
         F.col("lr_pred").cast("string").alias("txt"),
     )
+    # BM25 retrieval probe: corpus index + one query, top-20
+    from edspdf_spark.functions.search import bm25_topk, build_text_index
+
+    bm25_leg = bm25_topk(build_text_index(docs), "join filter scan", k=20).select(
+        F.lit("bm25").alias("probe"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("bm25_micro").alias("num"),
+        F.col("n_hit_terms").cast("string").alias("txt"),
+    )
     return (
         score_leg.unionAll(sample_leg)
         .unionAll(chunk_leg)
@@ -996,6 +1005,7 @@ def _q_dsir_selection(spark, sf_dir):
         .unionAll(pack_leg)
         .unionAll(clf_w_leg)
         .unionAll(clf_serve_leg)
+        .unionAll(bm25_leg)
     )
 
 
@@ -1135,7 +1145,15 @@ gum AS (
                      substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS s
               FROM d))
 ),
-{_clf_oracle_ctes(epochs=2)}
+{_clf_oracle_ctes(epochs=2)},
+bm_post AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+  GROUP BY term, doc_id
+),
+bm_df AS (SELECT term, COUNT(*) AS df FROM bm_post GROUP BY term),
+bm_dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+bm_st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM bm_dl)
 SELECT 'score' AS probe, CAST(doc_id AS VARCHAR) AS k1,
        lw AS num, CAST(nng AS VARCHAR) AS txt
 FROM allscores
@@ -1200,6 +1218,22 @@ UNION ALL
 SELECT 'clf_serve', CAST(doc_id AS VARCHAR), CAST(COALESCE(dot, 0) AS BIGINT),
        CASE WHEN COALESCE(dot, 0) >= 0 THEN 'true' ELSE 'false' END
 FROM d LEFT JOIN zserve USING (doc_id)
+UNION ALL
+SELECT 'bm25', CAST(doc_id AS VARCHAR), s, CAST(h AS VARCHAR)
+FROM (
+  SELECT p.doc_id,
+         CAST(SUM(CAST(floor(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total AS DOUBLE) / n)))
+             * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS h
+  FROM bm_post p
+  JOIN bm_df USING (term) JOIN bm_dl ON p.doc_id = bm_dl.doc_id, bm_st
+  WHERE term IN ('join', 'filter', 'scan')
+  GROUP BY p.doc_id
+  ORDER BY s DESC, p.doc_id LIMIT 20
+)
 """
 
 

@@ -288,6 +288,25 @@ def bench_dsir(spark, sf_dir):
     materialize(chunk_tokens(picked, window=128, stride=128))
 
 
+def bench_quality_clf(spark, sf_dir):
+    """Hashed-ngram logistic quality classifier: 2 integer-GD training
+    epochs (each = broadcast weight join + doc-keyed sum + bucket-keyed
+    sum over the checkpointed feature table) + full-corpus serve."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.classifier import (
+        fit_logreg_hashed,
+        predict_logreg,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    train = docs.withColumn("label", (F.length("text") >= 600).cast("int"))
+    w = fit_logreg_hashed(train, m_buckets=4096, epochs=2)
+    materialize(predict_logreg(docs, w, m_buckets=4096))
+
+
 def main():
     spark = get_spark(
         master=f"local[{CPUS}]",
@@ -401,6 +420,7 @@ def main():
         "quality_gate": lambda: bench_quality_gate(spark, SF_DIR),
         "perplexity": lambda: bench_perplexity(spark, SF_DIR),
         "dsir_select": lambda: bench_dsir(spark, SF_DIR),
+        "quality_clf": lambda: bench_quality_clf(spark, SF_DIR),
     }
 
     # min-of-N per query: this VM shows ±30-100% wall variance between
