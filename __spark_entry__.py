@@ -997,6 +997,19 @@ def _q_dsir_selection(spark, sf_dir):
         F.col("bm25_micro").alias("num"),
         F.col("n_hit_terms").cast("string").alias("txt"),
     )
+    # rule-based sentence segmentation probe
+    from edspdf_spark.functions.text import split_sentences
+
+    sent_leg = split_sentences(docs).select(
+        F.lit("sent").alias("probe"),
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("sent_idx").cast("string"),
+        ).alias("k1"),
+        F.length("sentence").cast("long").alias("num"),
+        F.md5("sentence").alias("txt"),
+    )
     return (
         score_leg.unionAll(sample_leg)
         .unionAll(chunk_leg)
@@ -1006,6 +1019,7 @@ def _q_dsir_selection(spark, sf_dir):
         .unionAll(clf_w_leg)
         .unionAll(clf_serve_leg)
         .unionAll(bm25_leg)
+        .unionAll(sent_leg)
     )
 
 
@@ -1234,6 +1248,18 @@ FROM (
   GROUP BY p.doc_id
   ORDER BY s DESC, p.doc_id LIMIT 20
 )
+UNION ALL
+SELECT 'sent', CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR),
+       CAST(length(sents[i]) AS BIGINT), md5(sents[i])
+FROM (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+             x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM d
+), UNNEST(generate_series(1, len(sents))) AS t(i)
 """
 
 

@@ -264,3 +264,34 @@ def pack_chunks(
         .withColumn("pack_offset", F.col("_start") % F.lit(int(seq_len)))
         .drop("_start")
     )
+
+
+#: sentence-ish segments: runs up to terminal punctuation (kept), plus a
+#: trailing unpunctuated fragment. Java∩RE2 common dialect (no
+#: lookaround), so the DuckDB oracle replays it verbatim.
+SENTENCE_RE = r"[^.!?]*[.!?]+|[^.!?]+$"
+
+
+def with_sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based sentence segmentation: appends ``sentences``
+    (array<string>, trimmed, empties dropped). Deliberately simple —
+    terminal ``.!?`` runs end a sentence, abbreviations are NOT special
+    (the C4/Gopher line rules upstream absorb most of that noise) — so
+    the rule is a single regexp the whole stack can agree on. One
+    ``regexp_extract_all`` projection, zero shuffle."""
+    segs = F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), 0)
+    return df.withColumn(
+        "sentences",
+        F.filter(F.transform(segs, lambda s: F.trim(s)), lambda s: s != ""),
+    )
+
+
+def split_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded form: one ``(id, sent_idx, sentence)`` row per sentence
+    (0-based index in document order)."""
+    return with_sentences(df, text_col).select(
+        F.col(id_col),
+        F.posexplode("sentences").alias("sent_idx", "sentence"),
+    )

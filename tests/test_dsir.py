@@ -178,3 +178,28 @@ def test_pack_chunks_offsets(spark):
     for r in sharded.collect():
         per_doc.setdefault(r.doc_id, set()).add(r.shard)
     assert all(len(s) == 1 for s in per_doc.values())
+
+
+def test_split_sentences(spark):
+    from edspdf_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third?! trailing bit"),
+            (2, "no punctuation at all"),
+            (3, "..."),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.sent_idx, r.sentence) for r in split_sentences(df).collect()
+    )
+    assert got == [
+        (1, 0, "First one."),
+        (1, 1, "Second!"),
+        (1, 2, "Third?!"),
+        (1, 3, "trailing bit"),
+        (2, 0, "no punctuation at all"),
+        (3, 0, "..."),
+    ]
