@@ -1010,6 +1010,19 @@ def _q_dsir_selection(spark, sf_dir):
         F.length("sentence").cast("long").alias("num"),
         F.md5("sentence").alias("txt"),
     )
+    # subword-vocab probe: SentencePiece-lite relational vocab build
+    # (functions/tokenizer.py) over a deterministic corpus slice — the
+    # full explode→count→singles-first-top-N replayed in SQL
+    from edspdf_spark.functions.tokenizer import build_subword_vocab
+
+    vocab_leg = build_subword_vocab(
+        docs.where(F.col("doc_id") % 10 == 0), size=300, max_piece_len=6
+    ).select(
+        F.lit("vocab").alias("probe"),
+        F.col("piece").alias("k1"),
+        F.col("n").alias("num"),
+        F.lit(None).cast("string").alias("txt"),
+    )
     return (
         score_leg.unionAll(sample_leg)
         .unionAll(chunk_leg)
@@ -1020,6 +1033,7 @@ def _q_dsir_selection(spark, sf_dir):
         .unionAll(clf_serve_leg)
         .unionAll(bm25_leg)
         .unionAll(sent_leg)
+        .unionAll(vocab_leg)
     )
 
 
@@ -1260,6 +1274,29 @@ FROM (
            x -> x <> '') AS sents
   FROM d
 ), UNNEST(generate_series(1, len(sents))) AS t(i)
+UNION ALL
+SELECT 'vocab', piece, n, NULL FROM (
+  WITH vwords AS (
+    SELECT '▁' || u.w AS w
+    FROM toks, UNNEST(t) AS u(w)
+    WHERE doc_id % 10 = 0
+  ),
+  vcounts AS (
+    SELECT substr(w, i, l) AS piece, CAST(COUNT(*) AS BIGINT) AS n
+    FROM vwords,
+         UNNEST(generate_series(1, length(w))) AS ti(i),
+         UNNEST(generate_series(1, least(6, length(w) - i + 1))) AS tl(l)
+    GROUP BY piece
+  ),
+  vmultis AS (
+    SELECT piece, n FROM vcounts WHERE length(piece) > 1
+    ORDER BY n DESC, piece LIMIT 300
+  )
+  SELECT piece, n FROM (
+    SELECT piece, n, 0 AS s FROM vcounts WHERE length(piece) = 1
+    UNION ALL SELECT piece, n, 1 FROM vmultis
+  ) ORDER BY s, n DESC, piece LIMIT 300
+)
 """
 
 

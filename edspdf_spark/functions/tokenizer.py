@@ -1,0 +1,145 @@
+"""Subword tokenizer (SentencePiece-lite), Spark-native: a relational
+vocab builder + a greedy longest-match encode stage — the token-budget
+backbone of a training-data pipeline (real subword counts for sampling,
+packing and dedup instead of whitespace approximations).
+
+- ``build_subword_vocab`` — candidate pieces are ALL substrings (up to
+  ``max_piece_len``) of the corpus's words, SentencePiece-style ``▁``
+  word-boundary marker included; counts aggregate relationally (explode →
+  (piece)-keyed SUM with map-side partials) and the vocab is the top-N by
+  (count, piece) — a distributed ``TakeOrderedAndProject``, no collect of
+  anything corpus-sized. Every single character is force-included so
+  greedy encoding never hits OOV on seen alphabets (the WordPiece
+  completeness trick); an ``<unk>`` piece covers unseen characters at
+  serve time.
+- ``tokenize_subword`` — greedy longest-match-first encode (WordPiece's
+  inference rule, which is also how SentencePiece serves a BPE/unigram
+  vocab). An inherently iterative per-word loop, i.e. exactly the case
+  the engine's UDF policy reserves for Arrow stages: one
+  ``mapInPandas`` with a per-batch word→pieces memo (Zipf makes the memo
+  hit rate ~90%+), vocab broadcast once per executor via closure.
+
+The vocab build is value-level SQL-replayable (same explode/count/top-N
+in DuckDB); the greedy encode is checked by pytest round-trip laws
+(pieces concatenate back to the word; determinism; budget counts).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOUNDARY = "▁"  # ▁ SentencePiece word-boundary marker
+UNK = "<unk>"
+
+
+def _words(col):
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.lower(col)), r"\s+")
+    )
+
+
+def build_subword_vocab(
+    corpus: DataFrame,
+    size: int = 1024,
+    max_piece_len: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``size`` substring pieces ``(piece, n)`` by corpus frequency
+    (ties → lexicographically smaller piece), single characters always
+    included (they count against ``size``; if singles alone exceed it,
+    all singles are still kept so encoding stays total)."""
+    words = corpus.select(
+        F.explode(_words(F.col(text_col))).alias("w")
+    ).select(F.concat(F.lit(BOUNDARY), F.col("w")).alias("w"))
+    L = int(max_piece_len)
+    pieces = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1), F.least(F.lit(L), F.length("w") - i + 1)
+                        ),
+                        lambda l: F.substring(F.col("w"), i, l),
+                    ),
+                )
+            )
+        ).alias("piece")
+    )
+    counts = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("n"))
+    singles = counts.where(F.length("piece") == 1)
+    multis = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.col("n").desc(), F.col("piece").asc())
+        .limit(max(0, int(size)))
+    )
+    # take all singles + the best multis, then trim to size by the same
+    # order with singles ranked first (so singles never fall out)
+    merged = singles.withColumn("_s", F.lit(0)).unionByName(
+        multis.withColumn("_s", F.lit(1))
+    )
+    return (
+        merged.orderBy(F.col("_s").asc(), F.col("n").desc(), F.col("piece").asc())
+        .limit(int(size))
+        .select("piece", "n")
+    )
+
+
+def _greedy(word: str, vocab: set, max_len: int) -> list:
+    out = []
+    i, n = 0, len(word)
+    while i < n:
+        j = min(n, i + max_len)
+        while j > i and word[i:j] not in vocab:
+            j -= 1
+        if j == i:  # unseen character
+            out.append(UNK)
+            i += 1
+        else:
+            out.append(word[i:j])
+            i = j
+    return out
+
+
+def tokenize_subword(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each doc: appends ``pieces`` (array<string>) and
+    ``n_pieces``. The vocab (bounded by its build ``size``) collects to
+    the driver ONCE and rides the task closure — the standard
+    small-model broadcast; the corpus streams through one Arrow stage."""
+    vset = {r.piece for r in vocab.select("piece").collect()}
+    max_len = max((len(p) for p in vset), default=1)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for text in pdf[text_col]:
+                pieces: list = []
+                for w in (text or "").lower().split():
+                    key = BOUNDARY + w
+                    got = memo.get(key)
+                    if got is None:
+                        got = _greedy(key, vset, max_len)
+                        memo[key] = got
+                    pieces.extend(got)
+                rows.append(pieces)
+            out = pdf[[id_col]].copy()
+            out["pieces"] = rows
+            out["n_pieces"] = [len(p) for p in rows]
+            yield out
+
+    id_t = dict(df.dtypes)[id_col]
+    encoded = df.select(id_col, text_col).mapInPandas(
+        encode, schema=f"{id_col} {id_t}, pieces array<string>, n_pieces long"
+    )
+    return df.join(encoded.select(id_col, "pieces", "n_pieces"), on=id_col)

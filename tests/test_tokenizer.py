@@ -1,0 +1,103 @@
+"""Subword tokenizer: vocab build laws + greedy encode round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edspdf_spark.functions.tokenizer import (
+    BOUNDARY,
+    UNK,
+    build_subword_vocab,
+    tokenize_subword,
+)
+
+
+def _corpus(spark):
+    rows = [(i, "the shuffle the shuffles reshuffle then") for i in range(10)]
+    rows += [(100, "zzz")]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_vocab_build(spark):
+    vocab = build_subword_vocab(_corpus(spark), size=200, max_piece_len=6)
+    pieces = {r.piece: r.n for r in vocab.collect()}
+    # all single characters of the corpus present (incl. the boundary mark)
+    for ch in set(BOUNDARY + "theshufflesrzn"):
+        assert ch in pieces, ch
+    # frequent multi-char pieces made it
+    assert "shuffl" in pieces or "huffl" in pieces
+    assert f"{BOUNDARY}the" in pieces
+    # counts: '▁the' occurs in 'the'(×2 per doc) and 'then' per doc
+    assert pieces[f"{BOUNDARY}the"] == 30
+
+
+def test_tokenize_roundtrip_and_budget(spark):
+    corpus = _corpus(spark)
+    vocab = build_subword_vocab(corpus, size=120, max_piece_len=6)
+    out = tokenize_subword(corpus, vocab)
+    rows = out.collect()
+    for r in rows:
+        joined = "".join(p for p in r.pieces if p != UNK)
+        expected = "".join(
+            BOUNDARY + w for w in r.text.lower().split()
+        )
+        assert joined == expected  # lossless round-trip (no unseen chars)
+        assert r.n_pieces == len(r.pieces)
+    # greedy law: the frequent whole word '▁the' encodes as ONE piece
+    by_id = {r.doc_id: r.pieces for r in rows}
+    assert f"{BOUNDARY}the" in by_id[0]
+    # determinism
+    again = {r.doc_id: r.pieces for r in tokenize_subword(corpus, vocab).collect()}
+    assert by_id == again
+
+
+def test_tokenize_unseen_chars_unk(spark):
+    corpus = _corpus(spark)
+    vocab = build_subword_vocab(corpus, size=120, max_piece_len=6)
+    fresh = spark.createDataFrame([(1, "thé qqq")], "doc_id int, text string")
+    r = tokenize_subword(fresh, vocab).collect()[0]
+    assert UNK in r.pieces  # é never seen
+    # q was seen? no — corpus has no q → unk; all other chars encode
+    assert r.n_pieces >= 4
+
+
+def test_vocab_matches_duckdb(spark):
+    import duckdb
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta{i % 3} gamma") for i in range(30)],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        (r.piece, r.n)
+        for r in build_subword_vocab(corpus, size=50, max_piece_len=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT 'alpha beta' || (i % 3) || ' gamma' AS text"
+        " FROM range(30) t(i)"
+    )
+    sql = f"""
+WITH words AS (
+  SELECT '{BOUNDARY}' || UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM docs
+),
+pieces AS (
+  SELECT substr(w, i, l) AS piece
+  FROM words,
+       UNNEST(generate_series(1, length(w))) AS t(i),
+       UNNEST(generate_series(1, least(4, length(w) - i + 1))) AS u(l)
+),
+counts AS (SELECT piece, COUNT(*) AS n FROM pieces GROUP BY piece),
+singles AS (SELECT piece, n, 0 AS s FROM counts WHERE length(piece) = 1),
+multis AS (
+  SELECT piece, n, 1 AS s FROM counts WHERE length(piece) > 1
+  ORDER BY n DESC, piece LIMIT 50
+)
+SELECT piece, n FROM (
+  SELECT * FROM singles UNION ALL SELECT * FROM multis
+  ORDER BY s, n DESC, piece LIMIT 50
+)
+"""
+    want = sorted((p, int(n)) for p, n in con.execute(sql).fetchall())
+    assert got == want
