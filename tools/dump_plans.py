@@ -343,6 +343,68 @@ def main() -> None:
             ))(__import__("edspdf_spark.functions.eval", fromlist=["x"])),
         ),
         (
+            "robots_filter (crawl-politeness frontier gate)",
+            "RFC 9309 verdicts over a URL frontier. The rules parse is one "
+            "host-keyed window over exploded robots lines (robots files "
+            "are tiny, so the per-host partition is bytes); the frontier "
+            "joins the chosen agent group on the HOST equi-key (the "
+            "crawl's natural partitioning — a hot host is an ordinary AQE "
+            "skew split), the LIKE match is a per-row JVM expression, and "
+            "the verdict is one url-keyed partial-aggregatable max_by. "
+            "Expected: no exchange keyed finer than host/url, no UDF, no "
+            "crossJoin.",
+            (lambda _r: _r.robots_filter(
+                docs.select(
+                    F.concat(
+                        F.lit("http://h"),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit("/p"),
+                        F.col("doc_id").cast("string"),
+                    ).alias("url")
+                ),
+                spark.createDataFrame(
+                    [(f"h{i}", "User-agent: *\nDisallow: /tmp/\n") for i in range(7)],
+                    "host string, robots_txt string",
+                ),
+            ))(__import__("edspdf_spark.functions.robots", fromlist=["x"])),
+        ),
+        (
+            "fit_logreg_hashed + serve (quality classifier, 1 epoch shown)",
+            "Integer-GD logistic regression. Per epoch: the checkpointed "
+            "(doc, bucket) feature table joins the weight table as a "
+            "BROADCAST (weights ≤ m_buckets rows), one doc-keyed sum "
+            "(margins), one bucket-keyed sum (gradients) — both partial-"
+            "aggregatable. The serve plan below shows the same shape "
+            "without the training loop: broadcast weights, one doc-keyed "
+            "exchange, no collect (the localCheckpoint-ed training "
+            "iterations don't appear in a static plan).",
+            (lambda _c: _c.predict_logreg(
+                docs.select("doc_id", "text"),
+                _c.fit_logreg_hashed(
+                    docs.select("doc_id", "text").withColumn(
+                        "label", (F.length("text") >= 600).cast("int")
+                    ),
+                    m_buckets=512,
+                    epochs=1,
+                ),
+                m_buckets=512,
+            ))(__import__("edspdf_spark.functions.classifier", fromlist=["x"])),
+        ),
+        (
+            "bm25_topk (full-text retrieval)",
+            "Query-time plan over the prebuilt index: the query's terms "
+            "are a tiny broadcast, postings⨝terms prunes to the query's "
+            "posting lists, df/doclen/stats join in (stats is a one-row "
+            "broadcast), one doc-keyed exchange sums the quantized "
+            "contributions, and the top-k is TakeOrderedAndProject — no "
+            "global sort, no corpus scan beyond the index tables.",
+            (lambda _s: _s.bm25_topk(
+                _s.build_text_index(docs.select("doc_id", "text")),
+                "join filter scan",
+                k=20,
+            ))(__import__("edspdf_spark.functions.search", fromlist=["x"])),
+        ),
+        (
             "dsir_select (importance resampling production path)",
             "DSIR fit+score+resample in one plan. The corpus is n-gram-"
             "exploded ONCE into a (doc, bucket)-keyed aggregation; the "
