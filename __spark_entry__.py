@@ -1013,7 +1013,7 @@ def _q_dsir_selection(spark, sf_dir):
     # subword-vocab probe: SentencePiece-lite relational vocab build
     # (functions/tokenizer.py) over a deterministic corpus slice — the
     # full explode→count→singles-first-top-N replayed in SQL
-    from edspdf_spark.functions.tokenizer import build_subword_vocab
+    from edspdf_spark.functions.tokenizer import build_subword_vocab, fit_bpe
 
     vocab_leg = build_subword_vocab(
         docs.where(F.col("doc_id") % 10 == 0), size=300, max_piece_len=6
@@ -1022,6 +1022,25 @@ def _q_dsir_selection(spark, sf_dir):
         F.col("piece").alias("k1"),
         F.col("n").alias("num"),
         F.lit(None).cast("string").alias("txt"),
+    )
+    # BPE merge-rule TRAINING probe: 4 rounds of most-frequent-pair
+    # merging on the distinct-word table; both the learned merge table
+    # and the final word segmentations are value-matched (the oracle
+    # unrolls each round as a left-to-right string replace fold)
+    bpe_merges, bpe_words = fit_bpe(
+        docs.where(F.col("doc_id") % 10 == 0), n_merges=4
+    )
+    bpe_leg = bpe_merges.select(
+        F.lit("bpe").alias("probe"),
+        F.col("rank").cast("string").alias("k1"),
+        F.col("n").alias("num"),
+        F.concat("left", F.lit("+"), "right").alias("txt"),
+    )
+    bpe_seg_leg = bpe_words.select(
+        F.lit("bpe_seg").alias("probe"),
+        F.col("w").alias("k1"),
+        F.size("syms").cast("long").alias("num"),
+        F.md5(F.concat_ws(" ", "syms")).alias("txt"),
     )
     return (
         score_leg.unionAll(sample_leg)
@@ -1034,7 +1053,63 @@ def _q_dsir_selection(spark, sf_dir):
         .unionAll(bm25_leg)
         .unionAll(sent_leg)
         .unionAll(vocab_leg)
+        .unionAll(bpe_leg)
+        .unionAll(bpe_seg_leg)
     )
+
+
+def _bpe_oracle_ctes(rounds: int) -> str:
+    """Unrolled BPE training rounds for the DuckDB oracle — the twin of
+    ``edspdf_spark.functions.tokenizer.fit_bpe``. Each round: weighted
+    adjacent-pair counts, the (n desc, l, r) argmax, and the merge applied
+    via string ``replace`` over a separator-framed encoding of the symbol
+    array (each symbol wrapped in chr(31)): SQL replace scans left-to-right
+    and never rescans its own output, which is EXACTLY the BPE
+    non-overlapping merge rule (``aaaa`` + merge (a,a) → [aa, aa]) — the
+    same semantics as the Spark side's ``F.aggregate`` left-fold, without
+    a recursive CTE (a per-row scalar-subquery recursion re-evaluates the
+    upstream round chain per step and goes combinatorial; replace() is one
+    linear scan per word per round). Assumes chr(31) never occurs in the
+    corpus text (driver-generated synthetic web text; asserted nowhere
+    cheaper than here)."""
+    sep = "chr(31)"
+    parts = [
+        f"""bwords0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+         {sep} || array_to_string(regexp_split_to_array(w, ''), {sep} || {sep}) || {sep} AS s
+  FROM (SELECT '▁' || u.w AS w
+        FROM toks, UNNEST(t) AS u(w) WHERE doc_id % 10 = 0)
+  GROUP BY w
+)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""bsyms{k} AS (
+  SELECT w, cnt, str_split(substr(s, 2, len(s) - 2), {sep} || {sep}) AS syms
+  FROM bwords{k}
+),
+bpairs{k} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM bsyms{k}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+bbest{k} AS (SELECT l, r, n FROM bpairs{k} ORDER BY n DESC, l, r LIMIT 1),
+bwords{k + 1} AS (
+  SELECT w, cnt,
+    CASE WHEN b.l IS NULL THEN s
+         ELSE replace(s, {sep} || b.l || {sep} || {sep} || b.r || {sep},
+                         {sep} || b.l || b.r || {sep}) END AS s
+  FROM bwords{k} LEFT JOIN bbest{k} b ON TRUE
+)"""
+        )
+    parts.append(
+        f"""bsyms{rounds} AS (
+  SELECT w, cnt, str_split(substr(s, 2, len(s) - 2), {sep} || {sep}) AS syms
+  FROM bwords{rounds}
+)"""
+    )
+    return ",\n".join(parts)
 
 
 def _hex15_sql() -> str:
@@ -1124,6 +1199,7 @@ toks AS (
               ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
   FROM d
 ),
+{_bpe_oracle_ctes(rounds=4)},
 ngrams AS (
   SELECT doc_id, ng
   FROM toks, UNNEST(list_concat(t,
@@ -1297,6 +1373,17 @@ SELECT 'vocab', piece, n, NULL FROM (
     UNION ALL SELECT piece, n, 1 FROM vmultis
   ) ORDER BY s, n DESC, piece LIMIT 300
 )
+UNION ALL
+SELECT 'bpe', CAST(rk AS VARCHAR), n, l || '+' || r FROM (
+  SELECT 0 AS rk, l, r, n FROM bbest0
+  UNION ALL SELECT 1, l, r, n FROM bbest1
+  UNION ALL SELECT 2, l, r, n FROM bbest2
+  UNION ALL SELECT 3, l, r, n FROM bbest3
+)
+UNION ALL
+SELECT 'bpe_seg', w, CAST(len(syms) AS BIGINT),
+       md5(array_to_string(syms, ' '))
+FROM bsyms4
 """
 
 

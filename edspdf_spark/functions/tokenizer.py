@@ -90,6 +90,142 @@ def build_subword_vocab(
     )
 
 
+def fit_bpe(
+    corpus: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+):
+    """Byte-pair-encoding merge-rule learning (Sennrich et al. 2016),
+    relationally. The iteration state is the DISTINCT-WORD table
+    ``(w, cnt, syms)`` — Zipf makes it far smaller than the corpus, and
+    it is the same working-set trick fastBPE/HF trainers use. Per merge
+    round, everything is Catalyst expressions:
+
+    * pair counts = explode adjacent symbol pairs weighted by word count
+      → one pair-keyed SUM with map-side partials;
+    * the argmax pair = ``orderBy(n desc, l, r).limit(1)`` — a one-row
+      collect (ties broken lexicographically so training is bit-identical
+      under any partitioning);
+    * the merge applies as a pure ``F.aggregate`` left-fold over each
+      symbol array (left-to-right non-overlapping, the BPE rule — so
+      ``aaaa`` + merge ``(a,a)`` → ``[aa, aa]``), zero UDFs;
+    * ``localCheckpoint`` per round truncates the plan lineage, exactly
+      like the logistic-GD trainer.
+
+    Inherently sequential in the number of MERGES (each argmax depends on
+    the last), like every BPE trainer; each round costs one agg over the
+    bounded word table, not the corpus. Returns ``(merges, words)``:
+    ``merges(rank, left, right, n)`` and the final segmented word table
+    ``words(w, cnt, syms)``.
+    """
+    spark = corpus.sparkSession
+    words = (
+        corpus.select(F.explode(_words(F.col(text_col))).alias("w0"))
+        .groupBy("w0")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.concat(F.lit(BOUNDARY), F.col("w0")).alias("w"), "cnt")
+        .withColumn("syms", F.split("w", ""))
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(int(n_merges)):
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b.l, b.r, int(b.n)))
+        joined = F.lit(b.l + b.r)
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(b.l))
+                    & (x == F.lit(b.r)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(joined)),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint()
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, n bigint"
+    )
+    return merges_df, words
+
+
+def _bpe_word(word: str, merges: list) -> list:
+    syms = list(word)
+    for left, right in merges:
+        out: list = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def tokenize_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve path: apply the learned merges in rank order to each word —
+    the canonical BPE encode. The merge table (bounded by ``n_merges``)
+    collects once and rides the closure; the corpus streams through one
+    Arrow stage with a per-batch word memo (same shape as
+    ``tokenize_subword``). Appends ``pieces`` + ``n_pieces``."""
+    ranked = [
+        (r.left, r.right)
+        for r in merges.select("rank", "left", "right").orderBy("rank").collect()
+    ]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for text in pdf[text_col]:
+                pieces: list = []
+                for w in (text or "").lower().split():
+                    key = BOUNDARY + w
+                    got = memo.get(key)
+                    if got is None:
+                        got = _bpe_word(key, ranked)
+                        memo[key] = got
+                    pieces.extend(got)
+                rows.append(pieces)
+            out = pdf[[id_col]].copy()
+            out["pieces"] = rows
+            out["n_pieces"] = [len(p) for p in rows]
+            yield out
+
+    id_t = dict(df.dtypes)[id_col]
+    encoded = df.select(id_col, text_col).mapInPandas(
+        encode, schema=f"{id_col} {id_t}, pieces array<string>, n_pieces long"
+    )
+    return df.join(encoded.select(id_col, "pieces", "n_pieces"), on=id_col)
+
+
 def _greedy(word: str, vocab: set, max_len: int) -> list:
     out = []
     i, n = 0, len(word)

@@ -101,3 +101,61 @@ SELECT piece, n FROM (
 """
     want = sorted((p, int(n)) for p, n in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_fit_bpe_hand_computed(spark):
+    from edspdf_spark.functions.tokenizer import fit_bpe
+
+    # corpus: "aaaa" x2, "abab" x1 (as one doc each to weight by count)
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa abab")], "doc_id int, text string"
+    )
+    merges, words = fit_bpe(df, n_merges=2)
+    got = [(r.rank, r.left, r.right, r.n) for r in merges.orderBy("rank").collect()]
+    # pairs round 0: (a,a)=3*2=6 beats (▁,a)=3, (a,b)=2, (b,a)=1
+    assert got[0] == (0, "a", "a", 6)
+    # round 1 on [▁,aa,aa]x2 + [▁,a,b,a,b]: (▁,aa)=2, (aa,aa)=2, (▁,a)=1,
+    # (a,b)=2, (b,a)=1 → tie on n=2 broken lexicographically: (a,b)
+    assert got[1] == (1, "a", "b", 2)
+    segs = {r.w: list(r.syms) for r in words.collect()}
+    assert segs["▁aaaa"] == ["▁", "aa", "aa"]
+    assert segs["▁abab"] == ["▁", "ab", "ab"]
+
+
+def test_bpe_serve_reproduces_training_segmentation(spark):
+    from edspdf_spark.functions.tokenizer import fit_bpe, tokenize_bpe
+
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox fox the {i % 3}") for i in range(30)],
+        "doc_id int, text string",
+    )
+    merges, words = fit_bpe(df, n_merges=6)
+    served = tokenize_bpe(df.limit(5), merges)
+    train_seg = {r.w: list(r.syms) for r in words.collect()}
+    for row in served.collect():
+        pieces, i = row.pieces, 0
+        for w in row.text.lower().split():
+            seg = train_seg["▁" + w]
+            assert pieces[i : i + len(seg)] == seg
+            i += len(seg)
+        assert i == len(pieces) == row.n_pieces
+
+
+def test_fit_bpe_partitioning_invariant(spark):
+    from edspdf_spark.functions.tokenizer import fit_bpe
+
+    df = spark.createDataFrame(
+        [(i, f"pack my box with {i % 5} dozen jugs") for i in range(40)],
+        "doc_id int, text string",
+    )
+    m1, _ = fit_bpe(df.repartition(1), n_merges=5)
+    m2, _ = fit_bpe(df.repartition(16), n_merges=5)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+def test_fit_bpe_empty_corpus(spark):
+    from edspdf_spark.functions.tokenizer import fit_bpe
+
+    df = spark.createDataFrame([], "doc_id int, text string")
+    merges, words = fit_bpe(df, n_merges=3)
+    assert merges.count() == 0 and words.count() == 0
