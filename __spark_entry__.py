@@ -212,13 +212,16 @@ def _q_text_signals(spark, sf_dir):
     ).select("doc_id", "dup_line_fraction", "dup_line_char_fraction")
     top2 = top_ngram_stats(docs, 2)
     # CCNet-style bigram-LM perplexity: train on the even-doc_id half,
-    # score everyone; the integer micro-unit sum is the oracle contract
-    from edspdf_spark.functions.lm import train_bigram_lm, with_perplexity
+    # score everyone; the integer micro-unit sum is the oracle contract.
+    # perplexity_buckets adds the Wenzek-2020 head/middle/tail tercile
+    # cut per language (sample_mod=2 exercises the hash-sampled
+    # threshold path — the 10^12-doc production setting).
+    from edspdf_spark.functions.lm import perplexity_buckets, train_bigram_lm
 
     lm = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
-    lm_sig = with_perplexity(docs.select("doc_id", "text"), lm).select(
-        "doc_id", "lm_n_bigrams", "lm_lp_micro"
-    )
+    lm_sig = perplexity_buckets(
+        docs.select("doc_id", "lang", "text"), lm, sample_mod=2
+    ).select("doc_id", "lm_n_bigrams", "lm_lp_micro", "nlp_milli", "ppl_bucket")
     # C4 line rules on a sentence-shaped probe (every ' merge ' becomes a
     # sentence break, so kept-line / sentence counts vary per doc) and
     # Gopher line-shape signals on a bullet/ellipsis-shaped probe (every
@@ -281,6 +284,8 @@ def _q_text_signals(spark, sf_dir):
         "pii_redacted_md5",
         "lm_n_bigrams",
         "lm_lp_micro",
+        "nlp_milli",
+        "ppl_bucket",
         "c4_lines_total",
         "c4_lines_kept",
         "c4_text_md5",
@@ -469,6 +474,41 @@ FROM shs
 
 
 def _text_signals_oracle() -> str:
+    # CCNet head/middle/tail tercile replay: same integer nlp_milli
+    # (BIGINT floor-division of the exact LM sum), same md5-hash
+    # sample (mod 2), same rank-based per-lang thresholds.
+    hexfold = _hex15_sql()
+    ppl_ctes = f"""
+pplb AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN lm.lm_n_bigrams > 0
+              THEN ((-lm.lm_lp_micro) * 1000) // lm.lm_n_bigrams END AS nlp_milli
+  FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+),
+pplsamp AS (
+  SELECT lang, nlp_milli, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY nlp_milli, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM (SELECT lang, nlp_milli, doc_id,
+               substr(md5('pplbkt|' || CAST(doc_id AS VARCHAR)), 1, 15) AS s
+        FROM pplb) p
+  WHERE p.nlp_milli IS NOT NULL AND ({hexfold}) % 2 = 0
+),
+pplthr AS (
+  SELECT lang, MIN(nlp_milli) AS t1, MAX(nlp_milli) AS t2
+  FROM pplsamp
+  WHERE rn = CAST(ceil(n / 3.0) AS BIGINT)
+     OR rn = CAST(ceil(n * 2 / 3.0) AS BIGINT)
+  GROUP BY lang
+),
+pplbkt AS (
+  SELECT b.doc_id, b.nlp_milli,
+         CASE WHEN b.nlp_milli IS NULL OR t.t1 IS NULL THEN 'unscored'
+              WHEN b.nlp_milli <= t.t1 THEN 'head'
+              WHEN b.nlp_milli <= t.t2 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM pplb b LEFT JOIN pplthr t ON t.lang = b.lang
+)"""
     return f"""
 WITH t AS ({_TOKEN_STATS_ORACLE}),
 q AS ({_QUALITY_ORACLE}),
@@ -478,6 +518,7 @@ rep AS ({_REPETITION_ORACLE}),
 tg AS ({_TOP2GRAM_ORACLE}),
 pii AS ({_PII_ORACLE}),
 lm AS ({_LM_ORACLE}),
+{ppl_ctes},
 c4 AS ({_C4_ORACLE}),
 shp AS ({_SHAPE_ORACLE})
 SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
@@ -488,6 +529,7 @@ SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        pii.pii_email_count, pii.pii_ipv4_count, pii.pii_phone_count,
        pii.pii_redacted_md5,
        lm.lm_n_bigrams, lm.lm_lp_micro,
+       pb.nlp_milli, pb.ppl_bucket,
        c4.c4_lines_total, c4.c4_lines_kept, c4.c4_text_md5,
        c4.c4_n_sentences, c4.c4_keep,
        shp.bullet_line_fraction, shp.ellipsis_line_fraction,
@@ -499,6 +541,7 @@ FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN tg ON tg.doc_id = t.doc_id
        JOIN pii ON pii.doc_id = t.doc_id
        JOIN lm ON lm.doc_id = t.doc_id
+       JOIN pplbkt pb ON pb.doc_id = t.doc_id
        JOIN c4 ON c4.doc_id = t.doc_id
        JOIN shp ON shp.doc_id = t.doc_id
 """

@@ -139,6 +139,96 @@ def with_perplexity(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    lm: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    sample_mod: int = 1,
+    seed: str = "pplbkt",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, cut the corpus into perplexity terciles — 'head' is the
+    most-fluent third that real pipelines train on first. Appends
+    ``nlp_milli`` (the integer ppl proxy) and ``ppl_bucket``.
+
+    Determinism + scale contract:
+
+    - the per-doc score is ``nlp_milli = floor(−lp_micro · 1000 /
+      n_bigrams)`` — a BIGINT floor-division of the already-exact integer
+      LM sum, monotone in perplexity, so bucket boundaries are integer
+      comparisons that replay bit-for-bit in the oracle (no float
+      quantiles, no interpolation-semantics mismatch);
+    - thresholds come from a DETERMINISTIC md5-hash sample (``sample_mod``
+      keeps 1/mod of docs — CCNet likewise cuts on a fixed slice, and at
+      10^12 docs an exact corpus-wide order statistic would be a global
+      sort; the sample is bounded so its per-lang row_number window is
+      cheap), rank-based: t1/t2 are the sample values at rows
+      ``ceil(n/3)`` / ``ceil(2n/3)`` in ``(nlp_milli, id)`` order;
+    - the threshold frame is one tiny row per language → broadcast join;
+      assignment is a pure projection. Docs with no scoreable bigram, and
+      languages absent from the sample, get bucket 'unscored' (CCNet drops
+      them; keeping them tagged lets the caller decide).
+    """
+    from edspdf_spark.functions.dsir import _hex15_hash
+
+    scored = with_perplexity(df, lm, text_col=text_col, id_col=id_col)
+    # pure BIGINT floor-division (both operands non-negative: p < 1
+    # strictly under add-one smoothing, so −lp_micro ≥ n_bigrams > 0) —
+    # no double anywhere, so the oracle's `//` agrees bit-for-bit
+    nlp = F.when(
+        F.col("lm_n_bigrams") > 0,
+        F.expr("CAST((-lm_lp_micro) * 1000 DIV lm_n_bigrams AS BIGINT)"),
+    )
+    scored = scored.withColumn("nlp_milli", nlp)
+    sample = scored.where(
+        F.col("nlp_milli").isNotNull()
+        & (
+            _hex15_hash(
+                F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+            )
+            % F.lit(int(sample_mod))
+            == 0
+        )
+    ).select(lang_col, id_col, "nlp_milli")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy("nlp_milli", id_col)
+    ranked = sample.select(
+        lang_col,
+        "nlp_milli",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(lang_col)).alias("n"),
+    )
+    thresholds = (
+        ranked.where(
+            (F.col("rn") == F.ceil(F.col("n") / 3))
+            | (F.col("rn") == F.ceil(F.col("n") * 2 / 3))
+        )
+        .groupBy(lang_col)
+        .agg(
+            F.min("nlp_milli").alias("t1"),
+            F.max("nlp_milli").alias("t2"),
+        )
+    )
+    out = scored.join(F.broadcast(thresholds), on=lang_col, how="left")
+    bucket = (
+        F.when(F.col("nlp_milli").isNull() | F.col("t1").isNull(), "unscored")
+        .when(F.col("nlp_milli") <= F.col("t1"), "head")
+        .when(F.col("nlp_milli") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return out.select(
+        *df.columns,
+        "lm_n_bigrams",
+        "lm_lp_micro",
+        "ppl",
+        "nlp_milli",
+        bucket.alias("ppl_bucket"),
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     lm: dict[str, DataFrame],

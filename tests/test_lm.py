@@ -3,6 +3,8 @@ an independent plain-Python differential, degenerate docs, and the
 CCNet-style gate."""
 
 import math
+
+from pyspark.sql import functions as F
 from collections import Counter
 
 import pytest
@@ -118,5 +120,93 @@ def test_perplexity_partitioning_invariance(spark):
     b = sorted(
         (r["doc_id"], r["lm_lp_micro"])
         for r in with_perplexity(df.repartition(16), lm).collect()
+    )
+    assert a == b
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Per-lang tercile assignment with sample_mod=1 (whole corpus as its
+    own sample): 30 docs per lang with strictly increasing perplexity ->
+    10 head / 10 middle / 10 tail, and the cut is rank-exact."""
+    from edspdf_spark.functions.lm import perplexity_buckets
+
+    rows = []
+    for lang_i, lang in enumerate(("en", "fr")):
+        for i in range(30):
+            did = lang_i * 1000 + i
+            # more rare-word bigrams -> higher perplexity, monotone in i
+            common = " ".join("the cat" for _ in range(30 - i))
+            rare = " ".join(f"z{did}x{j}" for j in range(i + 1))
+            rows.append((did, lang, f"{common} {rare}"))
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    lm = train_bigram_lm(df.where(F.col("doc_id") % 2 == 0))
+    out = perplexity_buckets(df, lm).collect()
+    for lang in ("en", "fr"):
+        per = sorted(
+            (r.nlp_milli, r.doc_id, r.ppl_bucket)
+            for r in out
+            if r.lang == lang
+        )
+        assert [b for _, _, b in per] == (
+            ["head"] * 10 + ["middle"] * 10 + ["tail"] * 10
+        )
+
+
+def test_perplexity_buckets_sampled_thresholds_and_unscored(spark):
+    """sample_mod>1 cuts on a hash slice: thresholds replayed in plain
+    Python agree with the assignment; 0-bigram docs land in 'unscored'."""
+    import math
+
+    from edspdf_spark.functions.dsir import _hex15_hash  # noqa: F401
+    from edspdf_spark.functions.lm import perplexity_buckets
+
+    rows = [
+        (i, "en", " ".join(f"w{(i * 3 + j) % 17}" for j in range(12)))
+        for i in range(80)
+    ]
+    rows.append((900, "en", "solo"))  # 1 token -> 0 bigrams -> unscored
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    lm = train_bigram_lm(df.where(F.col("doc_id") % 2 == 0))
+    out = {r.doc_id: r for r in perplexity_buckets(df, lm, sample_mod=4).collect()}
+    assert out[900].ppl_bucket == "unscored" and out[900].nlp_milli is None
+
+    # replay: which docs are in the hash sample?
+    import hashlib
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sample = sorted(
+        (r.nlp_milli, r.doc_id)
+        for r in out.values()
+        if r.nlp_milli is not None and h15(f"pplbkt|{r.doc_id}") % 4 == 0
+    )
+    n = len(sample)
+    assert n >= 3
+    t1 = sample[math.ceil(n / 3) - 1][0]
+    t2 = sample[math.ceil(2 * n / 3) - 1][0]
+    for r in out.values():
+        if r.nlp_milli is None:
+            continue
+        want = "head" if r.nlp_milli <= t1 else ("middle" if r.nlp_milli <= t2 else "tail")
+        assert r.ppl_bucket == want, (r.doc_id, r.nlp_milli, t1, t2)
+
+
+def test_perplexity_buckets_partitioning_invariance(spark):
+    from edspdf_spark.functions.lm import perplexity_buckets
+
+    rows = [
+        (i, ("en", "fr")[i % 2], " ".join(f"q{(i + j) % 11}" for j in range(15)))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    lm = train_bigram_lm(df)
+    a = sorted(
+        (r.doc_id, r.nlp_milli, r.ppl_bucket)
+        for r in perplexity_buckets(df.repartition(1), lm, sample_mod=2).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.nlp_milli, r.ppl_bucket)
+        for r in perplexity_buckets(df.repartition(16), lm, sample_mod=2).collect()
     )
     assert a == b
