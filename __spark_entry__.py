@@ -222,6 +222,19 @@ def _q_text_signals(spark, sf_dir):
     lm_sig = perplexity_buckets(
         docs.select("doc_id", "lang", "text"), lm, sample_mod=2
     ).select("doc_id", "lm_n_bigrams", "lm_lp_micro", "nlp_milli", "ppl_bucket")
+    # Temperature-mix probe (mC4 §3.1 α-sampling + UniMax epoch cap):
+    # per-language rates from the same token counts the token-stats leg
+    # reports; annotate-only so the frame stays one row per doc.
+    from edspdf_spark.functions.quality import with_temperature_mix
+
+    mix_sig = with_temperature_mix(
+        with_token_stats(docs).select("doc_id", "lang", "n_tokens"),
+        target_tokens=20_000,
+        alpha=0.3,
+        max_epochs=3.0,
+    ).select(
+        "doc_id", "mix_rate_micro", F.col("n_copies").alias("mix_n_copies")
+    )
     # C4 line rules on a sentence-shaped probe (every ' merge ' becomes a
     # sentence break, so kept-line / sentence counts vary per doc) and
     # Gopher line-shape signals on a bullet/ellipsis-shaped probe (every
@@ -256,6 +269,7 @@ def _q_text_signals(spark, sf_dir):
         .join(line_sig, on="doc_id")
         .join(top2, on="doc_id")
         .join(lm_sig, on="doc_id")
+        .join(mix_sig, on="doc_id")
         .join(c4_sig, on="doc_id")
         .join(shape_sig, on="doc_id")
     )
@@ -286,6 +300,8 @@ def _q_text_signals(spark, sf_dir):
         "lm_lp_micro",
         "nlp_milli",
         "ppl_bucket",
+        "mix_rate_micro",
+        "mix_n_copies",
         "c4_lines_total",
         "c4_lines_kept",
         "c4_text_md5",
@@ -509,6 +525,41 @@ pplbkt AS (
               ELSE 'tail' END AS ppl_bucket
   FROM pplb b LEFT JOIN pplthr t ON t.lang = b.lang
 )"""
+    # Temperature-mix replay: pow quantized to micro-units per language,
+    # exact BIGINT normalizer, fixed-shape IEEE rate expression, integer
+    # md5-draw compare — identical to functions/quality.py contract.
+    hex8 = _hexn_sql(8)
+    mix_ctes = f"""
+mixT AS (
+  SELECT d.lang, CAST(SUM(t.n_tokens) AS BIGINT) AS T
+  FROM documents d JOIN t ON t.doc_id = d.doc_id GROUP BY d.lang
+),
+mixpw AS (
+  SELECT lang, T,
+         CAST(floor(pow(CAST(T AS DOUBLE), 0.3) * 1000000.0) AS BIGINT) AS pw
+  FROM mixT
+),
+mixz AS (SELECT CAST(SUM(pw) AS BIGINT) AS Z FROM mixpw),
+mixr AS (
+  SELECT lang,
+         CASE WHEN T > 0 THEN
+           LEAST(CAST(floor(CAST(20000 AS DOUBLE) * CAST(pw AS DOUBLE)
+                 / (CAST(Z AS DOUBLE) * CAST(T AS DOUBLE)) * 1000000.0) AS BIGINT),
+                 CAST(3000000 AS BIGINT))
+         ELSE CAST(0 AS BIGINT) END AS mix_rate_micro
+  FROM mixpw, mixz
+),
+mixd AS (
+  SELECT p.doc_id, r.mix_rate_micro,
+         (r.mix_rate_micro // 1000000)
+         + CASE WHEN ({hex8})
+                     < ((r.mix_rate_micro % 1000000) * 4294967296) // 1000000
+                THEN 1 ELSE 0 END AS mix_n_copies
+  FROM (SELECT doc_id, lang,
+               substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS s
+        FROM documents) p
+  JOIN mixr r ON r.lang = p.lang
+)"""
     return f"""
 WITH t AS ({_TOKEN_STATS_ORACLE}),
 q AS ({_QUALITY_ORACLE}),
@@ -519,6 +570,7 @@ tg AS ({_TOP2GRAM_ORACLE}),
 pii AS ({_PII_ORACLE}),
 lm AS ({_LM_ORACLE}),
 {ppl_ctes},
+{mix_ctes},
 c4 AS ({_C4_ORACLE}),
 shp AS ({_SHAPE_ORACLE})
 SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
@@ -530,6 +582,7 @@ SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        pii.pii_redacted_md5,
        lm.lm_n_bigrams, lm.lm_lp_micro,
        pb.nlp_milli, pb.ppl_bucket,
+       mx.mix_rate_micro, mx.mix_n_copies,
        c4.c4_lines_total, c4.c4_lines_kept, c4.c4_text_md5,
        c4.c4_n_sentences, c4.c4_keep,
        shp.bullet_line_fraction, shp.ellipsis_line_fraction,
@@ -542,6 +595,7 @@ FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN pii ON pii.doc_id = t.doc_id
        JOIN lm ON lm.doc_id = t.doc_id
        JOIN pplbkt pb ON pb.doc_id = t.doc_id
+       JOIN mixd mx ON mx.doc_id = t.doc_id
        JOIN c4 ON c4.doc_id = t.doc_id
        JOIN shp ON shp.doc_id = t.doc_id
 """
@@ -1155,15 +1209,20 @@ bwords{k + 1} AS (
     return ",\n".join(parts)
 
 
-def _hex15_sql() -> str:
-    """Exact hex-value fold of a 15-char lowercase-hex column ``s`` — the
-    oracle twin of ``edspdf_spark.functions.dsir._hex15_hash`` (Spark
-    side: one ``conv(s, 16, 10)``; 60 bits, exact in BIGINT)."""
+def _hexn_sql(n: int) -> str:
+    """Exact hex-value fold of an ``n``-char lowercase-hex column ``s`` —
+    the oracle twin of Spark's ``conv(s, 16, 10)`` (≤15 chars = 60 bits,
+    exact in BIGINT)."""
     h = "CAST(0 AS BIGINT)"
-    for j in range(1, 16):
+    for j in range(1, n + 1):
         a = f"ascii(substr(s, {j}, 1))"
         h = f"(({h}) * 16 + CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
     return h
+
+
+def _hex15_sql() -> str:
+    """Oracle twin of ``edspdf_spark.functions.dsir._hex15_hash``."""
+    return _hexn_sql(15)
 
 
 def _clf_oracle_ctes(epochs: int = 2, lr_num: int = 1, lr_den: int = 2) -> str:

@@ -517,6 +517,118 @@ def sample_corpus(
     return joined.where(u < thresh).drop("_total")
 
 
+def with_temperature_mix(
+    df: DataFrame,
+    target_tokens: int,
+    alpha: float = 0.3,
+    max_epochs: float = 4.0,
+    lang_col: str = "lang",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based language rebalancing (mC4 §3.1, Xue et al. 2021;
+    epoch cap per UniMax, Chung et al. 2023). With per-language token
+    mass ``T_l``, the mixture weight is ``w_l ∝ T_l^alpha`` and each
+    language's sampling rate in epochs is
+
+        rate_l = min(max_epochs, target_tokens · w_l / T_l)
+
+    ``alpha < 1`` upsamples low-resource languages (rate may exceed 1:
+    the language repeats) and downsamples the head. Appends
+    ``mix_rate_micro`` (rate_l in integer micro-epochs) and ``n_copies``
+    (how many times the doc appears in the materialized mix:
+    ``floor(rate)`` full epochs, plus one more iff the doc's
+    deterministic md5 draw falls under the fractional part — so the
+    EXPECTED token mass per language hits the target while the realized
+    doc set is exactly reproducible).
+
+    Determinism contract: the only non-integer step is
+    ``pow(T_l, alpha)``, quantized to micro-units immediately
+    (``floor(·1e6)``) per language; the normalizer Z is then an exact
+    BIGINT sum, the rate is one fixed-shape IEEE double expression
+    floored to micro-epochs, and the per-doc draw is an exact integer
+    compare of the first 8 md5 hex digits against
+    ``frac·2³²/10⁶`` in pure BIGINT arithmetic. Same rows → same
+    ``n_copies`` on every engine, partitioning, and retry.
+
+    Plan: one language-keyed aggregation (a handful of rows, map-side
+    partials) → broadcast join back → pure projection. ZERO corpus
+    shuffle at any corpus size.
+    """
+    totals = df.groupBy(lang_col).agg(
+        F.sum(token_col).cast("long").alias("_T")
+    )
+    pw = F.floor(
+        F.pow(F.col("_T").cast("double"), F.lit(float(alpha))) * F.lit(1e6)
+    ).cast("long")
+    wt = totals.select(lang_col, "_T", pw.alias("_pw_micro"))
+    z = wt.agg(F.sum("_pw_micro").cast("long").alias("_Z"))
+    wt = wt.crossJoin(F.broadcast(z))
+    cap = int(float(max_epochs) * 1_000_000)
+    rate_raw = F.floor(
+        F.lit(float(target_tokens))
+        * F.col("_pw_micro").cast("double")
+        / (F.col("_Z").cast("double") * F.col("_T").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    rate = F.when(F.col("_T") > 0, F.least(rate_raw, F.lit(cap))).otherwise(
+        F.lit(0)
+    )
+    rates = wt.select(lang_col, rate.alias("mix_rate_micro"))
+    out = df.join(F.broadcast(rates), on=lang_col)
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(str(seed) + "|"), F.col(key_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    extra = F.when(
+        u32
+        < F.expr("((mix_rate_micro % 1000000) * 4294967296) DIV 1000000"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    n_copies = (
+        F.expr("mix_rate_micro DIV 1000000").cast("long") + extra
+    ).cast("long")
+    return out.select(*df.columns, "mix_rate_micro", n_copies.alias("n_copies"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    target_tokens: int,
+    alpha: float = 0.3,
+    max_epochs: float = 4.0,
+    lang_col: str = "lang",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize the temperature mix: docs with ``n_copies ≥ 1``,
+    replicated ``n_copies`` times with an ``epoch`` column (1-based) so
+    downstream sharding treats repeats as distinct examples. The
+    replication is a generator projection (``explode(sequence(...))``) —
+    still zero shuffle."""
+    ann = with_temperature_mix(
+        df,
+        target_tokens,
+        alpha=alpha,
+        max_epochs=max_epochs,
+        lang_col=lang_col,
+        token_col=token_col,
+        key_col=key_col,
+        seed=seed,
+    )
+    return ann.where(F.col("n_copies") > 0).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies")))
+    )
+
+
 def domain_quota(
     df: DataFrame,
     max_docs: int,

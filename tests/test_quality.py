@@ -740,3 +740,130 @@ def test_domain_quota_duckdb_differential(spark):
         """
     ).fetchall()
     assert got == [(d, dom, rk) for d, dom, rk in want]
+
+
+# --- temperature-based language mixing ------------------------------------
+
+
+def _mix_replica(rows, target, alpha, max_epochs, seed=0):
+    """Plain-Python replica of with_temperature_mix's integer contract."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    T = defaultdict(int)
+    for _did, lang, toks in rows:
+        T[lang] += toks
+    pw = {l: math.floor(math.pow(float(t), alpha) * 1e6) for l, t in T.items()}
+    z = sum(pw.values())
+    cap = int(max_epochs * 1_000_000)
+    rate = {}
+    for l, t in T.items():
+        if t <= 0:
+            rate[l] = 0
+        else:
+            raw = math.floor(
+                float(target) * float(pw[l]) / (float(z) * float(t)) * 1e6
+            )
+            rate[l] = min(raw, cap)
+    out = {}
+    for did, lang, _toks in rows:
+        r = rate[lang]
+        u32 = int(
+            hashlib.md5(f"{seed}|{did}".encode()).hexdigest()[:8], 16
+        )
+        extra = 1 if u32 < (r % 1_000_000) * 4294967296 // 1_000_000 else 0
+        out[did] = (r, r // 1_000_000 + extra)
+    return out
+
+
+def test_temperature_mix_rates_and_copies(spark):
+    """alpha=0.3 over a skewed 2-lang corpus: the small language's rate
+    exceeds the big one's; every n_copies matches the integer replica."""
+    from edspdf_spark.functions.quality import with_temperature_mix
+
+    rows = [(i, "en" if i < 80 else "yo", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+    got = {
+        r.doc_id: (r.mix_rate_micro, r.n_copies)
+        for r in with_temperature_mix(df, 5000, alpha=0.3, max_epochs=4.0).collect()
+    }
+    want = _mix_replica(rows, 5000, 0.3, 4.0)
+    assert got == want
+    # temperature flattening: rate(yo) > rate(en)
+    assert got[99][0] > got[0][0]
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark):
+    """alpha=1 → w_l ∝ T_l, so every language gets the SAME rate
+    (proportional sampling, no rebalance) up to the 1-microunit floor."""
+    from edspdf_spark.functions.quality import with_temperature_mix
+
+    rows = [(i, "en" if i < 90 else "fr", 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+    rates = {
+        r.lang: r.mix_rate_micro
+        for r in with_temperature_mix(df, 2500, alpha=1.0).collect()
+    }
+    assert abs(rates["en"] - rates["fr"]) <= 1
+
+
+def test_temperature_mix_epoch_cap_and_materialize(spark):
+    """A tiny language under alpha=0.2 wants many epochs; max_epochs caps
+    it, and temperature_mix materializes exactly n_copies rows each with
+    epoch 1..n_copies."""
+    from edspdf_spark.functions.quality import (
+        temperature_mix,
+        with_temperature_mix,
+    )
+
+    rows = [(i, "en" if i < 95 else "ga", 200) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+    ann = with_temperature_mix(df, 100_000, alpha=0.2, max_epochs=2.5)
+    got = {r.doc_id: (r.mix_rate_micro, r.n_copies) for r in ann.collect()}
+    assert got == _mix_replica(rows, 100_000, 0.2, 2.5)
+    assert max(r for r, _ in got.values()) == 2_500_000  # cap bound
+    mat = temperature_mix(df, 100_000, alpha=0.2, max_epochs=2.5).collect()
+    by_doc = {}
+    for r in mat:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for did, (rate, n) in got.items():
+        if n == 0:
+            assert did not in by_doc
+        else:
+            assert sorted(by_doc[did]) == list(range(1, n + 1))
+
+
+def test_temperature_mix_partitioning_invariance(spark):
+    from edspdf_spark.functions.quality import with_temperature_mix
+
+    rows = [
+        (i, ("en", "fr", "zh")[i % 3], 10 + (i * 7) % 90) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+    a = sorted(
+        (r.doc_id, r.mix_rate_micro, r.n_copies)
+        for r in with_temperature_mix(df.repartition(1), 3000).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.mix_rate_micro, r.n_copies)
+        for r in with_temperature_mix(df.repartition(16), 3000).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mix_zero_token_language(spark):
+    """A language whose every doc is empty gets rate 0 and never appears
+    in the materialized mix (no NaN/Inf leak from the rate formula)."""
+    from edspdf_spark.functions.quality import (
+        temperature_mix,
+        with_temperature_mix,
+    )
+
+    rows = [(1, "en", 100), (2, "en", 50), (3, "xx", 0), (4, "xx", 0)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_tokens int")
+    got = {r.doc_id: r.mix_rate_micro for r in with_temperature_mix(df, 100).collect()}
+    assert got[3] == 0 and got[4] == 0
+    assert all(
+        r.lang != "xx" for r in temperature_mix(df, 100).collect()
+    )
