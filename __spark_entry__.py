@@ -1662,18 +1662,29 @@ JOIN sizes sb ON sb.doc_id = id_b
 
 
 def _q_dedup_components(spark, sf_dir):
-    """Connected components over the LSH candidate-pair graph (canonical
-    document per near-dup cluster)."""
+    """Connected components over the LSH candidate-pair graph, then
+    quality-priority canonical selection: every clustered doc carries its
+    component label plus WHICH member the cluster keeps (longest text,
+    ties to the larger id — the struct-max argmax of
+    ``select_canonical``) and the cluster size."""
     from edspdf_spark.functions.dedup import (
         dedup_components,
         lsh_candidate_pairs,
         minhash_signatures,
+        select_canonical,
     )
 
     docs = _docs(spark, sf_dir).filter(F.length("text") >= 5)
     sig = minhash_signatures(docs, k=5, n_hashes=8)
     pairs = lsh_candidate_pairs(sig, rows_per_band=2, n_hashes=8)
-    return dedup_components(pairs)
+    labels = dedup_components(pairs)
+    qual = docs.select(
+        "doc_id", F.length("text").cast("long").alias("doc_len")
+    )
+    canon = select_canonical(qual, labels, priority=["doc_len"])
+    return labels.join(canon, on="component_id").select(
+        "doc_id", "component_id", "keep_id", "keep_doc_len", "n_members"
+    )
 
 
 def _dedup_components_oracle() -> str:
@@ -1689,8 +1700,31 @@ reach(node, r) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+),
+qual AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len
+  FROM documents WHERE length(text) >= 5
+),
+lab2 AS (
+  SELECT q.doc_id, COALESCE(l.component_id, q.doc_id) AS component_id,
+         q.doc_len
+  FROM qual q LEFT JOIN labels l ON l.doc_id = q.doc_id
+),
+canon AS (
+  SELECT component_id, doc_id AS keep_id, doc_len AS keep_doc_len, n_members
+  FROM (
+    SELECT component_id, doc_id, doc_len,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY doc_len DESC, doc_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY component_id) AS n_members
+    FROM lab2
+  ) WHERE rn = 1
 )
-SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+SELECT l.doc_id, l.component_id, c.keep_id, c.keep_doc_len, c.n_members
+FROM labels l JOIN canon c ON c.component_id = l.component_id
 """
 
 

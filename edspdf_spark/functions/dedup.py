@@ -508,6 +508,50 @@ def dedup_components(
     return out
 
 
+def select_canonical(
+    df: DataFrame,
+    components: DataFrame,
+    priority: "list[str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the document each near-dup cluster KEEPS — by quality, not by
+    accident of id. Production dedup (Dolma, FineWeb style) retains the
+    best-scoring member of every component; ``dedup_components``'s
+    min-id convention is only a label.
+
+    ``components`` is the (doc_id, component_id) frame from
+    ``dedup_components``; docs absent from it (never in any candidate
+    pair) are their own singleton component. ``priority`` names numeric
+    columns of ``df``, compared lexicographically, HIGHER = better; ties
+    break toward the larger ``id_col`` so the whole argmax is one
+    ascending struct ``max``.
+
+    Returns one row per component: ``component_id``, ``keep_id``,
+    ``keep_<priority...>``, ``n_members``.
+
+    Scale: the struct-max aggregates with map-side partial combine — one
+    component-keyed exchange of pre-reduced partials, NO per-component
+    window sort, so a pathological mega-component costs the same as any
+    other key. The label join is doc_id-keyed (both sides already hash
+    that key coming out of dedup_components).
+    """
+    labeled = df.join(components, on=id_col, how="left").withColumn(
+        "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    best = F.struct(
+        *[F.col(c).alias(c) for c in priority], F.col(id_col).alias("_id")
+    )
+    agg = labeled.groupBy("component_id").agg(
+        F.max(best).alias("_best"), F.count(F.lit(1)).alias("n_members")
+    )
+    return agg.select(
+        "component_id",
+        F.col("_best._id").alias("keep_id"),
+        *[F.col(f"_best.{c}").alias(f"keep_{c}") for c in priority],
+        "n_members",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

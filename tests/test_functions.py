@@ -226,6 +226,56 @@ def test_dedup_components(spark):
                    20: 20, 21: 20, 30: 30}
 
 
+def test_select_canonical_quality_priority(spark):
+    """Cluster keeps its best member by (priority..., id) struct max:
+    quality argmax, larger-id tiebreak, singleton components for docs
+    never seen in a pair, multi-column lexicographic priority."""
+    from edspdf_spark.functions.dedup import dedup_components, select_canonical
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    labels = dedup_components(pairs)
+    docs = spark.createDataFrame(
+        [
+            (1, 5, 9), (2, 8, 1), (3, 8, 0),   # comp 1: q=8 tie -> id 2 by second col
+            (10, 4, 0), (11, 4, 0),            # comp 10: full tie -> larger id 11
+            (42, 7, 7),                        # singleton, never in pairs
+        ],
+        "doc_id int, q int, q2 int",
+    )
+    got = {
+        r.component_id: (r.keep_id, r.keep_q, r.keep_q2, r.n_members)
+        for r in select_canonical(docs, labels, priority=["q", "q2"]).collect()
+    }
+    assert got == {
+        1: (2, 8, 1, 3),
+        10: (11, 4, 0, 2),
+        42: (42, 7, 7, 1),
+    }
+
+
+def test_select_canonical_partitioning_invariance(spark):
+    from edspdf_spark.functions.dedup import dedup_components, select_canonical
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 60, 2)], "id_a int, id_b int"
+    )
+    labels = dedup_components(pairs)
+    docs = spark.createDataFrame(
+        [(i, (i * 13) % 7) for i in range(70)], "doc_id int, q int"
+    )
+    a = sorted(
+        tuple(r)
+        for r in select_canonical(docs.repartition(1), labels, ["q"]).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in select_canonical(docs.repartition(16), labels, ["q"]).collect()
+    )
+    assert a == b
+
+
 def test_dedup_components_log_rounds_on_long_chain(spark):
     """A 4096-node PATH graph (diameter 4095) must converge within
     O(log n) alternating star rounds — strict mode raises if not, so this
