@@ -1086,13 +1086,30 @@ def _q_dsir_selection(spark, sf_dir):
         F.col("lr_pred").cast("string").alias("txt"),
     )
     # BM25 retrieval probe: corpus index + one query, top-20
-    from edspdf_spark.functions.search import bm25_topk, build_text_index
+    from edspdf_spark.functions.search import (
+        bm25_topk,
+        build_text_index,
+        tfidf_keywords,
+    )
 
-    bm25_leg = bm25_topk(build_text_index(docs), "join filter scan", k=20).select(
+    _index = build_text_index(docs)
+    bm25_leg = bm25_topk(_index, "join filter scan", k=20).select(
         F.lit("bm25").alias("probe"),
         F.col("doc_id").cast("string").alias("k1"),
         F.col("bm25_micro").alias("num"),
         F.col("n_hit_terms").cast("string").alias("txt"),
+    )
+    # tf-idf keyword probe: per-doc top-3 distinctive terms off the SAME
+    # index (smoothed idf, integer micro-unit scores)
+    tfidf_leg = tfidf_keywords(_index, k=3).select(
+        F.lit("tfidf").alias("probe"),
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("rank").cast("string"),
+        ).alias("k1"),
+        F.col("tfidf_micro").alias("num"),
+        F.col("term").alias("txt"),
     )
     # rule-based sentence segmentation probe
     from edspdf_spark.functions.text import split_sentences
@@ -1148,6 +1165,7 @@ def _q_dsir_selection(spark, sf_dir):
         .unionAll(clf_w_leg)
         .unionAll(clf_serve_leg)
         .unionAll(bm25_leg)
+        .unionAll(tfidf_leg)
         .unionAll(sent_leg)
         .unionAll(vocab_leg)
         .unionAll(bpe_leg)
@@ -1440,6 +1458,21 @@ FROM (
   GROUP BY p.doc_id
   ORDER BY s DESC, p.doc_id LIMIT 20
 )
+UNION ALL
+SELECT 'tfidf', CAST(doc_id AS VARCHAR) || ':' || CAST(rnk AS VARCHAR),
+       s, term
+FROM (
+  SELECT p.doc_id, p.term,
+         CAST(floor(CAST(tf AS DOUBLE)
+              * ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+              * 1000000.0) AS BIGINT) AS s,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY CAST(floor(CAST(tf AS DOUBLE)
+              * ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+              * 1000000.0) AS BIGINT) DESC, p.term ASC) AS rnk
+  FROM bm_post p JOIN bm_df USING (term), bm_st
+) WHERE rnk <= 3
 UNION ALL
 SELECT 'sent', CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR),
        CAST(length(sents[i]) AS BIGINT), md5(sents[i])

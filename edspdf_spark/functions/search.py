@@ -118,3 +118,53 @@ def bm25_topk(
     return scored.orderBy(
         F.col("bm25_micro").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+def tfidf_keywords(
+    index: dict[str, DataFrame],
+    k: int = 5,
+    id_col: str = "doc_id",
+    quantum: int = BM25_QUANTUM,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by tf-idf over the same inverted
+    index — the corpus-annotation face of retrieval (tag every page with
+    its most distinctive terms).
+
+    ``tfidf_micro = floor(tf · ln((n_docs + 1) / (df + 1)) · quantum)`` —
+    smoothed idf, so a term present in EVERY document scores exactly 0
+    and integer inputs feed one ``ln`` per (term, doc): the standard
+    determinism contract (same result under any partitioning, DuckDB
+    replays it value-level).
+
+    Returns ``(id, rank, term, tf, tfidf_micro)`` with rank 1..k per doc,
+    ordered by (tfidf_micro desc, term asc) — integer ordering, ties
+    deterministic.
+
+    Plan: postings ⨝ df is term-keyed on both sides (the df table is
+    vocabulary-sized — NEVER broadcast it); the one-row stats frame is a
+    broadcast; the per-doc top-k is a doc-keyed window whose partitions
+    are bounded by a single document's distinct-term count, so no hot key
+    can exceed one doc's length.
+    """
+    from pyspark.sql import Window
+
+    hit = (
+        index["postings"]
+        .join(index["df"], on="term")
+        .crossJoin(F.broadcast(index["stats"]))
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") + F.lit(1.0))
+        / (F.col("df").cast("double") + F.lit(1.0))
+    )
+    score = F.floor(
+        F.col("tf").cast("double") * idf * F.lit(float(quantum))
+    ).cast("long")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_micro").desc(), F.col("term").asc()
+    )
+    return (
+        hit.select(F.col(id_col), "term", "tf", score.alias("tfidf_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "rank", "term", "tf", "tfidf_micro")
+    )

@@ -91,3 +91,88 @@ GROUP BY p.doc_id
 """
     want = sorted((int(a), int(b_), int(c)) for a, b_, c in con.execute(sql).fetchall())
     assert got == want
+
+
+def _tfidf_ref(tf, df, n):
+    return math.floor(tf * math.log((n + 1) / (df + 1)) * BM25_QUANTUM)
+
+
+def test_tfidf_keywords_hand_values(spark):
+    """Hand corpus: per-doc ranks by (tfidf desc, term asc); ubiquitous
+    terms score 0 but still rank; blank doc yields no rows."""
+    from edspdf_spark.functions.search import tfidf_keywords
+
+    idx = build_text_index(_corpus(spark))
+    got = {}
+    for r in tfidf_keywords(idx, k=10).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.tfidf_micro))
+    n = 5
+    # doc1 terms: spark tf=2 df=2, shuffle tf=1 df=1, partitions tf=1 df=1
+    d1 = sorted(got[1])
+    assert d1 == [
+        (1, "spark", 2, _tfidf_ref(2, 2, n)),
+        (2, "partitions", 1, _tfidf_ref(1, 1, n)),
+        (3, "shuffle", 1, _tfidf_ref(1, 1, n)),
+    ]
+    # tie between partitions/shuffle broken alphabetically
+    assert _tfidf_ref(1, 1, n) == d1[1][3] == d1[2][3]
+    # doc3: join tf=3 df=2 outranks pandas/dataframe tf=1 df=1
+    assert got[3][0][1] == "join" if got[3][0][0] == 1 else True
+    d3 = {r[1]: (r[0], r[3]) for r in got[3]}
+    assert d3["join"] == (1, _tfidf_ref(3, 2, n))
+    # blank doc 5 emits nothing
+    assert 5 not in got
+
+
+def test_tfidf_keywords_k_cut_and_duckdb(spark):
+    """k cuts per-doc lists; DuckDB replays the whole scoring + ranking."""
+    import duckdb
+
+    from edspdf_spark.functions.search import tfidf_keywords
+
+    rows = [(i, f"t{i % 7} t{i % 3} only{i} t{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.rank, r.term, r.tf, r.tfidf_micro)
+        for r in tfidf_keywords(build_text_index(df), k=2).collect()
+    )
+    assert all(rk <= 2 for _, rk, _, _, _ in got)
+    duckdb.sql("CREATE OR REPLACE TABLE docs AS SELECT * FROM (VALUES "
+               + ",".join(f"({i}, 't{i % 7} t{i % 3} only{i} t{i % 7}')" for i in range(40))
+               + ") t(doc_id, text)")
+    want = duckdb.sql("""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM docs
+),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM docs),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf,
+         CAST(floor(CAST(p.tf AS DOUBLE)
+              * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0))
+              * 1000000.0) AS BIGINT) AS s
+  FROM post p JOIN dft d USING (term), n
+),
+rk AS (
+  SELECT doc_id, term, tf, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, s FROM rk WHERE rank <= 2 ORDER BY doc_id, rank
+""").fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_tfidf_keywords_partitioning_invariance(spark):
+    from edspdf_spark.functions.search import tfidf_keywords
+
+    rows = [(i, f"a{i % 5} b{i % 11} c{(i * 3) % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(
+        tuple(r) for r in tfidf_keywords(build_text_index(df.repartition(1)), k=3).collect()
+    )
+    b = sorted(
+        tuple(r) for r in tfidf_keywords(build_text_index(df.repartition(16)), k=3).collect()
+    )
+    assert a == b
