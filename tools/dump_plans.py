@@ -426,6 +426,54 @@ def main() -> None:
                 seed=7,
             ))(__import__("edspdf_spark.functions.dsir", fromlist=["x"])),
         ),
+        (
+            "temperature_mix (language rebalancing)",
+            "mC4 α-sampling: per-language token totals are ONE lang-keyed "
+            "partial-aggregatable sum (a handful of result rows); rates "
+            "broadcast back onto the corpus; the draw + epoch replication "
+            "is a pure projection + generator. Expected: the only "
+            "corpus-keyed work is the scan itself — no corpus shuffle, no "
+            "window, no UDF.",
+            (lambda _q, _t: _q.temperature_mix(
+                _t.with_token_stats(
+                    spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                ).select("doc_id", "lang", "n_tokens"),
+                target_tokens=30_000,
+                alpha=0.3,
+            ))(
+                __import__("edspdf_spark.functions.quality", fromlist=["x"]),
+                __import__("edspdf_spark.functions.text", fromlist=["x"]),
+            ),
+        ),
+        (
+            "select_canonical (cluster representative)",
+            "Quality-priority keep-doc per near-dup component: label join "
+            "on doc_id, then ONE component-keyed struct-max aggregation "
+            "with map-side partial combine — no per-component window sort, "
+            "so a pathological mega-component reduces like any other key. "
+            "Expected exchanges: the doc_id-keyed label join and the "
+            "component-keyed agg, nothing finer.",
+            (lambda _d: _d.select_canonical(
+                docs.select("doc_id", F.length("text").cast("long").alias("doc_len")),
+                docs.select(
+                    "doc_id", (F.col("doc_id") % 50).alias("component_id")
+                ),
+                priority=["doc_len"],
+            ))(__import__("edspdf_spark.functions.dedup", fromlist=["x"])),
+        ),
+        (
+            "tfidf_keywords (corpus annotation)",
+            "Per-doc top-k distinctive terms off the inverted index. "
+            "postings⨝df joins on the TERM key both sides (the df table "
+            "is vocabulary-sized — it must NOT broadcast); stats is a "
+            "one-row broadcast; the per-doc top-k window partitions by "
+            "doc_id, bounded by one document's distinct-term count. "
+            "Expected: term-keyed join exchanges + one doc-keyed window "
+            "exchange, no corpus crossJoin, no UDF.",
+            (lambda _s: _s.tfidf_keywords(
+                _s.build_text_index(docs.select("doc_id", "text")), k=3
+            ))(__import__("edspdf_spark.functions.search", fromlist=["x"])),
+        ),
     ]
 
     sections = []
