@@ -965,13 +965,38 @@ def _q_training_prep(spark, sf_dir):
         "n_tokens",
         "n_dups",
     )
-    # final stage: deterministic stratified sampling to a token budget per
-    # language (hash-threshold — same ids on every engine/retry)
-    from edspdf_spark.functions.quality import sample_corpus
+    # final stages: deterministic stratified sampling to a token budget
+    # per language (hash-threshold — same ids on every engine/retry),
+    # then mC4 temperature rebalancing of what survived (α=0.3, ≤2
+    # epochs) and leakage-safe split assignment — the complete
+    # gate → decontaminate → dedup → sample → mix → split recipe through
+    # the real operators.
+    from edspdf_spark.functions.quality import (
+        sample_corpus,
+        split_assign,
+        with_temperature_mix,
+    )
 
-    return sample_corpus(
+    sampled = sample_corpus(
         stats, target_tokens=8000, stratify_col="lang_guess", seed=1
     ).select("doc_id", "lang_guess", "doc_len", "n_tokens", "n_dups")
+    mixed = with_temperature_mix(
+        sampled,
+        target_tokens=4000,
+        alpha=0.3,
+        max_epochs=2.0,
+        lang_col="lang_guess",
+    )
+    return split_assign(mixed, by_col="doc_id", seed=5).select(
+        "doc_id",
+        "lang_guess",
+        "doc_len",
+        "n_tokens",
+        "n_dups",
+        "mix_rate_micro",
+        "n_copies",
+        "split",
+    )
 
 
 _MOJIBAKE_SUFFIX = " CafÃ© â€” itâ€™s Ã\xa0 la carte"
@@ -1585,14 +1610,52 @@ grp AS (
 tot AS (
   SELECT lang_guess, CAST(SUM(n_tokens) AS DOUBLE) AS total
   FROM stats GROUP BY lang_guess
+),
+samp AS (
+  SELECT s.doc_id, s.lang_guess, s.doc_len, s.n_tokens, s.n_dups
+  FROM stats s JOIN tot t USING (lang_guess)
+  WHERE substr(md5('1|' || CAST(s.doc_id AS VARCHAR)), 1, 8) <
+    CASE WHEN 8000 / t.total >= 1 THEN 'g'
+         ELSE lpad(lower(hex(CAST(floor(8000 / t.total * 4294967296.0) AS BIGINT))), 8, '0')
+    END
+),
+mixT AS (
+  SELECT lang_guess, CAST(SUM(n_tokens) AS BIGINT) AS T FROM samp GROUP BY lang_guess
+),
+mixpw AS (
+  SELECT lang_guess, T,
+         CAST(floor(pow(CAST(T AS DOUBLE), 0.3) * 1000000.0) AS BIGINT) AS pw
+  FROM mixT
+),
+mixz AS (SELECT CAST(SUM(pw) AS BIGINT) AS Z FROM mixpw),
+mixr AS (
+  SELECT lang_guess,
+         CASE WHEN T > 0 THEN
+           LEAST(CAST(floor(CAST(4000 AS DOUBLE) * CAST(pw AS DOUBLE)
+                 / (CAST(Z AS DOUBLE) * CAST(T AS DOUBLE)) * 1000000.0) AS BIGINT),
+                 CAST(2000000 AS BIGINT))
+         ELSE CAST(0 AS BIGINT) END AS mix_rate_micro
+  FROM mixpw, mixz
 )
-SELECT s.doc_id, s.lang_guess, s.doc_len, s.n_tokens, s.n_dups
-FROM stats s JOIN tot t USING (lang_guess)
-WHERE substr(md5('1|' || CAST(s.doc_id AS VARCHAR)), 1, 8) <
-  CASE WHEN 8000 / t.total >= 1 THEN 'g'
-       ELSE lpad(lower(hex(CAST(floor(8000 / t.total * 4294967296.0) AS BIGINT))), 8, '0')
-  END
+SELECT s.doc_id, s.lang_guess, s.doc_len, s.n_tokens, s.n_dups,
+       r.mix_rate_micro,
+       (r.mix_rate_micro // 1000000)
+       + CASE WHEN (SELECT HEX8FOLD FROM (SELECT substr(md5('0|' || CAST(s.doc_id AS VARCHAR)), 1, 8) AS s2) _h8)
+                   < ((r.mix_rate_micro % 1000000) * 4294967296) // 1000000
+              THEN 1 ELSE 0 END AS n_copies,
+       CASE WHEN (SELECT HEX15FOLD FROM (SELECT substr(md5('5|' || CAST(s.doc_id AS VARCHAR)), 1, 15) AS s2) _h15) % 1000000 < 900000 THEN 'train'
+            WHEN (SELECT HEX15FOLD FROM (SELECT substr(md5('5|' || CAST(s.doc_id AS VARCHAR)), 1, 15) AS s2) _h15) % 1000000 < 950000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM samp s JOIN mixr r USING (lang_guess)
 """
+
+
+def _training_prep_oracle() -> str:
+    """The raw template with the hex-digit value folds spliced in (the
+    fold expressions reference column ``s2`` of their scalar subquery)."""
+    return _TRAINING_PREP_ORACLE.replace(
+        "HEX8FOLD", _hexn_sql(8).replace("(s, ", "(s2, ")
+    ).replace("HEX15FOLD", _hexn_sql(15).replace("(s, ", "(s2, "))
 
 
 def _minhash_poly_sql(k: int = 5) -> str:
@@ -3640,7 +3703,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_components": _dedup_components_oracle(),
-        "training_prep": _TRAINING_PREP_ORACLE,
+        "training_prep": _training_prep_oracle(),
         "dsir_selection": _dsir_selection_oracle(),
         "multimodal_meta_frames": _MULTIMODAL_ORACLE,
         "ann_cosine_topk": _ann_cosine_oracle(),

@@ -342,6 +342,18 @@ def test_training_prep_composite(spark):
     assert all(r.doc_len >= 150 and r.lang_guess != "und" for r in rows)
     # token count is the whitespace tokenization of a non-empty text
     assert all(r.n_tokens > 0 for r in rows)
+    # mix stage: rates are per-lang constants within [0, cap], copies are
+    # floor(rate)+{0,1}, splits partition the output
+    assert all(0 <= r.mix_rate_micro <= 2_000_000 for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang_guess, set()).add(r.mix_rate_micro)
+        assert r.n_copies in (
+            r.mix_rate_micro // 1_000_000,
+            r.mix_rate_micro // 1_000_000 + 1,
+        )
+        assert r.split in ("train", "valid", "test")
+    assert all(len(v) == 1 for v in by_lang.values())
 
 
 def test_lsh_neardup_vectorized_matches_expression_path(spark):
