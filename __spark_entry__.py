@@ -222,6 +222,15 @@ def _q_text_signals(spark, sf_dir):
     lm_sig = perplexity_buckets(
         docs.select("doc_id", "lang", "text"), lm, sample_mod=2
     ).select("doc_id", "lm_n_bigrams", "lm_lp_micro", "nlp_milli", "ppl_bucket")
+    # C4 badword blocklist probe — 'labore'/'tempor' are live corpus
+    # tokens, so counts/fractions/hits vary per doc with no injection
+    from edspdf_spark.functions.quality import with_blocklist_signals
+
+    bl_sig = with_blocklist_signals(
+        docs.select("doc_id", "text"), ["labore", "tempor"]
+    ).select(
+        "doc_id", "blocklist_count", "blocklist_fraction", "blocklist_hit"
+    )
     # Temperature-mix probe (mC4 §3.1 α-sampling + UniMax epoch cap):
     # per-language rates from the same token counts the token-stats leg
     # reports; annotate-only so the frame stays one row per doc.
@@ -270,6 +279,7 @@ def _q_text_signals(spark, sf_dir):
         .join(top2, on="doc_id")
         .join(lm_sig, on="doc_id")
         .join(mix_sig, on="doc_id")
+        .join(bl_sig, on="doc_id")
         .join(c4_sig, on="doc_id")
         .join(shape_sig, on="doc_id")
     )
@@ -302,6 +312,9 @@ def _q_text_signals(spark, sf_dir):
         "ppl_bucket",
         "mix_rate_micro",
         "mix_n_copies",
+        "blocklist_count",
+        "blocklist_fraction",
+        "blocklist_hit",
         "c4_lines_total",
         "c4_lines_kept",
         "c4_text_md5",
@@ -559,6 +572,19 @@ mixd AS (
                substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS s
         FROM documents) p
   JOIN mixr r ON r.lang = p.lang
+),
+bl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(tl, w -> w IN ('labore','tempor'))) AS BIGINT)
+           AS blocklist_count,
+         CAST(len(list_filter(tl, w -> w IN ('labore','tempor'))) AS DOUBLE)
+           / GREATEST(CAST(len(tl) AS DOUBLE), 1.0) AS blocklist_fraction,
+         len(list_filter(tl, w -> w IN ('labore','tempor'))) > 0
+           AS blocklist_hit
+  FROM (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tl
+        FROM documents)
 )"""
     return f"""
 WITH t AS ({_TOKEN_STATS_ORACLE}),
@@ -583,6 +609,7 @@ SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        lm.lm_n_bigrams, lm.lm_lp_micro,
        pb.nlp_milli, pb.ppl_bucket,
        mx.mix_rate_micro, mx.mix_n_copies,
+       bl.blocklist_count, bl.blocklist_fraction, bl.blocklist_hit,
        c4.c4_lines_total, c4.c4_lines_kept, c4.c4_text_md5,
        c4.c4_n_sentences, c4.c4_keep,
        shp.bullet_line_fraction, shp.ellipsis_line_fraction,
@@ -596,6 +623,7 @@ FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN lm ON lm.doc_id = t.doc_id
        JOIN pplbkt pb ON pb.doc_id = t.doc_id
        JOIN mixd mx ON mx.doc_id = t.doc_id
+       JOIN bl ON bl.doc_id = t.doc_id
        JOIN c4 ON c4.doc_id = t.doc_id
        JOIN shp ON shp.doc_id = t.doc_id
 """

@@ -517,6 +517,71 @@ def sample_corpus(
     return joined.where(u < thresh).drop("_total")
 
 
+def with_blocklist_signals(
+    df: DataFrame,
+    words: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 §2.2's badword page gate (Raffel et al. 2020 remove any page
+    containing a word from a public blocklist): appends
+    ``blocklist_count`` (lowercased whitespace tokens that appear in
+    ``words``), ``blocklist_fraction`` and ``blocklist_hit``.
+
+    Plan: the blocklist is a few hundred literals — it ships INSIDE the
+    plan as a foldable array and the scan-stage higher-order filter does
+    the matching. Zero joins, zero shuffle, whole-stage codegen; the
+    oracle replays it as a ``list_filter … IN`` expression.
+    """
+    wl = sorted({w.lower() for w in words})
+    arr = F.array(*[F.lit(w) for w in wl])
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    base = df.withColumn("_bl_toks", toks)
+    cnt = F.size(
+        F.filter(F.col("_bl_toks"), lambda t: F.array_contains(arr, t))
+    ).cast("long")
+    out = base.withColumn("blocklist_count", cnt)
+    frac = F.col("blocklist_count").cast("double") / F.greatest(
+        F.size(F.col("_bl_toks")).cast("double"), F.lit(1.0)
+    )
+    return (
+        out.withColumn("blocklist_fraction", frac)
+        .withColumn("blocklist_hit", F.col("blocklist_count") > 0)
+        .drop("_bl_toks")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    words: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every page containing ANY blocklisted word (the C4 rule)."""
+    return with_blocklist_signals(df, words, text_col=text_col).where(
+        ~F.col("blocklist_hit")
+    ).drop("blocklist_count", "blocklist_fraction", "blocklist_hit")
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages whose REGISTERED DOMAIN is on a blocklist frame
+    (column ``domain``) — the URL-level safety gate crawl pipelines run
+    before fetching content (adult/malware domain lists run to millions
+    of rows, so the list is a DataFrame, not a literal).
+
+    Plan: LEFT ANTI join on the derived domain key. Spark broadcasts a
+    small list and falls back to a shuffled anti-join for a huge one —
+    both correct; the corpus side is hashed once on the domain key.
+    """
+    keyed = df.withColumn("_domain", registered_domain(F.col(url_col)))
+    rhs = blocked.select(F.col("domain").alias("_domain")).distinct()
+    return keyed.join(rhs, on="_domain", how="left_anti").drop("_domain")
+
+
 def with_temperature_mix(
     df: DataFrame,
     target_tokens: int,

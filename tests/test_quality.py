@@ -867,3 +867,82 @@ def test_temperature_mix_zero_token_language(spark):
     assert all(
         r.lang != "xx" for r in temperature_mix(df, 100).collect()
     )
+
+
+# --- blocklist gates -------------------------------------------------------
+
+
+def test_blocklist_signals_and_filter(spark):
+    from edspdf_spark.functions.quality import (
+        blocklist_filter,
+        with_blocklist_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "some SPAM and more spam tokens"),
+            (3, "casino night"),
+            (4, ""),
+            (5, "   "),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.blocklist_count, round(r.blocklist_fraction, 6), r.blocklist_hit)
+        for r in with_blocklist_signals(df, ["spam", "casino", "SPAM"]).collect()
+    }
+    assert got[1] == (0, 0.0, False)
+    assert got[2] == (2, round(2 / 6, 6), True)   # case-insensitive, both hits
+    assert got[3] == (1, 0.5, True)
+    assert got[4] == (0, 0.0, False) and got[5] == (0, 0.0, False)
+    kept = {r.doc_id for r in blocklist_filter(df, ["spam", "casino"]).collect()}
+    assert kept == {1, 4, 5}
+
+
+def test_blocklist_duckdb_differential(spark):
+    import duckdb
+
+    from edspdf_spark.functions.quality import with_blocklist_signals
+
+    rows = [(i, " ".join(f"w{(i + j) % 9}" for j in range(8))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.blocklist_count, r.blocklist_hit)
+        for r in with_blocklist_signals(df, ["w3", "w7"]).collect()
+    )
+    duckdb.sql(
+        "CREATE OR REPLACE TABLE bdocs AS SELECT * FROM (VALUES "
+        + ",".join(
+            "({}, '{}')".format(i, " ".join(f"w{(i + j) % 9}" for j in range(8)))
+            for i in range(40)
+        )
+        + ") t(doc_id, text)"
+    )
+    want = duckdb.sql(r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            w -> w IN ('w3','w7'))) AS BIGINT) AS c,
+       len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       w -> w IN ('w3','w7'))) > 0 AS h
+FROM bdocs ORDER BY doc_id
+""").fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_domain_blocklist_filter(spark):
+    from edspdf_spark.functions.quality import domain_blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),
+            (2, "https://sub.a.bad.com/y"),
+            (3, "https://good.org/z"),
+            (4, "https://bad.org/w"),
+        ],
+        "doc_id int, url string",
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = {r.doc_id for r in domain_blocklist_filter(df, blocked).collect()}
+    # registered domain of sub.a.bad.com is bad.com -> blocked too
+    assert kept == {3, 4}
