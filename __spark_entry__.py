@@ -813,6 +813,28 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.col("doc_id").alias("keep_id"),
         F.col("robots_allowed").cast("long").alias("n_dups"),
     )
+    # recrawl-revision probe: every 25 docs share a URL (5 domains × 5
+    # paths) with epoch-second fetch times (doc_id·37 mod 1000, ties by
+    # the larger doc_id) — keep_latest_revision must pick the max-(ts,id)
+    # fetch per URL; n_dups carries the revision count
+    from edspdf_spark.functions.dedup import keep_latest_revision
+
+    rev_src = ids.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), site, F.lit(".com/r/"),
+            (F.col("doc_id") % 25).cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + (F.col("doc_id") * 37) % 1000)
+        .cast("long")
+        .alias("warc_ts"),
+    )
+    revision_leg = keep_latest_revision(rev_src).select(
+        F.lit("revision").alias("probe"),
+        F.md5(F.col("url")).alias("content_hash"),
+        "keep_id",
+        F.col("n_revisions").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
@@ -822,6 +844,7 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         .unionAll(quota_probe)
         .unionAll(bloom_leg)
         .unionAll(robots_leg)
+        .unionAll(revision_leg)
     )
 
 
@@ -948,6 +971,19 @@ SELECT 'robots' AS probe,
                OR ((doc_id % 7) % 2 = 1 AND doc_id % 5 = 2)
             THEN 0 ELSE 1 END AS BIGINT) AS n_dups
 FROM documents
+UNION ALL
+SELECT 'revision', md5(url), keep_id, n_revisions
+FROM (
+  SELECT url, doc_id AS keep_id,
+         CAST(COUNT(*) OVER (PARTITION BY url) AS BIGINT) AS n_revisions,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY ts DESC, doc_id DESC) AS rn
+  FROM (SELECT doc_id,
+               'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.com/r/' || CAST(doc_id % 25 AS VARCHAR) AS url,
+               1700000000 + (doc_id * 37) % 1000 AS ts
+        FROM documents)
+) WHERE rn = 1
 """
 
 

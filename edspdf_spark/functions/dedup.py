@@ -552,6 +552,38 @@ def select_canonical(
     )
 
 
+def keep_latest_revision(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-recrawl dedup: a crawl archive carries MANY fetches of the
+    same URL across snapshots; training corpora keep the newest. Returns
+    one skinny row per URL — ``(url, keep_id, latest_ts, n_revisions)``
+    with the winner = max ``(ts, id)`` (ties to the larger id) — which
+    the caller semi-joins back onto the corpus, exactly the
+    ``dedup_exact`` convention.
+
+    Scale: one ascending struct-max aggregation with map-side partial
+    combine on the URL key (the ``select_canonical`` shape) — no window
+    sort, and a hot URL with millions of refetches reduces like any
+    other key. ``ts_col`` may be any orderable type (timestamp, epoch
+    seconds, crawl-id string).
+    """
+    best = F.struct(F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"))
+    return (
+        df.groupBy(url_col)
+        .agg(F.max(best).alias("_b"), F.count(F.lit(1)).alias("n_revisions"))
+        .select(
+            url_col,
+            F.col("_b._id").alias("keep_id"),
+            F.col("_b._ts").alias("latest_ts"),
+            "n_revisions",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

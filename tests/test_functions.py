@@ -547,3 +547,24 @@ def test_bloom_positions_duckdb_differential(spark):
         """
     ).fetchall()
     assert got == [w[0] for w in want]
+
+
+def test_keep_latest_revision(spark):
+    """Newest fetch per URL wins; (ts, id) tie-break toward the larger
+    id; revision counts exact; partitioning-invariant."""
+    from edspdf_spark.functions.dedup import keep_latest_revision
+
+    rows = [
+        (1, "u/a", 100), (2, "u/a", 300), (3, "u/a", 200),  # newest = 2
+        (4, "u/b", 50), (5, "u/b", 50),                     # ts tie -> id 5
+        (6, "u/c", 7),                                      # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, warc_ts long")
+    got = {
+        r.url: (r.keep_id, r.latest_ts, r.n_revisions)
+        for r in keep_latest_revision(df).collect()
+    }
+    assert got == {"u/a": (2, 300, 3), "u/b": (5, 50, 2), "u/c": (6, 7, 1)}
+    a = sorted(tuple(r) for r in keep_latest_revision(df.repartition(1)).collect())
+    b = sorted(tuple(r) for r in keep_latest_revision(df.repartition(16)).collect())
+    assert a == b
