@@ -8,11 +8,34 @@ from edspdf_spark.functions.dedup import (
     dedup_exact,
     dedup_spans,
     dedup_substrings,
+    dedup_components,
+    select_canonical,
+    keep_latest_revision,
     normalize_text,
     minhash_signatures,
     lsh_candidate_pairs,
     simhash64,
     ngram_jaccard_pairs,
+)
+from edspdf_spark.functions.lm import (
+    train_bigram_lm,
+    with_perplexity,
+    perplexity_buckets,
+    perplexity_filter,
+)
+from edspdf_spark.functions.quality import (
+    blocklist_filter,
+    domain_blocklist_filter,
+    sample_corpus,
+    split_assign,
+    temperature_mix,
+    with_blocklist_signals,
+    with_temperature_mix,
+)
+from edspdf_spark.functions.search import (
+    bm25_topk,
+    build_text_index,
+    tfidf_keywords,
 )
 from edspdf_spark.functions.similarity import cosine_topk, lsh_ann_topk
 from edspdf_spark.functions.urls import canonicalize_url, dedup_url_groups
@@ -27,11 +50,28 @@ __all__ = [
     "dedup_exact",
     "dedup_spans",
     "dedup_substrings",
+    "dedup_components",
+    "select_canonical",
+    "keep_latest_revision",
     "normalize_text",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash64",
     "ngram_jaccard_pairs",
+    "train_bigram_lm",
+    "with_perplexity",
+    "perplexity_buckets",
+    "perplexity_filter",
+    "blocklist_filter",
+    "domain_blocklist_filter",
+    "sample_corpus",
+    "split_assign",
+    "temperature_mix",
+    "with_blocklist_signals",
+    "with_temperature_mix",
+    "bm25_topk",
+    "build_text_index",
+    "tfidf_keywords",
     "cosine_topk",
     "lsh_ann_topk",
 ]
