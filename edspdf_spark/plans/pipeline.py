@@ -191,6 +191,60 @@ def _quality_gate(
     return out
 
 
+def _blocklist_gate(df: DataFrame, words=(), text_col: str = "text", **_):
+    """C4 §2.2 badword page drop as a config stage (functions/quality.py
+    blocklist_filter — the list ships in the plan, zero joins)."""
+    from edspdf_spark.functions.quality import blocklist_filter
+
+    return blocklist_filter(df, list(words), text_col=text_col)
+
+
+def _temperature_mix_stage(
+    df: DataFrame,
+    target_tokens: int = 1_000_000,
+    alpha: float = 0.3,
+    max_epochs: float = 4.0,
+    lang_col: str = "lang",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    **_,
+):
+    """mC4 α-temperature language rebalancing as a config stage
+    (functions/quality.py temperature_mix — zero corpus shuffle)."""
+    from edspdf_spark.functions.quality import temperature_mix
+
+    return temperature_mix(
+        df,
+        target_tokens,
+        alpha=alpha,
+        max_epochs=max_epochs,
+        lang_col=lang_col,
+        token_col=token_col,
+        key_col=key_col,
+        seed=seed,
+    )
+
+
+def _latest_revision_stage(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    **_,
+):
+    """Recrawl dedup as a config stage: keep each URL's newest fetch
+    (struct-max winners semi-joined back onto the corpus)."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.dedup import keep_latest_revision
+
+    keep = keep_latest_revision(
+        df, url_col=url_col, ts_col=ts_col, id_col=id_col
+    ).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 FACTORIES: Dict[str, Callable] = {
     "extractor": _extractor,
     "pdfminer-extractor": _extractor,  # reference name, same payload parser
@@ -209,6 +263,9 @@ FACTORIES: Dict[str, Callable] = {
     "box-transformer": _box_transformer,
     # training-data corpus gate (quality/PII family, functions/quality.py)
     "quality-gate": _quality_gate,
+    "blocklist-gate": _blocklist_gate,
+    "temperature-mix": _temperature_mix_stage,
+    "latest-revision": _latest_revision_stage,
 }
 
 

@@ -160,6 +160,54 @@ def test_embedding_pipeline_from_config(spark, tmp_path):
     assert all(len(r.emb) == 24 for r in out)
 
 
+def test_corpus_recipe_pipeline_from_config(spark, tmp_path):
+    """The corpus-build stages as a pure JSON config: recrawl dedup →
+    badword gate → temperature mix, round-tripped and run."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.plans import Pipeline, load
+
+    config = {
+        "pipeline": ["revise", "gate", "mix"],
+        "components": {
+            "revise": {"@factory": "latest-revision"},
+            "gate": {"@factory": "blocklist-gate", "words": ["casino"]},
+            "mix": {
+                "@factory": "temperature-mix",
+                "target_tokens": 40,
+                "alpha": 0.3,
+                "max_epochs": 2.0,
+            },
+        },
+    }
+    pipe = Pipeline.from_config(config)
+    assert pipe.to_config() == config
+    art = str(tmp_path / "recipe")
+    pipe.to_disk(art)
+    reloaded = load(art)
+    assert reloaded.to_config() == config
+
+    rows = [
+        # u/a fetched twice: doc 1 older, doc 2 newer
+        (1, "u/a", 10, "en", 5, "old words here"),
+        (2, "u/a", 20, "en", 5, "new words here"),
+        (3, "u/b", 10, "en", 5, "casino words here"),   # blocklisted
+        (4, "u/c", 10, "yo", 5, "rare lang words"),
+        (5, "u/d", 10, "en", 5, "plain words again"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id int, url string, warc_ts long, lang string, "
+        "n_tokens int, text string",
+    )
+    out = reloaded(df).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 not in ids          # older revision dropped
+    assert 3 not in ids          # blocklisted page dropped
+    assert ids <= {2, 4, 5}
+    assert all(r.epoch >= 1 for r in out)
+
+
 # ---------------------------------------------------------------------------
 # P10/P11 trainable heads
 # ---------------------------------------------------------------------------
