@@ -307,6 +307,44 @@ def bench_quality_clf(spark, sf_dir):
     materialize(predict_logreg(docs, w, m_buckets=4096))
 
 
+def bench_corpus_recipe(spark, sf_dir):
+    """Corpus-assembly pass: recrawl dedup (synthetic refetch urls, newest
+    wins) → C4 badword blocklist gate → token stats → mC4 temperature mix
+    with epoch replication → leakage-safe split assignment. Everything is
+    keyed aggs / broadcast joins / projections — no window over the
+    corpus, no collect."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.dedup import keep_latest_revision
+    from edspdf_spark.functions.quality import (
+        blocklist_filter,
+        split_assign,
+        temperature_mix,
+    )
+    from edspdf_spark.functions.text import with_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/r/"),
+            (F.col("doc_id") % 20000).cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + (F.col("doc_id") * 37) % 1000).alias("warc_ts"),
+    )
+    keep = keep_latest_revision(src).select(F.col("keep_id").alias("doc_id"))
+    latest = src.join(keep, on="doc_id", how="left_semi")
+    gated = blocklist_filter(latest, ["labore", "tempor"])
+    mixed = temperature_mix(
+        with_token_stats(gated), target_tokens=200_000, alpha=0.3, max_epochs=2.0
+    )
+    materialize(split_assign(mixed, by_col="doc_id"))
+
+
 def main():
     spark = get_spark(
         master=f"local[{CPUS}]",
@@ -421,6 +459,7 @@ def main():
         "perplexity": lambda: bench_perplexity(spark, SF_DIR),
         "dsir_select": lambda: bench_dsir(spark, SF_DIR),
         "quality_clf": lambda: bench_quality_clf(spark, SF_DIR),
+        "corpus_recipe": lambda: bench_corpus_recipe(spark, SF_DIR),
     }
 
     # min-of-N per query: this VM shows ±30-100% wall variance between
