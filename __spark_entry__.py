@@ -1174,6 +1174,27 @@ def _q_dsir_selection(spark, sf_dir):
         F.col("lr_z_micro").alias("num"),
         F.col("lr_pred").cast("string").alias("txt"),
     )
+    # multi-class one-vs-rest head (trained language ID): same feature
+    # map, cls carried as a column through one oracle CTE chain — both
+    # the per-(class, bucket) weights and the argmax serve are probed
+    from edspdf_spark.functions.classifier import fit_ovr_hashed, predict_ovr
+
+    ovr_train = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    ovr_w = fit_ovr_hashed(ovr_train, label_col="lang", m_buckets=512, epochs=2)
+    ovr_w_leg = ovr_w.select(
+        F.lit("ovr_w").alias("probe"),
+        F.concat(
+            F.col("cls"), F.lit(":"), F.col("bucket").cast("string")
+        ).alias("k1"),
+        F.col("w_micro").alias("num"),
+        F.lit(None).cast("string").alias("txt"),
+    )
+    ovr_serve_leg = predict_ovr(ovr_train, ovr_w, m_buckets=512).select(
+        F.lit("ovr_pred").alias("probe"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("ovr_z_micro").alias("num"),
+        F.col("ovr_pred").alias("txt"),
+    )
     # BM25 retrieval probe: corpus index + one query, top-20
     from edspdf_spark.functions.search import (
         bm25_topk,
@@ -1253,6 +1274,8 @@ def _q_dsir_selection(spark, sf_dir):
         .unionAll(pack_leg)
         .unionAll(clf_w_leg)
         .unionAll(clf_serve_leg)
+        .unionAll(ovr_w_leg)
+        .unionAll(ovr_serve_leg)
         .unionAll(bm25_leg)
         .unionAll(tfidf_leg)
         .unionAll(sent_leg)
@@ -1332,6 +1355,14 @@ def _hex15_sql() -> str:
     return _hexn_sql(15)
 
 
+def _floordiv_sql(a: str, b: str) -> str:
+    """Exact FLOOR division for DuckDB — its ``//`` truncates toward
+    zero on negatives (``-7 // 2 = -3``), while the Spark side's
+    ``(a - pmod(a, b)) div b`` floors; subtracting the positive mod
+    first makes the numerator exactly divisible so ``//`` is exact."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+
 def _clf_oracle_ctes(epochs: int = 2, lr_num: int = 1, lr_den: int = 2) -> str:
     """Unrolled integer-GD training of the hashed-ngram logistic
     classifier (functions/classifier.py) as chained CTEs; reuses the
@@ -1369,13 +1400,15 @@ def _clf_oracle_ctes(epochs: int = 2, lr_num: int = 1, lr_den: int = 2) -> str:
         if prev_w is None:
             ctes.append(
                 f"w{e + 1} AS (SELECT bucket,"
-                f" -(({lr_num} * g) // ({lr_den} * {n})) AS w_micro FROM g{e})"
+                f" -{_floordiv_sql(f'{lr_num} * g', f'{lr_den} * {n}')}"
+                f" AS w_micro FROM g{e})"
             )
         else:
             ctes.append(
                 f"w{e + 1} AS (SELECT COALESCE(g.bucket, pw.bucket) AS bucket,"
                 f" COALESCE(pw.w_micro, 0)"
-                f" - (({lr_num} * COALESCE(g.g, 0)) // ({lr_den} * {n})) AS w_micro"
+                f" - {_floordiv_sql(f'{lr_num} * COALESCE(g.g, 0)', f'{lr_den} * {n}')}"
+                f" AS w_micro"
                 f" FROM g{e} g FULL OUTER JOIN {prev_w} pw ON g.bucket = pw.bucket)"
             )
         prev_w = f"w{e + 1}"
@@ -1384,6 +1417,74 @@ def _clf_oracle_ctes(epochs: int = 2, lr_num: int = 1, lr_den: int = 2) -> str:
         f" CAST(SUM(c * COALESCE(w_micro, 0)) AS BIGINT) AS dot"
         f" FROM clf_feats f LEFT JOIN {prev_w} USING (bucket)"
         f" GROUP BY f.doc_id)"
+    )
+    return ",\n".join(ctes)
+
+
+def _ovr_oracle_ctes(epochs: int = 2, lr_num: int = 1, lr_den: int = 2) -> str:
+    """Unrolled integer-GD training of the MULTI-CLASS one-vs-rest
+    classifier (functions/classifier.py fit_ovr_hashed) — one CTE chain
+    with ``cls`` carried as a column, reusing the binary chain's
+    ``clf_feats``/``nlab`` CTEs (the feature map is label-independent)."""
+    n = "(SELECT n FROM nlab)"
+    ctes = [
+        "ocls AS (SELECT DISTINCT lang AS cls FROM documents)",
+        "olab AS (SELECT d2.doc_id, c2.cls,"
+        " CASE WHEN d2.lang = c2.cls THEN 1 ELSE 0 END AS y"
+        " FROM (SELECT doc_id, lang FROM documents) d2, ocls c2)",
+    ]
+    for e in range(epochs):
+        if e == 0:
+            ctes.append(
+                "oz0 AS (SELECT doc_id, cls, CAST(0 AS BIGINT) AS dot FROM olab)"
+            )
+        else:
+            ctes.append(
+                f"oz{e} AS (SELECT f.doc_id, w.cls,"
+                f" CAST(SUM(c * w_micro) AS BIGINT) AS dot"
+                f" FROM clf_feats f JOIN ow{e} w ON w.bucket = f.bucket"
+                f" GROUP BY f.doc_id, w.cls)"
+            )
+        ctes.append(
+            f"orr{e} AS (SELECT olab.doc_id, olab.cls,"
+            f" CAST(floor((1.0 / (1.0 + exp(-(COALESCE(dot, 0) / 1000000.0)))"
+            f" - y) * 1000000.0) AS BIGINT) AS r"
+            f" FROM olab LEFT JOIN oz{e}"
+            f" ON oz{e}.doc_id = olab.doc_id AND oz{e}.cls = olab.cls)"
+        )
+        ctes.append(
+            f"og{e} AS (SELECT r_.cls, f.bucket,"
+            f" CAST(SUM(f.c * r_.r) AS BIGINT) AS g"
+            f" FROM clf_feats f JOIN orr{e} r_ ON r_.doc_id = f.doc_id"
+            f" GROUP BY r_.cls, f.bucket)"
+        )
+        if e == 0:
+            ctes.append(
+                f"ow1 AS (SELECT cls, bucket,"
+                f" -{_floordiv_sql(f'{lr_num} * g', f'{lr_den} * {n}')}"
+                f" AS w_micro FROM og0)"
+            )
+        else:
+            ctes.append(
+                f"ow{e + 1} AS (SELECT COALESCE(g.cls, pw.cls) AS cls,"
+                f" COALESCE(g.bucket, pw.bucket) AS bucket,"
+                f" COALESCE(pw.w_micro, 0)"
+                f" - {_floordiv_sql(f'{lr_num} * COALESCE(g.g, 0)', f'{lr_den} * {n}')}"
+                f" AS w_micro"
+                f" FROM og{e} g FULL OUTER JOIN ow{e} pw"
+                f" ON g.cls = pw.cls AND g.bucket = pw.bucket)"
+            )
+    ctes.append(
+        f"ozserve AS (SELECT f.doc_id, w.cls,"
+        f" CAST(SUM(c * w_micro) AS BIGINT) AS dot"
+        f" FROM clf_feats f JOIN ow{epochs} w ON w.bucket = f.bucket"
+        f" GROUP BY f.doc_id, w.cls)"
+    )
+    ctes.append(
+        "obest AS (SELECT doc_id, dot, cls FROM ("
+        "SELECT doc_id, cls, dot,"
+        " row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY dot DESC, cls DESC) AS rn FROM ozserve) WHERE rn = 1)"
     )
     return ",\n".join(ctes)
 
@@ -1459,6 +1560,7 @@ gum AS (
               FROM d))
 ),
 {_clf_oracle_ctes(epochs=2)},
+{_ovr_oracle_ctes(epochs=2)},
 bm_post AS (
   SELECT term, doc_id, COUNT(*) AS tf
   FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
@@ -1531,6 +1633,10 @@ UNION ALL
 SELECT 'clf_serve', CAST(doc_id AS VARCHAR), CAST(COALESCE(dot, 0) AS BIGINT),
        CASE WHEN COALESCE(dot, 0) >= 0 THEN 'true' ELSE 'false' END
 FROM d LEFT JOIN zserve USING (doc_id)
+UNION ALL
+SELECT 'ovr_w', cls || ':' || CAST(bucket AS VARCHAR), w_micro, NULL FROM ow2
+UNION ALL
+SELECT 'ovr_pred', CAST(doc_id AS VARCHAR), dot, cls FROM obest
 UNION ALL
 SELECT 'bm25', CAST(doc_id AS VARCHAR), s, CAST(h AS VARCHAR)
 FROM (

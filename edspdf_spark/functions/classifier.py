@@ -82,9 +82,10 @@ def fit_logreg_hashed(
     ``r = floor((σ(z/Q)−y)·Q)``, gradient ``G_k = Σ_docs r·c_k`` (exact),
     update ``w_k ← w_k − floordiv(lr_num·G_k, lr_den·n_docs)`` — FLOOR
     division (``(a − pmod(a,b)) div b``), not Spark's toward-zero ``div``,
-    because gradients go negative and the SQL oracle's ``//`` floors; the
-    two must agree sign-exactly. The learning rate is the exact rational
-    ``lr_num/lr_den``.
+    because gradients go negative and sign-exact agreement with the SQL
+    replay matters (DuckDB's ``//`` TRUNCATES on negatives, so the oracle
+    subtracts the positive mod first — ``_floordiv_sql``). The learning
+    rate is the exact rational ``lr_num/lr_den``.
 
     Overflow bound: |r| ≤ Q=10⁶ and Σc_k over the corpus must stay under
     2⁶³/Q ≈ 9·10¹² total n-gram occurrences per bucket — at bigger
@@ -190,4 +191,129 @@ def predict_logreg(
             )
         ).alias("lr_prob"),
         (F.col("lr_z_micro") >= 0).alias("lr_pred"),
+    )
+
+def fit_ovr_hashed(
+    train: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 4096,
+    epochs: int = 4,
+    lr_num: int = 1,
+    lr_den: int = 2,
+) -> DataFrame:
+    """fastText-style MULTI-CLASS classifier (e.g. trained language ID)
+    as one-vs-rest logistic regression over the same hashed
+    unigram+bigram feature map — fastText's softmax differs only in the
+    normalizer; OvR keeps every per-class gradient integer-exact so the
+    whole multi-class training loop replays in SQL with ``cls`` carried
+    as a column through one CTE chain (no per-class unrolling).
+
+    Returns the weight table ``(cls, bucket, w_micro)``; bias rides
+    bucket −1 per class. Same integer-GD contract as
+    ``fit_logreg_hashed``: residuals quantized to micro-units BEFORE the
+    corpus sum, floor-division updates, bit-identical under any
+    partitioning/AQE/executor count.
+
+    Scale shape per epoch: the checkpointed (doc, bucket) table joins the
+    weight table (≤ n_classes·m_buckets rows — broadcast), one
+    (doc, cls)-keyed sum produces margins, one (cls, bucket)-keyed sum
+    produces gradients. Every (doc, cls) margin pair exists because the
+    bias feature is on every doc and every class's bias weight row exists
+    from epoch 0's gradient.
+    """
+    labels = train.select(
+        F.col(id_col), F.col(label_col).cast("string").alias("_cls_true")
+    )
+    classes = labels.select(F.col("_cls_true").alias("cls")).distinct()
+    labx = labels.crossJoin(F.broadcast(classes)).select(
+        id_col,
+        "cls",
+        (F.col("_cls_true") == F.col("cls")).cast("long").alias("_y"),
+    )
+    feats = doc_bucket_counts(train, text_col, id_col, m_buckets).unionByName(
+        labels.select(
+            id_col,
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    feats = feats.localCheckpoint()
+    labx = labx.localCheckpoint()
+    n_docs = labels.count()
+    spark = train.sparkSession
+    weights = spark.createDataFrame(
+        [], "cls string, bucket bigint, w_micro bigint"
+    )
+    for _ in range(int(epochs)):
+        z = (
+            feats.join(F.broadcast(weights), on="bucket")
+            .groupBy(id_col, "cls")
+            .agg(F.sum(F.col("c") * F.col("w_micro")).alias("_dot"))
+        )
+        resid = labx.join(z, on=[id_col, "cls"], how="left").select(
+            id_col,
+            "cls",
+            _sigma_minus_y_micro(
+                F.coalesce(F.col("_dot"), F.lit(0)), F.col("_y")
+            ).alias("_r"),
+        )
+        grad = (
+            feats.join(resid, on=id_col)
+            .groupBy("cls", "bucket")
+            .agg(F.sum(F.col("c") * F.col("_r")).alias("_g"))
+        )
+        den = int(lr_den) * n_docs
+        step = F.expr(
+            f"(({int(lr_num)} * _g) - pmod({int(lr_num)} * _g, {den})) div {den}"
+        )
+        weights = (
+            grad.join(weights, on=["cls", "bucket"], how="full_outer")
+            .select(
+                "cls",
+                "bucket",
+                (
+                    F.coalesce(F.col("w_micro"), F.lit(0))
+                    - F.coalesce(step, F.lit(0))
+                ).alias("w_micro"),
+            )
+            .localCheckpoint()
+        )
+    return weights
+
+
+def predict_ovr(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 4096,
+) -> DataFrame:
+    """Serve the multi-class head: appends ``ovr_pred`` (argmax class by
+    exact BIGINT margin, ties to the lexicographically larger class) and
+    ``ovr_z_micro`` (the winning margin). One feature pass + broadcast
+    weight join + one (doc, cls)-keyed sum + one doc-keyed struct-max —
+    all map-side combinable, no window over the corpus."""
+    feats = doc_bucket_counts(df, text_col, id_col, m_buckets).unionByName(
+        df.select(
+            F.col(id_col),
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    z = (
+        feats.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("c") * F.col("w_micro")).alias("_dot"))
+    )
+    best = z.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("_dot").alias("_z"), F.col("cls").alias("_c"))
+        ).alias("_b")
+    )
+    return df.join(best, on=id_col, how="left").select(
+        *df.columns,
+        F.col("_b._c").alias("ovr_pred"),
+        F.col("_b._z").cast("long").alias("ovr_z_micro"),
     )
