@@ -32,6 +32,12 @@ from edspdf_spark.functions.quality import (
     with_blocklist_signals,
     with_temperature_mix,
 )
+from edspdf_spark.functions.classifier import (
+    fit_logreg_hashed,
+    fit_ovr_hashed,
+    predict_logreg,
+    predict_ovr,
+)
 from edspdf_spark.functions.search import (
     bm25_topk,
     build_text_index,
@@ -69,6 +75,10 @@ __all__ = [
     "temperature_mix",
     "with_blocklist_signals",
     "with_temperature_mix",
+    "fit_logreg_hashed",
+    "fit_ovr_hashed",
+    "predict_logreg",
+    "predict_ovr",
     "bm25_topk",
     "build_text_index",
     "tfidf_keywords",
