@@ -835,6 +835,28 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         "keep_id",
         F.col("n_revisions").alias("n_dups"),
     )
+    # incremental-crawl LSH probe: odd doc_ids = the new dump, even = the
+    # prior snapshot; candidates are new×old bucket matches only (the
+    # per-dump production shape — old×old never re-pairs)
+    from edspdf_spark.functions.dedup import lsh_incremental_pairs, minhash_signatures
+
+    mh_docs = docs.filter(F.length("text") >= 5)
+    inc_pairs = lsh_incremental_pairs(
+        minhash_signatures(mh_docs.filter(F.col("doc_id") % 2 == 1), k=5, n_hashes=8),
+        minhash_signatures(mh_docs.filter(F.col("doc_id") % 2 == 0), k=5, n_hashes=8),
+        rows_per_band=2,
+        n_hashes=8,
+    )
+    inc_leg = inc_pairs.select(
+        F.lit("lshinc").alias("probe"),
+        F.concat(
+            F.col("new_id").cast("string"),
+            F.lit(":"),
+            F.col("old_id").cast("string"),
+        ).alias("content_hash"),
+        F.col("new_id").alias("keep_id"),
+        F.col("old_id").cast("long").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
@@ -845,6 +867,7 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         .unionAll(bloom_leg)
         .unionAll(robots_leg)
         .unionAll(revision_leg)
+        .unionAll(inc_leg)
     )
 
 
@@ -1891,6 +1914,35 @@ bands AS (
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _dedup_exact_norm_oracle_full() -> str:
+    """The composite dedup oracle plus the incremental-LSH leg — appended
+    at call time because the minhash signature replay
+    (``_minhash_oracle``) is defined below the module-level template."""
+    inner = _minhash_oracle()
+    return _DEDUP_EXACT_NORM_ORACLE + f"""
+UNION ALL
+SELECT 'lshinc',
+       CAST(new_id AS VARCHAR) || ':' || CAST(old_id AS VARCHAR),
+       new_id, CAST(old_id AS BIGINT)
+FROM (
+  WITH isig AS ({inner}),
+  ibands AS (
+    SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM isig
+    UNION ALL
+    SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM isig
+    UNION ALL
+    SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM isig
+    UNION ALL
+    SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM isig
+  )
+  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
+  FROM ibands l JOIN ibands r
+    ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+)
 """
 
 
@@ -3867,7 +3919,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_first_seen": _STREAM_DEDUP_ORACLE,
         "stream_window_metrics": _STREAM_METRICS_ORACLE,
         "text_signals": _text_signals_oracle(),
-        "dedup_exact_normalized": _DEDUP_EXACT_NORM_ORACLE,
+        "dedup_exact_normalized": _dedup_exact_norm_oracle_full(),
         "minhash_signatures": _minhash_oracle(),
         "lsh_candidate_pairs": _lsh_pairs_oracle(),
         "simhash": _simhash_oracle(),

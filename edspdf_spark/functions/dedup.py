@@ -552,6 +552,58 @@ def select_canonical(
     )
 
 
+def lsh_incremental_pairs(
+    new_sig: DataFrame,
+    old_sig: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    n_hashes: int = 8,
+    max_bucket_size: int = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Incremental crawl near-dup: candidate pairs between a NEW dump's
+    signatures and the PRIOR snapshot's only — never re-pairing old×old,
+    so per-dump cost scales with the dump, not the archive. Returns
+    ``(new_id, old_id)`` distinct pairs (rescore with
+    :func:`ngram_jaccard_pairs` or the embedding path as usual).
+
+    Shape: both sides band-tag in their scan stage (zero shuffle), then
+    ONE (band, bucket) equi-join — two distinct frames, so the self-join
+    double-compute trap of the single-corpus path does not apply. The
+    snapshot side's banded table is exactly what a production system
+    PERSISTS between dumps (write ``_lsh_exploded_bands(old)``
+    partitioned by bucket once per dump and this join prunes to the new
+    dump's buckets). Hot buckets beyond ``max_bucket_size`` are dropped
+    on BOTH sides (boilerplate clusters — the n_new·n_old blowup; the
+    exact dedup pass owns those), mirroring
+    :data:`LSH_MAX_BUCKET_SIZE`.
+    """
+    new_b = _lsh_exploded_bands(new_sig, id_col, rows_per_band, n_hashes)
+    old_b = _lsh_exploded_bands(old_sig, id_col, rows_per_band, n_hashes)
+    if max_bucket_size is not None:
+
+        def _cap(b: DataFrame) -> DataFrame:
+            ok = (
+                b.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= int(max_bucket_size))
+                .select("band", "bucket")
+            )
+            return b.join(ok, on=["band", "bucket"], how="left_semi")
+
+        new_b = _cap(new_b)
+        old_b = _cap(old_b)
+    return (
+        new_b.select("band", "bucket", F.col(id_col).alias("new_id"))
+        .join(
+            old_b.select("band", "bucket", F.col(id_col).alias("old_id")),
+            on=["band", "bucket"],
+        )
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
 def keep_latest_revision(
     df: DataFrame,
     url_col: str = "url",

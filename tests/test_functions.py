@@ -568,3 +568,49 @@ def test_keep_latest_revision(spark):
     a = sorted(tuple(r) for r in keep_latest_revision(df.repartition(1)).collect())
     b = sorted(tuple(r) for r in keep_latest_revision(df.repartition(16)).collect())
     assert a == b
+
+
+def test_lsh_incremental_pairs(spark, docs):
+    """New-dump (odd ids) vs snapshot (even ids): dup pairs crossing the
+    boundary are found, same-side pairs never emitted, and the union of
+    cross pairs is a subset of the full-corpus candidate set."""
+    from edspdf_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    mh = docs.filter(F.length("text") >= 5)
+    new_sig = minhash_signatures(mh.filter(F.col("doc_id") % 2 == 1), k=5, n_hashes=8)
+    old_sig = minhash_signatures(mh.filter(F.col("doc_id") % 2 == 0), k=5, n_hashes=8)
+    got = {(r.new_id, r.old_id) for r in lsh_incremental_pairs(new_sig, old_sig).collect()}
+    # docs 0/1/2 are dups: cross-boundary pairs are (1,0) and (1,2)
+    assert (1, 0) in got and (1, 2) in got
+    assert all(n % 2 == 1 and o % 2 == 0 for n, o in got)
+    full = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(mh, k=5, n_hashes=8), rows_per_band=2, n_hashes=8
+        ).collect()
+    }
+    assert all((min(n, o), max(n, o)) in full for n, o in got)
+
+
+def test_lsh_incremental_hot_bucket_cap(spark):
+    """A degenerate identical-text cluster larger than max_bucket_size is
+    dropped from BOTH sides — no quadratic pair blowup."""
+    from edspdf_spark.functions.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "identical boilerplate cookie banner text") for i in range(30)]
+    rows += [(100, "a genuinely unique document body here"), (101, "a genuinely unique document body here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sig_new = minhash_signatures(df.filter(F.col("doc_id") % 2 == 1), k=5, n_hashes=8)
+    sig_old = minhash_signatures(df.filter(F.col("doc_id") % 2 == 0), k=5, n_hashes=8)
+    got = {
+        (r.new_id, r.old_id)
+        for r in lsh_incremental_pairs(sig_new, sig_old, max_bucket_size=5).collect()
+    }
+    assert got == {(101, 100)}  # the boilerplate cluster was capped away
