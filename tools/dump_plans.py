@@ -462,6 +462,43 @@ def main() -> None:
             ))(__import__("edspdf_spark.functions.dedup", fromlist=["x"])),
         ),
         (
+            "predict_ovr (multi-class language-ID serve)",
+            "One feature explode + (doc, bucket) agg in the scan's "
+            "stages, broadcast weight join (n_classes·m_buckets rows), "
+            "one (doc, cls)-keyed partial-aggregatable sum, then the "
+            "argmax as a doc-keyed struct-max aggregation — NO window "
+            "over the corpus, no exchange keyed finer than (doc, cls).",
+            (lambda _c: _c.predict_ovr(
+                docs.select("doc_id", "text"),
+                _c.fit_ovr_hashed(
+                    spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                        "doc_id", "text", "lang"
+                    ),
+                    label_col="lang",
+                    m_buckets=512,
+                    epochs=1,
+                ),
+                m_buckets=512,
+            ))(__import__("edspdf_spark.functions.classifier", fromlist=["x"])),
+        ),
+        (
+            "lsh_incremental_pairs (per-dump near-dup)",
+            "New dump × prior snapshot: both sides band-tag in their scan "
+            "stage; hot-bucket caps are (band, bucket)-keyed counts + "
+            "LEFT SEMI prunes; candidates come from ONE (band, bucket) "
+            "equi-join between two DISTINCT frames (no self-join "
+            "double-compute), then a pair-keyed distinct. Old×old never "
+            "re-pairs — per-dump cost scales with the dump.",
+            (lambda _d: _d.lsh_incremental_pairs(
+                _d.minhash_signatures_arrow(
+                    docs.filter(F.col("doc_id") % 2 == 1), k=5, n_hashes=8
+                ),
+                _d.minhash_signatures_arrow(
+                    docs.filter(F.col("doc_id") % 2 == 0), k=5, n_hashes=8
+                ),
+            ))(__import__("edspdf_spark.functions.dedup", fromlist=["x"])),
+        ),
+        (
             "tfidf_keywords (corpus annotation)",
             "Per-doc top-k distinctive terms off the inverted index. "
             "postings⨝df joins on the TERM key both sides (the df table "
