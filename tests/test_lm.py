@@ -210,3 +210,48 @@ def test_perplexity_buckets_partitioning_invariance(spark):
         for r in perplexity_buckets(df.repartition(16), lm, sample_mod=2).collect()
     )
     assert a == b
+
+
+def test_ccnet_recipe_end_to_end(spark):
+    """The CCNet pipeline (Wenzek et al. 2020) through the real
+    operators: trained lang-ID (OvR head) → per-predicted-lang bigram-LM
+    perplexity terciles → keep the 'head' cut. Languages are separable
+    by vocabulary, docs within a language vary in fluency (rare-token
+    fraction), and the head cut must prefer the fluent third."""
+    from edspdf_spark.functions.classifier import fit_ovr_hashed, predict_ovr
+    from edspdf_spark.functions.lm import perplexity_buckets, train_bigram_lm
+
+    vocab = {
+        "en": "the quick brown fox jumps over lazy dog house garden".split(),
+        "fr": "le chat noir dort sur la table pres de fenetre".split(),
+    }
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for k in range(30):
+            # k controls disfluency: more unique junk tokens -> higher ppl
+            common = " ".join(words[(k + j) % len(words)] for j in range(20 - (k % 10)))
+            junk = " ".join(f"zq{i}x{j}" for j in range(k % 10))
+            rows.append((i, lang, f"{common} {junk}".strip()))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+
+    w = fit_ovr_hashed(df, label_col="lang", m_buckets=512, epochs=3)
+    tagged = predict_ovr(df.select("doc_id", "text"), w, m_buckets=512)
+    lm = train_bigram_lm(
+        tagged.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    )
+    bucketed = perplexity_buckets(
+        tagged.select("doc_id", F.col("ovr_pred").alias("lang"), "text"), lm
+    )
+    out = bucketed.collect()
+    # lang-ID must be essentially perfect on this separable corpus
+    truth = {r_[0]: r_[1] for r_ in rows}
+    acc = sum(r.lang == truth[r.doc_id] for r in out) / len(out)
+    assert acc >= 0.95
+    head = [r for r in out if r.ppl_bucket == "head"]
+    tail = [r for r in out if r.ppl_bucket == "tail"]
+    assert head and tail
+    # the head cut is more fluent: lower mean nlp_milli than the tail
+    mean = lambda xs: sum(xs) / len(xs)
+    assert mean([r.nlp_milli for r in head]) < mean([r.nlp_milli for r in tail])
