@@ -222,6 +222,20 @@ def _q_text_signals(spark, sf_dir):
     lm_sig = perplexity_buckets(
         docs.select("doc_id", "lang", "text"), lm, sample_mod=2
     ).select("doc_id", "lm_n_bigrams", "lm_lp_micro", "nlp_milli", "ppl_bucket")
+    # Flesch readability probe (c4_probe-shaped text so sentence counts
+    # vary per doc — the raw corpus has no terminal punctuation)
+    from edspdf_spark.functions.text import with_readability
+
+    rd_probe = F.replace(F.col("text"), F.lit(" merge "), F.lit(".\nThe "))
+    rd_sig = with_readability(
+        docs.select("doc_id", rd_probe.alias("text"))
+    ).select(
+        "doc_id",
+        "rd_n_words",
+        "rd_n_sentences",
+        "rd_n_syllables",
+        "rd_flesch_milli",
+    )
     # C4 badword blocklist probe — 'labore'/'tempor' are live corpus
     # tokens, so counts/fractions/hits vary per doc with no injection
     from edspdf_spark.functions.quality import with_blocklist_signals
@@ -279,6 +293,7 @@ def _q_text_signals(spark, sf_dir):
         .join(top2, on="doc_id")
         .join(lm_sig, on="doc_id")
         .join(mix_sig, on="doc_id")
+        .join(rd_sig, on="doc_id")
         .join(bl_sig, on="doc_id")
         .join(c4_sig, on="doc_id")
         .join(shape_sig, on="doc_id")
@@ -312,6 +327,10 @@ def _q_text_signals(spark, sf_dir):
         "ppl_bucket",
         "mix_rate_micro",
         "mix_n_copies",
+        "rd_n_words",
+        "rd_n_sentences",
+        "rd_n_syllables",
+        "rd_flesch_milli",
         "blocklist_count",
         "blocklist_fraction",
         "blocklist_hit",
@@ -573,6 +592,29 @@ mixd AS (
         FROM documents) p
   JOIN mixr r ON r.lang = p.lang
 ),
+rd AS (
+  SELECT doc_id,
+         CAST(w AS BIGINT) AS rd_n_words,
+         CAST(s AS BIGINT) AS rd_n_sentences,
+         CAST(sy AS BIGINT) AS rd_n_syllables,
+         CASE WHEN w > 0 THEN
+           CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))) * 1000.0)
+                AS BIGINT)
+         END AS rd_flesch_milli
+  FROM (
+    SELECT doc_id,
+      CASE WHEN trim(t) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS w,
+      GREATEST(len(regexp_extract_all(t, '[.!?]+')),
+               CASE WHEN trim(t) = '' THEN 0 ELSE 1 END) AS s,
+      GREATEST(len(regexp_extract_all(lower(t), '[aeiouy]+')),
+        CASE WHEN trim(t) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(t), '\\s+')) END) AS sy
+    FROM (SELECT doc_id,
+                 replace(text, ' merge ', '.' || chr(10) || 'The ') AS t
+          FROM documents))
+),
 bl AS (
   SELECT doc_id,
          CAST(len(list_filter(tl, w -> w IN ('labore','tempor'))) AS BIGINT)
@@ -609,6 +651,8 @@ SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        lm.lm_n_bigrams, lm.lm_lp_micro,
        pb.nlp_milli, pb.ppl_bucket,
        mx.mix_rate_micro, mx.mix_n_copies,
+       rd.rd_n_words, rd.rd_n_sentences, rd.rd_n_syllables,
+       rd.rd_flesch_milli,
        bl.blocklist_count, bl.blocklist_fraction, bl.blocklist_hit,
        c4.c4_lines_total, c4.c4_lines_kept, c4.c4_text_md5,
        c4.c4_n_sentences, c4.c4_keep,
@@ -623,6 +667,7 @@ FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN lm ON lm.doc_id = t.doc_id
        JOIN pplbkt pb ON pb.doc_id = t.doc_id
        JOIN mixd mx ON mx.doc_id = t.doc_id
+       JOIN rd ON rd.doc_id = t.doc_id
        JOIN bl ON bl.doc_id = t.doc_id
        JOIN c4 ON c4.doc_id = t.doc_id
        JOIN shp ON shp.doc_id = t.doc_id

@@ -295,3 +295,50 @@ def split_sentences(
         F.col(id_col),
         F.posexplode("sentences").alias("sent_idx", "sentence"),
     )
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease (Flesch 1948 — the classic educational-value
+    quality signal) as INTEGER milli-points, from three exact counts:
+
+    - ``rd_n_words``      whitespace tokens (0 for blank text),
+    - ``rd_n_sentences``  ``[.!?]+`` runs, floored at 1 for non-blank text,
+    - ``rd_n_syllables``  ``[aeiouy]+`` vowel runs in the lowercased text,
+      floored at ``rd_n_words`` (≥1 syllable per word — the standard
+      heuristic fix for vowel-less tokens),
+
+    then ``rd_flesch_milli = floor((206.835 − 1.015·w/s − 84.6·sy/w)·1000)``
+    — one fixed-shape IEEE double expression over exact BIGINT inputs, so
+    Spark and the SQL oracle agree; NULL when the text has no words.
+    Pure scan-stage projection: zero joins, zero shuffle.
+    """
+    low = F.lower(F.col(text_col))
+    n_words = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(_tokens(F.col(text_col)))
+    ).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.lit(1)),
+    ).cast("long")
+    vruns = F.size(
+        F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    out = (
+        df.withColumn("rd_n_words", n_words)
+        .withColumn("rd_n_sentences", n_sent)
+        .withColumn("rd_n_syllables", F.greatest(vruns, n_words))
+    )
+    flesch = F.floor(
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("rd_n_words").cast("double") / F.col("rd_n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("rd_n_syllables").cast("double") / F.col("rd_n_words").cast("double"))
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    return out.withColumn(
+        "rd_flesch_milli",
+        F.when(F.col("rd_n_words") > 0, flesch),
+    )

@@ -946,3 +946,64 @@ def test_domain_blocklist_filter(spark):
     kept = {r.doc_id for r in domain_blocklist_filter(df, blocked).collect()}
     # registered domain of sub.a.bad.com is bad.com -> blocked too
     assert kept == {3, 4}
+
+
+def test_readability_hand_values_and_duckdb(spark):
+    """Flesch milli-points: hand-computed values, blank handling, and a
+    DuckDB replay of the exact count + float-shape contract."""
+    import duckdb
+    import math
+
+    from edspdf_spark.functions.text import with_readability
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),
+        (2, "incomprehensibility notwithstanding electroencephalography"),
+        (3, ""),
+        (4, "   "),
+        (5, "xyz qrst"),  # vowel-less words -> syllable floor at n_words
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.rd_n_words, r.rd_n_sentences, r.rd_n_syllables, r.rd_flesch_milli)
+        for r in with_readability(df).collect()
+    }
+
+    def ref(text):
+        import re
+        t = text.strip()
+        w = 0 if t == "" else len(re.split(r"\s+", t))
+        s = max(len(re.findall(r"[.!?]+", text)), 0 if t == "" else 1)
+        sy = max(len(re.findall(r"[aeiouy]+", text.lower())), w)
+        f = None
+        if w > 0:
+            f = math.floor((206.835 - 1.015 * w / s - 84.6 * sy / w) * 1000)
+        return (w, s, sy, f)
+
+    for did, text in rows:
+        assert got[did] == ref(text), (did, got[did], ref(text))
+    assert got[3][3] is None and got[4][3] is None
+    assert got[5][2] == 2  # syllable floor
+    # DuckDB replay
+    duckdb.sql("CREATE OR REPLACE TABLE rdocs AS SELECT * FROM (VALUES "
+               + ",".join(f"({i}, '{t}')" for i, t in rows) + ") t(doc_id, text)")
+    want = duckdb.sql(r"""
+SELECT doc_id,
+  CASE WHEN w > 0 THEN
+    CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))) * 1000.0) AS BIGINT)
+  END AS f
+FROM (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+    GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+             CASE WHEN trim(text) = '' THEN 0 ELSE 1 END) AS s,
+    GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sy
+  FROM rdocs)
+ORDER BY doc_id
+""").fetchall()
+    for did, f in want:
+        assert got[did][3] == f
