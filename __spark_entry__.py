@@ -3244,12 +3244,47 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("cetr").alias("algo"),
     )
 
+    # eighth leg: LAION-style image-pair harvest — parity flips the
+    # src/alt attribute order AND the quote style; an alt-less and a
+    # src-less tag per page must be filtered out; the surviving pair is
+    # a pure function of doc_id (ground-truth oracle, no regex replay)
+    from edspdf_spark.operators.extract_html import extract_image_pairs
+
+    did_s = F.col("doc_id").cast("string")
+    img_html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>x</p>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit('<img src="/i/'), did_s,
+                    F.lit('.jpg" alt="picture of '), did_s, F.lit('">'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("<img alt='photo "), did_s,
+                    F.lit("' src='/j/"), did_s, F.lit(".png'>"),
+                ),
+            ),
+            F.lit('<img src="/plain.gif"><img alt="orphan"></body></html>'),
+        ),
+        "utf-8",
+    )
+    pages_img = docs.select(did_s.alias("url"), img_html.alias("html"))
+    img = extract_image_pairs(pages_img).select(
+        "url",
+        F.concat(F.lit("img:"), F.col("img_idx").cast("string")).alias("label"),
+        F.concat(F.col("img_src"), F.lit("|"), F.col("alt_text")).alias("text"),
+        F.lit("imgpairs").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
         .unionByName(meta)
         .unionByName(cons)
         .unionByName(cetr)
+        .unionByName(img)
     )
 
 
@@ -3383,6 +3418,15 @@ FROM documents
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'cetr:boilerplate' AS label,
        '' AS text, 'cetr' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'img:0' AS label,
+       CASE WHEN doc_id % 2 = 0
+            THEN '/i/' || CAST(doc_id AS VARCHAR) || '.jpg|picture of '
+                 || CAST(doc_id AS VARCHAR)
+            ELSE '/j/' || CAST(doc_id AS VARCHAR) || '.png|photo '
+                 || CAST(doc_id AS VARCHAR) END AS text,
+       'imgpairs' AS algo
 FROM documents
 """
 

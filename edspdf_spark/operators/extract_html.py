@@ -963,3 +963,53 @@ def extract_blocs_cetr(
         .otherwise(F.lit("boilerplate"))
         .alias("label"),
     )
+
+
+def extract_image_pairs(
+    pages: DataFrame,
+    charset: str = "utf-8",
+    min_alt_len: int = 1,
+) -> DataFrame:
+    """pages(url, html:binary) → LAION-style image–text pairs: one row
+    per ``<img>`` tag carrying a non-empty ``src`` AND an ``alt`` text of
+    at least ``min_alt_len`` characters — the harvesting pass behind
+    public image-text training sets (LAION-5B mines exactly these
+    (img URL, alt) pairs from Common Crawl; Schuhmann et al. 2022).
+
+    Returns ``(url, img_idx, img_src, alt_text)`` with ``img_idx`` the
+    0-based position among the page's ``<img>`` tags (pre-filter), so a
+    pair is re-addressable even after filtering.
+
+    Plan: tag scan is one ``regexp_extract_all`` projection, the
+    per-tag src/alt pulls are regexes over the exploded tag string —
+    all scan-stage JVM expressions (whole-stage codegen, zero shuffle,
+    zero Python). Both attribute orders and both quote styles match;
+    patterns are Java∩RE2 so a SQL oracle replays them verbatim.
+    Fetching/decoding the image bytes behind ``img_src`` is a separate
+    (network) stage by design — this operator emits the crawl worklist.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.decode(F.col("html"), charset)
+    tags = F.regexp_extract_all(h, F.lit(r"<img[^>]*>"), F.lit(0))
+    ex = pages.select(
+        "url", F.posexplode_outer(tags).alias("img_idx", "_tag")
+    ).where(F.col("_tag").isNotNull())
+    src = F.regexp_extract(
+        F.col("_tag"), "src\\s*=\\s*[\"']([^\"']*)[\"']", 1
+    )
+    alt = F.regexp_extract(
+        F.col("_tag"), "alt\\s*=\\s*[\"']([^\"']*)[\"']", 1
+    )
+    return (
+        ex.select(
+            "url",
+            F.col("img_idx").cast("int").alias("img_idx"),
+            src.alias("img_src"),
+            alt.alias("alt_text"),
+        )
+        .where(
+            (F.length("img_src") > 0)
+            & (F.length("alt_text") >= int(min_alt_len))
+        )
+    )

@@ -119,3 +119,45 @@ def test_duckdb_differential(meta_rows):
         robots = first_nonempty(html, _meta_pair_res("name", "robots"))
         assert ("noindex" in robots.lower()) == got["robots_noindex"]
         assert ("nofollow" in robots.lower()) == got["robots_nofollow"]
+
+
+def test_extract_image_pairs(spark):
+    """LAION-style pair harvest: both attribute orders and quote styles,
+    alt-less / src-less tags filtered, img_idx is pre-filter position,
+    min_alt_len gate, multiple imgs per page."""
+    from edspdf_spark.operators.extract_html import extract_image_pairs
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "p1",
+                (
+                    "<html><p>x</p>"
+                    '<img src="/a.jpg" alt="a cat photo">'
+                    "<img src='/b.png' alt='dog'>"
+                    '<img alt="ordered first" src="/c.gif">'
+                    '<img src="/noalt.jpg">'
+                    '<img alt="nosrc">'
+                    '<img src="/empty.jpg" alt="">'
+                    "</html>"
+                ).encode(),
+            ),
+            ("p2", b"<html><p>no images</p></html>"),
+        ],
+        "url string, html binary",
+    )
+    got = sorted(
+        (r.url, r.img_idx, r.img_src, r.alt_text)
+        for r in extract_image_pairs(pages).collect()
+    )
+    assert got == [
+        ("p1", 0, "/a.jpg", "a cat photo"),
+        ("p1", 1, "/b.png", "dog"),
+        ("p1", 2, "/c.gif", "ordered first"),
+    ]
+    # min_alt_len raises the bar
+    strict = {
+        r.img_idx
+        for r in extract_image_pairs(pages, min_alt_len=4).collect()
+    }
+    assert strict == {0, 2}
