@@ -2239,8 +2239,17 @@ FROM f
 
 def _q_multimodal(spark, sf_dir):
     """Composite multimodal check: typed header decode (image meta) +
-    video frame sampling, union-tagged into one frame (probe column keeps
-    both families driver-checked in one slot)."""
+    video frame sampling + perceptual dHash, union-tagged into one frame
+    (probe column keeps all three families driver-checked in one slot).
+    The dHash probe synthesizes 9×8 single-channel images whose pixel
+    (x, y) is ``(doc_id·31 + x·7 + y·13) % 251`` — at that exact grid
+    size every pooling cell is one pixel, so all 64 hash bits are pure
+    integer comparisons the oracle replays from the pixel formula
+    (ground truth, not a re-implementation)."""
+    import pandas as pd
+
+    from edspdf_spark.functions.multimodal import encode_image, image_dhash
+
     meta = _q_media_meta(spark, sf_dir).select(
         F.lit("meta").alias("probe"),
         "doc_id",
@@ -2253,7 +2262,29 @@ def _q_multimodal(spark, sf_dir):
         "doc_id",
         F.concat_ws(",", "frame_idx", "frame_ts_milli").alias("sig"),
     )
-    return meta.unionAll(frames)
+
+    def dh_pages(batches):
+        for pdf in batches:
+            medias = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                payload = bytes(
+                    (i * 31 + x * 7 + y * 13) % 251
+                    for y in range(8)
+                    for x in range(9)
+                )
+                medias.append(encode_image(9, 8, 1, payload))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    media9 = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        dh_pages, "doc_id bigint, media binary"
+    )
+    dh = image_dhash(media9).select(
+        F.lit("dhash").alias("probe"),
+        "doc_id",
+        F.concat_ws(",", "dhash_hi", "dhash_lo").alias("sig"),
+    )
+    return meta.unionAll(frames).unionAll(dh)
 
 
 _MULTIMODAL_ORACLE = f"""
@@ -2264,6 +2295,25 @@ UNION ALL
 SELECT 'frame' AS probe, doc_id,
        frame_idx || ',' || frame_ts_milli AS sig
 FROM ({_FRAME_SAMPLE_ORACLE})
+UNION ALL
+SELECT 'dhash' AS probe, doc_id,
+       CAST(hi AS VARCHAR) || ',' || CAST(lo AS VARCHAR) AS sig
+FROM (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN b = 1 AND idx >= 32
+                  THEN (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN b = 1 AND idx < 32
+                  THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo
+  FROM (
+    SELECT d.doc_id, (y * 8 + x) AS idx,
+           CASE WHEN ((d.doc_id * 31 + x * 7 + y * 13) % 251)
+                     > ((d.doc_id * 31 + (x + 1) * 7 + y * 13) % 251)
+                THEN 1 ELSE 0 END AS b
+    FROM documents d,
+         UNNEST(generate_series(0, 7)) AS ty(y),
+         UNNEST(generate_series(0, 7)) AS tx(x)
+  ) GROUP BY doc_id
+)
 """
 
 

@@ -338,3 +338,169 @@ def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual dedup (dHash)
+# ---------------------------------------------------------------------------
+
+def image_dhash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash over the typed image container —
+    dHash (public algorithm, Krawetz 2013): intensity = per-pixel CHANNEL
+    SUM (exact integer, no float grayscale), mean-pool onto a
+    ``(hash_w+1)×hash_h`` cell grid with exact integer cell sums, and
+    ``bit(x,y) = 1 iff S(x)·n(x+1) > S(x+1)·n(x)`` — cross-multiplied so
+    NO division or float appears anywhere: the hash is bit-identical on
+    every engine, partitioning, and retry, and a SQL oracle can replay
+    it from the pixel function.
+
+    Returns ``(id, dhash_hi, dhash_lo)`` — the 64 bits split into two
+    32-bit halves carried in BIGINT (``hi`` = bits 32..63), so banding
+    and XOR never touch the int64 sign bit. NULL halves for non-image /
+    corrupt / too-small blobs (smaller than the cell grid).
+
+    Near-dup images differ in a few bits; pair generation is
+    :func:`dhash_candidate_pairs`. One Arrow ``mapInPandas`` stage, zero
+    shuffle.
+    """
+    n_bits = hash_w * hash_h
+    if n_bits != 64:
+        raise ValueError("hash_w*hash_h must be 64 (two 32-bit halves)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for blob in pdf[media_col]:
+                hi = lo = None
+                if blob is not None and len(blob) >= 13 and bytes(blob[:4]) == MAGIC_IMAGE:
+                    w, h, c = struct.unpack(">IIB", bytes(blob[4:13]))
+                    need = w * h * c
+                    if (
+                        c >= 1
+                        and w >= hash_w + 1
+                        and h >= hash_h
+                        and len(blob) >= 13 + need
+                    ):
+                        px = np.frombuffer(
+                            bytes(blob[13 : 13 + need]), dtype=np.uint8
+                        ).reshape(h, w, c)
+                        inten = px.astype(np.int64).sum(axis=2)
+                        xs = [(i * w) // (hash_w + 1) for i in range(hash_w + 2)]
+                        ys = [(j * h) // hash_h for j in range(hash_h + 1)]
+                        s = np.zeros((hash_h, hash_w + 1), dtype=np.int64)
+                        n = np.zeros((hash_h, hash_w + 1), dtype=np.int64)
+                        for j in range(hash_h):
+                            for i in range(hash_w + 1):
+                                block = inten[ys[j]:ys[j + 1], xs[i]:xs[i + 1]]
+                                s[j, i] = int(block.sum())
+                                n[j, i] = block.size
+                        v = 0
+                        for j in range(hash_h):
+                            for i in range(hash_w):
+                                if s[j, i] * n[j, i + 1] > s[j, i + 1] * n[j, i]:
+                                    v |= 1 << (j * hash_w + i)
+                        hi, lo = v >> 32, v & 0xFFFFFFFF
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash_hi": pd.array(his, dtype="Int64"),
+                    "dhash_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, f"{id_col} bigint, dhash_hi bigint, dhash_lo bigint"
+    )
+
+
+def dhash_candidate_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup image pairs from dHash halves: band the 64 bits into
+    four 16-bit buckets (two images within Hamming distance ≤ 3·16/…
+    — any pair differing in < 4 bands shares at least one band exactly,
+    the SimHash/LSH banding argument), bucket-join candidates, then
+    EXACT Hamming rescore (``bit_count(xor)``) and the ``max_hamming``
+    gate. Returns ``(id_a, id_b, hamming)``.
+
+    Same scale shape as :func:`edspdf_spark.functions.dedup.
+    lsh_candidate_pairs`: one (band, bucket)-keyed collect_list exchange
+    with a hot-bucket cap, one pair-keyed distinct, a hash-table join
+    back for the rescore — never a cross join.
+    """
+    h = hashes.where(
+        F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftrightunsigned(
+                        F.col("dhash_lo" if b < 2 else "dhash_hi"),
+                        (b % 2) * 16,
+                    )
+                    % F.lit(65536)
+                ).alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    ex = h.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    buckets = (
+        ex.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= int(max_bucket_size))
+        )
+    )
+    pair_arrays = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    cand = (
+        buckets.select(F.explode(pair_arrays).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .distinct()
+    )
+    a = h.select(
+        F.col(id_col).alias("id_a"),
+        F.col("dhash_hi").alias("_ha"),
+        F.col("dhash_lo").alias("_la"),
+    )
+    b = h.select(
+        F.col(id_col).alias("id_b"),
+        F.col("dhash_hi").alias("_hb"),
+        F.col("dhash_lo").alias("_lb"),
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) + F.bit_count(
+        F.col("_la").bitwiseXOR(F.col("_lb"))
+    )
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -222,3 +222,87 @@ class TestPngCodec:
         assert out[3]["codec"] == "jpeg" and out[3]["pixels"] is None  # no PIL
         assert out[4]["codec"] == "unknown" and out[4]["pixels"] is None
         assert out[5]["codec"] == "corrupt"
+
+
+# --- perceptual dHash dedup -------------------------------------------------
+
+
+def _dhash_replica(w, h, c, payload, hash_w=8, hash_h=8):
+    import numpy as np
+
+    px = np.frombuffer(payload[: w * h * c], dtype=np.uint8).reshape(h, w, c)
+    inten = px.astype(np.int64).sum(axis=2)
+    xs = [(i * w) // (hash_w + 1) for i in range(hash_w + 2)]
+    ys = [(j * h) // hash_h for j in range(hash_h + 1)]
+    v = 0
+    for j in range(hash_h):
+        for i in range(hash_w):
+            b1 = inten[ys[j]:ys[j + 1], xs[i]:xs[i + 1]]
+            b2 = inten[ys[j]:ys[j + 1], xs[i + 1]:xs[i + 2]]
+            if int(b1.sum()) * b2.size > int(b2.sum()) * b1.size:
+                v |= 1 << (j * hash_w + i)
+    return v >> 32, v & 0xFFFFFFFF
+
+
+def test_image_dhash_matches_replica_and_nulls(spark):
+    import numpy as np
+
+    from edspdf_spark.functions.multimodal import encode_image, image_dhash
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expect = {}
+    for did, (w, h, c) in enumerate([(36, 24, 3), (9, 8, 1), (64, 64, 1)]):
+        payload = rng.integers(0, 256, size=w * h * c, dtype=np.uint8).tobytes()
+        rows.append((did, encode_image(w, h, c, payload)))
+        expect[did] = _dhash_replica(w, h, c, payload)
+    rows.append((90, encode_image(4, 4, 1, b"\x00" * 16)))  # too small -> NULL
+    rows.append((91, b"JUNK"))                               # corrupt -> NULL
+    rows.append((92, encode_image(36, 24, 3, b"\x01" * 10)))  # truncated -> NULL
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: (r.dhash_hi, r.dhash_lo) for r in image_dhash(df).collect()}
+    for did, hl in expect.items():
+        assert got[did] == hl, did
+    for did in (90, 91, 92):
+        assert got[did] == (None, None)
+
+
+def test_dhash_candidate_pairs_near_and_far(spark):
+    import numpy as np
+
+    from edspdf_spark.functions.multimodal import (
+        dhash_candidate_pairs,
+        encode_image,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=40 * 24, dtype=np.uint8)
+    tweaked = base.copy()
+    tweaked[:8] = (tweaked[:8].astype(int) + 3).astype(np.uint8)  # tiny edit
+    other = rng.integers(0, 256, size=40 * 24, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, encode_image(40, 24, 1, base.tobytes())),
+            (2, encode_image(40, 24, 1, base.tobytes())),   # exact dup
+            (3, encode_image(40, 24, 1, tweaked.tobytes())),  # near dup
+            (4, encode_image(40, 24, 1, other.tobytes())),  # unrelated
+        ],
+        "doc_id long, media binary",
+    )
+    hashes = image_dhash(df)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_candidate_pairs(hashes, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 <= pairs[(1, 3)] <= 8
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # partitioning invariance of the whole path
+    again = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_candidate_pairs(
+            image_dhash(df.repartition(8)), max_hamming=8
+        ).collect()
+    }
+    assert again == pairs
