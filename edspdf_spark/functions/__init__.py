@@ -43,6 +43,10 @@ from edspdf_spark.functions.search import (
     build_text_index,
     tfidf_keywords,
 )
+from edspdf_spark.functions.multimodal import (
+    dhash_candidate_pairs,
+    image_dhash,
+)
 from edspdf_spark.functions.similarity import cosine_topk, lsh_ann_topk
 from edspdf_spark.functions.urls import canonicalize_url, dedup_url_groups
 
@@ -84,4 +88,6 @@ __all__ = [
     "tfidf_keywords",
     "cosine_topk",
     "lsh_ann_topk",
+    "image_dhash",
+    "dhash_candidate_pairs",
 ]

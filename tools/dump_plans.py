@@ -499,6 +499,49 @@ def main() -> None:
             ))(__import__("edspdf_spark.functions.dedup", fromlist=["x"])),
         ),
         (
+            "dhash_candidate_pairs (perceptual image dedup)",
+            "Hash halves band into four 16-bit buckets (pure bit "
+            "expressions in the scan stage); ONE (band, bucket)-keyed "
+            "collect_list exchange + in-bucket pair expansion (same shape "
+            "as minhash LSH — never a cross join), one pair-keyed "
+            "distinct, then hash-table joins back for the exact "
+            "bit_count(xor) Hamming rescore.",
+            (lambda _m: _m.dhash_candidate_pairs(
+                docs.select(
+                    "doc_id",
+                    (F.abs(F.xxhash64("text")) % F.lit(2**32)).alias("dhash_lo"),
+                    (F.abs(F.xxhash64("text", "doc_id")) % F.lit(2**32)).alias(
+                        "dhash_hi"
+                    ),
+                ),
+                max_hamming=8,
+            ))(__import__("edspdf_spark.functions.multimodal", fromlist=["x"])),
+        ),
+        (
+            "extract_image_pairs (LAION-style harvest)",
+            "Tag scan is one regexp_extract_all projection; src/alt pulls "
+            "are per-tag regexes over the posexploded tag string — the "
+            "whole operator must stay in the scan's stage: zero "
+            "exchanges, zero Python, generator + filter only.",
+            (lambda _x: _x.extract_image_pairs(
+                docs.select(
+                    F.col("doc_id").cast("string").alias("url"),
+                    F.encode(
+                        F.concat(
+                            F.lit('<html><img src="/i/'),
+                            F.col("doc_id").cast("string"),
+                            F.lit('.jpg" alt="pic"></html>'),
+                        ),
+                        "utf-8",
+                    ).alias("html"),
+                )
+            ))(
+                __import__(
+                    "edspdf_spark.operators.extract_html", fromlist=["x"]
+                )
+            ),
+        ),
+        (
             "tfidf_keywords (corpus annotation)",
             "Per-doc top-k distinctive terms off the inverted index. "
             "postings⨝df joins on the TERM key both sides (the df table "
