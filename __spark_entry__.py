@@ -222,6 +222,23 @@ def _q_text_signals(spark, sf_dir):
     lm_sig = perplexity_buckets(
         docs.select("doc_id", "lang", "text"), lm, sample_mod=2
     ).select("doc_id", "lm_n_bigrams", "lm_lp_micro", "nlp_milli", "ppl_bucket")
+    # adjacent-line dedup probe: the line_text probe (break before every
+    # ' the ') plus a tripled FOOT footer — the collapse must remove the
+    # two duplicate footer lines plus any organic adjacent repeats
+    from edspdf_spark.functions.text import with_line_dedup
+
+    ld_sig = with_line_dedup(
+        probed.select(
+            "doc_id",
+            F.concat(
+                F.col("line_text"), F.lit("\nFOOT\nFOOT\nFOOT")
+            ).alias("text"),
+        )
+    ).select(
+        "doc_id",
+        F.md5("line_deduped").alias("line_dedup_md5"),
+        "n_lines_removed",
+    )
     # Flesch readability probe (c4_probe-shaped text so sentence counts
     # vary per doc — the raw corpus has no terminal punctuation)
     from edspdf_spark.functions.text import with_readability
@@ -293,6 +310,7 @@ def _q_text_signals(spark, sf_dir):
         .join(top2, on="doc_id")
         .join(lm_sig, on="doc_id")
         .join(mix_sig, on="doc_id")
+        .join(ld_sig, on="doc_id")
         .join(rd_sig, on="doc_id")
         .join(bl_sig, on="doc_id")
         .join(c4_sig, on="doc_id")
@@ -327,6 +345,8 @@ def _q_text_signals(spark, sf_dir):
         "ppl_bucket",
         "mix_rate_micro",
         "mix_n_copies",
+        "line_dedup_md5",
+        "n_lines_removed",
         "rd_n_words",
         "rd_n_sentences",
         "rd_n_syllables",
@@ -592,6 +612,22 @@ mixd AS (
         FROM documents) p
   JOIN mixr r ON r.lang = p.lang
 ),
+ld AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_transform(
+             list_filter(generate_series(1, len(l)),
+                         i -> i = 1 OR l[i] != l[i - 1]),
+             i -> l[i]), chr(10))) AS line_dedup_md5,
+         CAST(len(l) - len(list_filter(generate_series(1, len(l)),
+                           i -> i = 1 OR l[i] != l[i - 1])) AS BIGINT)
+           AS n_lines_removed
+  FROM (SELECT doc_id,
+               str_split(replace(text, ' the ', chr(10) || 'the ')
+                 || chr(10) || 'FOOT' || chr(10) || 'FOOT' || chr(10) || 'FOOT',
+                 chr(10)) AS l
+        FROM documents)
+),
 rd AS (
   SELECT doc_id,
          CAST(w AS BIGINT) AS rd_n_words,
@@ -651,6 +687,7 @@ SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        lm.lm_n_bigrams, lm.lm_lp_micro,
        pb.nlp_milli, pb.ppl_bucket,
        mx.mix_rate_micro, mx.mix_n_copies,
+       ld.line_dedup_md5, ld.n_lines_removed,
        rd.rd_n_words, rd.rd_n_sentences, rd.rd_n_syllables,
        rd.rd_flesch_milli,
        bl.blocklist_count, bl.blocklist_fraction, bl.blocklist_hit,
@@ -667,6 +704,7 @@ FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN lm ON lm.doc_id = t.doc_id
        JOIN pplbkt pb ON pb.doc_id = t.doc_id
        JOIN mixd mx ON mx.doc_id = t.doc_id
+       JOIN ld ON ld.doc_id = t.doc_id
        JOIN rd ON rd.doc_id = t.doc_id
        JOIN bl ON bl.doc_id = t.doc_id
        JOIN c4 ON c4.doc_id = t.doc_id

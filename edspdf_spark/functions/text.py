@@ -342,3 +342,37 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         "rd_flesch_milli",
         F.when(F.col("rd_n_words") > 0, flesch),
     )
+
+
+def dedup_adjacent_lines(col: Column) -> Column:
+    """Collapse runs of identical consecutive lines to one occurrence —
+    the intra-document cleanup pass (RefinedWeb-style line dedup;
+    navigation chrome and scraped widgets repeat the same line back to
+    back). Pure higher-order expression: split on newline, keep line i
+    iff ``i == 0`` or it differs from line ``i−1``, rejoin — zero
+    shuffle, zero Python, and the DuckDB oracle replays it with a
+    ``generate_series`` index filter."""
+    lines = F.split(col, "\n", -1)
+    # element_at is 1-based: index i (0-based) reads the PREVIOUS line;
+    # greatest(i, 1) keeps the i == 0 probe in-bounds (ANSI mode errors
+    # on index 0 — the OR branch already decides that row)
+    kept = F.filter(
+        lines,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(lines, F.greatest(i, F.lit(1)).cast("int"))),
+    )
+    return F.array_join(kept, "\n")
+
+
+def with_line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``line_deduped`` (the collapsed text) and
+    ``n_lines_removed`` (how many consecutive-duplicate lines were
+    dropped) — both scan-stage projections."""
+    lines = F.split(F.col(text_col), "\n", -1)
+    deduped = dedup_adjacent_lines(F.col(text_col))
+    return df.withColumn("line_deduped", deduped).withColumn(
+        "n_lines_removed",
+        (F.size(lines) - F.size(F.split(F.col("line_deduped"), "\n", -1))).cast(
+            "long"
+        ),
+    )

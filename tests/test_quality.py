@@ -1007,3 +1007,45 @@ ORDER BY doc_id
 """).fetchall()
     for did, f in want:
         assert got[did][3] == f
+
+
+def test_line_dedup_adjacent(spark):
+    """Consecutive duplicate lines collapse; non-adjacent repeats stay;
+    blank lines dedupe too; single-line and empty docs are no-ops."""
+    import duckdb
+
+    from edspdf_spark.functions.text import with_line_dedup
+
+    rows = [
+        (1, "a\na\na\nb\na"),          # runs collapse, distant repeat stays
+        (2, "x\ny\nx"),                 # nothing adjacent
+        (3, "only one line"),
+        (4, ""),
+        (5, "p\n\n\nq"),                # blank-line run collapses
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.line_deduped, r.n_lines_removed)
+        for r in with_line_dedup(df).collect()
+    }
+    assert got[1] == ("a\nb\na", 2)
+    assert got[2] == ("x\ny\nx", 0)
+    assert got[3] == ("only one line", 0)
+    assert got[4] == ("", 0)
+    assert got[5] == ("p\n\nq", 1)
+    # DuckDB differential on the index-filter semantics
+    duckdb.sql("CREATE OR REPLACE TABLE ldocs AS SELECT * FROM (VALUES "
+               + ",".join("({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '"))
+                          for i, t in rows) + ") t(doc_id, text)")
+    want = duckdb.sql(r"""
+SELECT doc_id,
+  array_to_string(
+    list_transform(
+      list_filter(generate_series(1, len(l)),
+                  i -> i = 1 OR l[i] != l[i - 1]),
+      i -> l[i]), chr(10)) AS deduped
+FROM (SELECT doc_id, str_split(text, chr(10)) AS l FROM ldocs)
+ORDER BY doc_id
+""").fetchall()
+    for did, deduped in want:
+        assert got[did][0] == deduped
