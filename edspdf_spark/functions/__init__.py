@@ -3,6 +3,9 @@ from edspdf_spark.functions.text import (
     with_quality,
     with_lang_guess,
     with_fingerprint,
+    with_readability,
+    with_line_dedup,
+    dedup_adjacent_lines,
 )
 from edspdf_spark.functions.dedup import (
     dedup_exact,
@@ -57,6 +60,9 @@ __all__ = [
     "with_quality",
     "with_lang_guess",
     "with_fingerprint",
+    "with_readability",
+    "with_line_dedup",
+    "dedup_adjacent_lines",
     "dedup_exact",
     "dedup_spans",
     "dedup_substrings",
