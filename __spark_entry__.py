@@ -2688,6 +2688,113 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM (
 """
 
 
+def _q_ann_indexed(spark, sf_dir):
+    """Both indexed ANN paths (random-hyperplane LSH + IVF coarse
+    quantizer) in one composite so the whole family fits one driver slot;
+    each leg keeps its own value-level oracle (union of the two)."""
+    lsh = _q_lsh_ann(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "rank", "vec_id"
+    )
+    ivf = _q_ivf_ann(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "rank", "vec_id"
+    )
+    return lsh.unionByName(ivf)
+
+
+def _ann_indexed_oracle() -> str:
+    return f"""
+SELECT 'lsh' AS method, query_id, rank, vec_id FROM ({_lsh_ann_oracle()})
+UNION ALL
+SELECT 'ivf' AS method, query_id, rank, vec_id FROM ({_ivf_serve_oracle()})
+"""
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic-near-dup pruning verdicts,
+    value-level oracle-checked with the same DETERMINISTIC codebook trick
+    as the IVF serve path: the 16 lowest-vec_id embeddings stand in for
+    k-means centroids (the codebook is an input to the prune plan, so the
+    prune semantics are checked independently of quantizer training). The
+    trained twin (functions.similarity.semdedup) runs the identical plan
+    with seeded k-means centroids; tests/test_functions.py asserts the
+    paper's keep-farthest-from-centroid rule on planted clusters."""
+    from edspdf_spark.functions.similarity import semdedup_verdicts
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    return semdedup_verdicts(emb, cent, eps=0.6)
+
+
+def _semdedup_oracle(dim: int = 64, eps: float = 0.6) -> str:
+    thr = 1.0 - float(eps)
+
+    def cos(a: str, b: str) -> str:
+        dot = " + ".join(
+            f"CAST({a}.embedding[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+            for j in range(1, dim + 1)
+        )
+        na = " + ".join(
+            f"CAST({a}.embedding[{j}] AS DOUBLE) * CAST({a}.embedding[{j}] AS DOUBLE)"
+            for j in range(1, dim + 1)
+        )
+        nb = " + ".join(
+            f"CAST({b}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+            for j in range(1, dim + 1)
+        )
+        return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+    # pair cosine with the SAME operand order as semdedup_verdicts'
+    # _cos_expr(u, v): dot over (u_j * v_j), norm-u then norm-v
+    pair_dot = " + ".join(
+        f"CAST(eu.embedding[{j}] AS DOUBLE) * CAST(ev.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    pair_nu = " + ".join(
+        f"CAST(eu.embedding[{j}] AS DOUBLE) * CAST(eu.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    pair_nv = " + ".join(
+        f"CAST(ev.embedding[{j}] AS DOUBLE) * CAST(ev.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+sims AS (
+  SELECT e.vec_id, c.cid, {cos('e', 'c.c_emb')} AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cid AS cell, sim AS cent_sim FROM (
+    SELECT vec_id, cid, sim,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT v.vec_id
+  FROM cells v
+  JOIN cells u ON u.cell = v.cell
+   AND (u.cent_sim < v.cent_sim
+        OR (u.cent_sim = v.cent_sim AND u.vec_id < v.vec_id))
+  JOIN embeddings ev ON ev.vec_id = v.vec_id
+  JOIN embeddings eu ON eu.vec_id = u.vec_id
+  WHERE ({pair_dot}) / (sqrt({pair_nu}) * sqrt({pair_nv})) >= {thr!r}
+)
+SELECT c.vec_id, c.cell, c.cent_sim, (d.vec_id IS NULL) AS keep
+FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+"""
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from edspdf_spark.functions.similarity import cosine_neardup_pairs
 
@@ -4039,10 +4146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,
         # multimodal binary columns
         "multimodal_meta_frames": _q_multimodal,
-        # similarity / ANN
+        # similarity / ANN (lsh+ivf indexed paths share one composite slot
+        # so SemDeDup fits the driver's 50-query window)
         "ann_cosine_topk": _q_ann_cosine,
-        "lsh_ann_topk": _q_lsh_ann,
-        "ivf_ann_topk": _q_ivf_ann,
+        "ann_indexed_topk": _q_ann_indexed,
+        "semdedup": _q_semdedup,
         "lsh_neardup": _q_lsh_neardup,
         # extraction-quality eval + link-graph PageRank (round 3)
         "extraction_eval": _q_extraction_eval,
@@ -4106,8 +4214,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selection": _dsir_selection_oracle(),
         "multimodal_meta_frames": _MULTIMODAL_ORACLE,
         "ann_cosine_topk": _ann_cosine_oracle(),
-        "lsh_ann_topk": _lsh_ann_oracle(),
-        "ivf_ann_topk": _ivf_serve_oracle(),
+        "ann_indexed_topk": _ann_indexed_oracle(),
+        "semdedup": _semdedup_oracle(),
         "lsh_neardup": _lsh_neardup_oracle(),
         "extraction_eval": _extraction_eval_oracle(),
         "pagerank_links": _pagerank_links_oracle(),

@@ -654,3 +654,157 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def semdedup_verdicts(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = None,
+    persist_cells: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep/drop verdicts
+    with a GIVEN codebook — the semantic near-duplicate pruner used on
+    LAION/C4-scale corpora.
+
+    Semantics (the paper's released triangular implementation, not
+    connected components): every vector is assigned to its nearest
+    centroid cell (argmax cosine, ties -> lowest ``cid``); within a cell,
+    vectors are ranked by *retention priority* — ascending similarity to
+    the cell centroid (the paper keeps the example FARTHEST from the
+    centroid), ties -> lowest id. A vector is DROPPED iff some
+    higher-priority vector in the same cell has cosine ``>= 1 - eps``
+    with it.
+
+    Plan shape (zero Python, pure Catalyst):
+
+    * cell assignment — corpus × broadcast(centroids) cosine, ``max_by``
+      groupBy argmax (partial-aggregatable, no window over the corpus);
+    * in-cell pairs — one self equi-join on the cell id (the shuffle
+      key; cell sizes are the scale control — pick ``n_cells`` so the
+      mean cell is O(corpus / n_cells), exactly the paper's regime of
+      ~50k clusters for LAION) with the priority predicate folded into
+      the join condition so only the triangular half materializes. A
+      sort-merge join on the cell key STREAMS cell members instead of
+      materializing a per-cell array, which is why this beats a
+      collect_list pair expansion here: at 768-dim embeddings a 10^5-row
+      cell as one array row would be ~0.6 GB;
+    * verdict — left anti semantics via a distinct-dropped left join.
+
+    ``persist_cells=True`` (default) persists the assignment frame —
+    Catalyst does not reuse exchanges across self-join sides, so without
+    it the broadcast-assign + argmax aggregation runs three times (both
+    pair sides + the verdict spine). The persisted frame is exactly the
+    "cluster assignment" artifact production IVF/SemDeDup systems write
+    out anyway; callers managing their own lifecycle can pass False and
+    checkpoint/write it themselves.
+
+    All cosines are left-assoc expression sums (:func:`_cos_expr`) so a
+    DuckDB oracle ranks and thresholds bit-identically.
+
+    ``centroids``: small DataFrame ``(cid int, c_emb array)`` — e.g.
+    :func:`kmeans_fit` output or any deterministic codebook.
+    Returns ``(vec_id, cell, cent_sim, keep)`` for every corpus row.
+    """
+    if dim is None:
+        head = corpus.select(vec_col).head(1)
+        if not head:
+            return corpus.sparkSession.createDataFrame(
+                [],
+                f"{id_col} {_id_type(corpus, id_col)}, cell int,"
+                " cent_sim double, keep boolean",
+            )
+        dim = len(head[0][0])
+
+    cent = F.broadcast(centroids.select("cid", "c_emb"))
+
+    # (vec_id, embedding, cell, cent_sim): argmax cosine over the codebook,
+    # ties -> lowest cid (np.argmax first-max semantics, as in ivf_serve_topk)
+    cells = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(cent)
+        .withColumn("sim", _cos_expr(vec_col, "c_emb", dim))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("cid", F.struct(F.col("sim"), -F.col("cid"))).alias("cell"),
+            F.max(F.struct(F.col("sim"), -F.col("cid"))).getField("sim").alias(
+                "cent_sim"
+            ),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+    if persist_cells:
+        cells = cells.persist()
+
+    u = cells.alias("u")
+    v = cells.alias("v")
+    # triangular: u strictly higher retention priority than v
+    priority = (F.col("u.cent_sim") < F.col("v.cent_sim")) | (
+        (F.col("u.cent_sim") == F.col("v.cent_sim"))
+        & (F.col(f"u.{id_col}") < F.col(f"v.{id_col}"))
+    )
+    pair_cos = _cos_expr(f"u.{vec_col}", f"v.{vec_col}", dim)
+    dropped = (
+        v.join(u, on=(F.col("u.cell") == F.col("v.cell")) & priority)
+        .filter(pair_cos >= F.lit(1.0 - float(eps)))
+        .select(F.col(f"v.{id_col}").alias("_dropped_id"))
+        .distinct()
+    )
+
+    return (
+        cells.join(
+            dropped, on=F.col(id_col) == F.col("_dropped_id"), how="left"
+        )
+        .select(
+            id_col,
+            "cell",
+            "cent_sim",
+            F.col("_dropped_id").isNull().alias("keep"),
+        )
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    eps: float = 0.05,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    max_sample_rows: int = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained twin of :func:`semdedup_verdicts`: fit the codebook with
+    seeded k-means on a BOUNDED driver-side sample (same guard rails as
+    :func:`ivf_ann_topk` — ``sample_fraction`` thins, ``max_sample_rows``
+    hard-caps, ordered limit for run-to-run determinism), then prune.
+    Returns the same ``(vec_id, cell, cent_sim, keep)`` verdict frame."""
+    if max_sample_rows is None:
+        max_sample_rows = max(n_cells * 256, 20_000)
+    samp = corpus.select(id_col, vec_col)
+    if sample_fraction < 1.0:
+        samp = samp.sample(fraction=sample_fraction, seed=seed)
+    sample = np.array(
+        [
+            np.asarray(r[1], dtype=np.float64)
+            for r in samp.orderBy(id_col).limit(int(max_sample_rows)).collect()
+        ]
+    )
+    if not len(sample):
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {_id_type(corpus, id_col)}, cell int,"
+            " cent_sim double, keep boolean",
+        )
+    centroids = kmeans_fit(sample, n_cells, seed=seed)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, c_emb array<double>",
+    )
+    return semdedup_verdicts(
+        corpus, cent_df, eps=eps, id_col=id_col, vec_col=vec_col,
+        dim=int(centroids.shape[1]),
+    )

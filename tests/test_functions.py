@@ -614,3 +614,75 @@ def test_lsh_incremental_hot_bucket_cap(spark):
         for r in lsh_incremental_pairs(sig_new, sig_old, max_bucket_size=5).collect()
     }
     assert got == {(101, 100)}  # the boilerplate cluster was capped away
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup (arXiv:2303.09540) triangular rule on planted clusters:
+    within a cell, a group of near-identical vectors keeps exactly the one
+    with the LOWEST centroid similarity; out-of-group outliers survive."""
+    import numpy as np
+
+    from edspdf_spark.functions.similarity import semdedup, semdedup_verdicts
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((4, 8))
+    rows, vid = [], 0
+    for c in range(4):
+        for j in range(5):
+            v = base[c] + rng.standard_normal(8) * (0.01 if j < 3 else 2.0)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(4)],
+        "cid int, c_emb array<double>",
+    )
+    out = {r.vec_id: r for r in semdedup_verdicts(df, cent, eps=0.05).collect()}
+    assert len(out) == 20
+    # replicate the rule locally from the verdict frame itself
+    import collections
+
+    by_cell = collections.defaultdict(list)
+    for r in out.values():
+        by_cell[r.cell].append(r)
+    vecs = {i: np.asarray(e, dtype=np.float64) for i, e in rows}
+    for cell, members in by_cell.items():
+        members.sort(key=lambda r: (r.cent_sim, r.vec_id))
+        kept_so_far = []
+        for r in members:
+            v = vecs[r.vec_id] / np.linalg.norm(vecs[r.vec_id])
+            clash = any(
+                float(v @ (vecs[u] / np.linalg.norm(vecs[u]))) >= 1 - 0.05 - 1e-12
+                for u in [m.vec_id for m in members
+                          if (m.cent_sim, m.vec_id) < (r.cent_sim, r.vec_id)]
+            )
+            assert r.keep == (not clash), (cell, r.vec_id)
+            if r.keep:
+                kept_so_far.append(r.vec_id)
+    # each planted triple collapses to one survivor -> 4 cells * (1 + 2 outliers)
+    assert sum(1 for r in out.values() if r.keep) == 12
+    # trained twin: same counts with seeded k-means codebook
+    trained = semdedup(df, n_cells=4, eps=0.05)
+    assert trained.filter("keep").count() == 12
+    assert trained.count() == 20
+
+
+def test_semdedup_empty_and_determinism(spark):
+    from edspdf_spark.functions.similarity import semdedup_verdicts
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid int, c_emb array<double>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semdedup_verdicts(empty, cent, eps=0.1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cell", "cent_sim", "keep",
+    ]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(map(tuple, semdedup_verdicts(df, cent, eps=0.05).collect()))
+    b = sorted(map(tuple, semdedup_verdicts(df, cent, eps=0.05).collect()))
+    assert a == b

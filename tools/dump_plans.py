@@ -230,6 +230,29 @@ def main() -> None:
             ))(__import__("edspdf_spark.functions.similarity", fromlist=["x"])),
         ),
         (
+            "semdedup_verdicts (semantic near-dup prune)",
+            "SemDeDup over a given codebook. Cell assignment = broadcast "
+            "nested-loop vs the tiny codebook + partial-aggregatable max_by "
+            "groupBy, computed ONCE and persisted (InMemoryTableScan on "
+            "every reuse — Catalyst won't share exchanges across self-join "
+            "sides); the triangular in-cell pair scan is a single "
+            "CELL-keyed self equi-join that STREAMS cell members (no "
+            "per-cell collect_list array — at 768-dim a 10^5-row cell as "
+            "one row would be ~0.6 GB) with the priority predicate folded "
+            "into the join (cell size is the scale knob — n_cells grows "
+            "with the corpus, as in the paper's ~50k-cluster LAION runs); "
+            "verdict = distinct dropped-ids + one left join back to the "
+            "spine. No cross join, no window over the corpus.",
+            (lambda _sim: _sim.semdedup_verdicts(
+                emb,
+                emb.orderBy("vec_id").limit(16).select(
+                    F.col("vec_id").cast("int").alias("cid"),
+                    F.col("embedding").alias("c_emb"),
+                ),
+                eps=0.6,
+            ))(__import__("edspdf_spark.functions.similarity", fromlist=["x"])),
+        ),
+        (
             "top_ngram_stats (repetition quality gate)",
             "Gopher-style top-n-gram coverage. N-gram synthesis is a pure "
             "higher-order-function projection in the scan stage; the explode "
