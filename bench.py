@@ -93,6 +93,27 @@ def bench_lsh_neardup(spark, sf_dir):
     materialize(lsh_neardup_pairs(emb, threshold=0.4, n_bits=6, n_tables=2, seed=42))
 
 
+def bench_semdedup(spark, sf_dir):
+    """SemDeDup semantic pruning, production (Arrow/BLAS) twin: seeded
+    k-means codebook on a capped sample, batch-matmul cell assignment, one
+    cell-keyed exchange, per-cell triangular G = N@N.T scan."""
+    from edspdf_spark.functions.similarity import (
+        kmeans_fit,
+        semdedup_verdicts_vec,
+    )
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = np.array(
+        [r[1] for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(20000).collect()]
+    )
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(kmeans_fit(sample, 64))],
+        "cid int, c_emb array<double>",
+    )
+    materialize(semdedup_verdicts_vec(emb, cent, eps=0.6))
+
+
 def bench_pdf_bytes(spark, corpus_path):
     """Real %PDF- byte ingestion: pure-Python PDF parse (object scan,
     FlateDecode, content interpret, line grouping) → classify → aggregate
@@ -451,6 +472,7 @@ def main():
         "mask_argmax": lambda: bench_mask_argmax(spark, SF_DIR),
         "minhash_lsh": lambda: bench_minhash_lsh(spark, SF_DIR),
         "lsh_neardup": lambda: bench_lsh_neardup(spark, SF_DIR),
+        "semdedup": lambda: bench_semdedup(spark, SF_DIR),
         "ann_cosine_topk": lambda: bench_ann(spark, SF_DIR),
         "pricing_summary": lambda: bench_pricing(spark, SF_DIR),
         "box_embedding": lambda: bench_box_embedding(spark, SF_DIR),
