@@ -1157,7 +1157,17 @@ def _q_training_prep(spark, sf_dir):
         max_epochs=2.0,
         lang_col="lang_guess",
     )
-    return split_assign(mixed, by_col="doc_id", seed=5).select(
+    # ... and the last stage of any corpus assembly: the seeded
+    # deterministic GLOBAL SHUFFLE (training order must not be crawl
+    # order) — a pure projection appending (shuffle_shard, shuffle_rank)
+    from edspdf_spark.functions.quality import with_shuffle_order
+
+    return with_shuffle_order(
+        split_assign(mixed, by_col="doc_id", seed=5),
+        by_col="doc_id",
+        seed=3,
+        n_shards=64,
+    ).select(
         "doc_id",
         "lang_guess",
         "doc_len",
@@ -1166,6 +1176,8 @@ def _q_training_prep(spark, sf_dir):
         "mix_rate_micro",
         "n_copies",
         "split",
+        "shuffle_shard",
+        "shuffle_rank",
     )
 
 
@@ -1921,7 +1933,9 @@ SELECT s.doc_id, s.lang_guess, s.doc_len, s.n_tokens, s.n_dups,
               THEN 1 ELSE 0 END AS n_copies,
        CASE WHEN (SELECT HEX15FOLD FROM (SELECT substr(md5('5|' || CAST(s.doc_id AS VARCHAR)), 1, 15) AS s2) _h15) % 1000000 < 900000 THEN 'train'
             WHEN (SELECT HEX15FOLD FROM (SELECT substr(md5('5|' || CAST(s.doc_id AS VARCHAR)), 1, 15) AS s2) _h15) % 1000000 < 950000 THEN 'valid'
-            ELSE 'test' END AS split
+            ELSE 'test' END AS split,
+       CAST((SELECT HEX15FOLD FROM (SELECT substr(md5('shuffle|3|' || CAST(s.doc_id AS VARCHAR)), 1, 15) AS s2) _hs) % 64 AS INT) AS shuffle_shard,
+       (SELECT HEX15FOLD FROM (SELECT substr(md5('shuffle|3|' || CAST(s.doc_id AS VARCHAR)), 1, 15) AS s2) _hs2) AS shuffle_rank
 FROM samp s JOIN mixr r USING (lang_guess)
 """
 

@@ -766,3 +766,34 @@ def split_assign(
     for bound, nm in reversed(bounds):
         expr = F.when(u < F.lit(bound), F.lit(nm)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def with_shuffle_order(
+    df: DataFrame,
+    by_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 1024,
+) -> DataFrame:
+    """Seeded deterministic GLOBAL SHUFFLE for training order — the final
+    corpus-assembly stage before shard writing (every LLM data pipeline
+    ends with one; an unshuffled corpus trains on crawl order, i.e.
+    domain-clustered batches).
+
+    Appends ``shuffle_shard`` (int) and ``shuffle_rank`` (60-bit BIGINT):
+    the training order is ``ORDER BY (shuffle_shard, shuffle_rank,
+    key)`` — a pseudo-random permutation that is a pure function of
+    ``(seed, key)``, so any engine, retry or resumed job produces the
+    SAME order, and a new ``seed`` per epoch reshuffles without RNG
+    state. Writers ``partitionBy(shuffle_shard)`` and sort within shard;
+    readers stream shards in id order. Zero shuffle here — one
+    scan-stage projection (the md5 ``conv`` builtin), the only exchange
+    is the writer's own partitionBy.
+    """
+    from edspdf_spark.functions.dsir import _hex15_hash
+
+    key = _hex15_hash(
+        F.concat(F.lit(f"shuffle|{int(seed)}|"), F.col(by_col).cast("string"))
+    )
+    return df.withColumn(
+        "shuffle_shard", (key % F.lit(int(n_shards))).cast("int")
+    ).withColumn("shuffle_rank", key)

@@ -1049,3 +1049,37 @@ ORDER BY doc_id
 """).fetchall()
     for did, deduped in want:
         assert got[did][0] == deduped
+
+
+def test_shuffle_order_is_seeded_permutation(spark):
+    """with_shuffle_order: deterministic per (seed, key), epoch reshuffle
+    via a new seed, shards roughly balanced, order decorrelated from the
+    input (crawl) order."""
+    from edspdf_spark.functions.quality import with_shuffle_order
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    a = with_shuffle_order(df, seed=0, n_shards=16).collect()
+    b = with_shuffle_order(df, seed=0, n_shards=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    order0 = [
+        r.doc_id
+        for r in sorted(a, key=lambda r: (r.shuffle_shard, r.shuffle_rank, r.doc_id))
+    ]
+    c = with_shuffle_order(df, seed=1, n_shards=16).collect()
+    order1 = [
+        r.doc_id
+        for r in sorted(c, key=lambda r: (r.shuffle_shard, r.shuffle_rank, r.doc_id))
+    ]
+    assert order0 != order1  # new seed => new epoch order
+    assert sorted(order0) == list(range(2000))  # a permutation
+    assert order0 != list(range(2000))  # not crawl order
+    # shards balanced within 3x of uniform
+    import collections
+
+    counts = collections.Counter(r.shuffle_shard for r in a)
+    assert len(counts) == 16
+    assert max(counts.values()) < 3 * (2000 / 16)
+    # rank collisions are possible in principle (60-bit hash) but not here
+    assert len({(r.shuffle_shard, r.shuffle_rank) for r in a}) == 2000
