@@ -9,6 +9,7 @@ from edspdf_spark.sources.writers import (
     to_pandas,
     to_iterable,
     write_files,
+    write_training_shards,
 )
 from edspdf_spark.sources.resume import ResumableSink
 from edspdf_spark.sources.warc import (
@@ -33,5 +34,6 @@ __all__ = [
     "to_pandas",
     "to_iterable",
     "write_files",
+    "write_training_shards",
     "ResumableSink",
 ]

@@ -75,3 +75,40 @@ def write_files(
                     f.write(r[annotations_col])
 
     df.select(*cols).foreachPartition(dump)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    by_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 1024,
+    mode: str = "error",
+    num_rows_per_file: Optional[int] = None,
+) -> None:
+    """Training-corpus sink: the seeded deterministic global shuffle
+    (``quality.with_shuffle_order``) made physical. Rows land in
+    ``shuffle_shard=K/`` directories, RANK-SORTED within each shard's
+    files, so a trainer streaming shards 0..n-1 (files in order) reads
+    the exact (seed, key)-hash permutation — reproducible across
+    engines, retries and resumes; a new ``seed`` per epoch re-lays the
+    corpus without any RNG state.
+
+    Plan: one shard-keyed exchange (``repartition(shuffle_shard)``) +
+    Tungsten sort within partitions — the ONLY shuffle the whole
+    shuffle-and-write stage needs; no global sort, no driver funnel. At
+    10^12 docs raise ``n_shards`` until a shard fits one task (same
+    sizing rule as ``pack_chunks``).
+    """
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.quality import with_shuffle_order
+
+    out = with_shuffle_order(df, by_col=by_col, seed=seed, n_shards=n_shards)
+    out = out.repartition("shuffle_shard").sortWithinPartitions(
+        "shuffle_shard", "shuffle_rank", F.col(by_col)
+    )
+    w = out.write.mode(mode)
+    if num_rows_per_file:
+        w = w.option("maxRecordsPerFile", int(num_rows_per_file))
+    w.partitionBy("shuffle_shard").parquet(path)

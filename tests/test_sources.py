@@ -111,3 +111,53 @@ def test_annotation_sidecar_roundtrip(spark, tmp_path):
     assert rows[b"PAYLOAD-2"]["annotations"] is None
     # the .json sidecars themselves must not appear as payload rows
     assert all(not r["url"].endswith(".json") for r in rows.values())
+
+
+def test_write_training_shards_lays_out_permutation(spark, tmp_path):
+    """Shard dirs are rank-sorted inside, and streaming shards 0..n-1
+    reproduces exactly the with_shuffle_order permutation — the property
+    a trainer relies on for reproducible data order."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from edspdf_spark.functions.quality import with_shuffle_order
+    from edspdf_spark.sources.writers import write_training_shards
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(500)], "doc_id long, text string")
+    p = str(tmp_path / "shards")
+    write_training_shards(df, p, seed=7, n_shards=8)
+
+    expected = [
+        r.doc_id
+        for r in sorted(
+            with_shuffle_order(df, seed=7, n_shards=8).collect(),
+            key=lambda r: (r.shuffle_shard, r.shuffle_rank, r.doc_id),
+        )
+    ]
+    got = []
+    shard_dirs = sorted(
+        glob.glob(os.path.join(p, "shuffle_shard=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    assert len(shard_dirs) == 8
+    for d in shard_dirs:
+        ranks_in_shard = []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            t = pq.read_table(f)
+            got.extend(t.column("doc_id").to_pylist())
+            ranks_in_shard.extend(t.column("shuffle_rank").to_pylist())
+        assert ranks_in_shard == sorted(ranks_in_shard)  # rank-sorted files
+    assert got == expected  # the exact permutation, end to end
+    # epoch 2: a different seed lays out a different order
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(df, p2, seed=8, n_shards=8)
+    got2 = []
+    for d in sorted(
+        glob.glob(os.path.join(p2, "shuffle_shard=*")),
+        key=lambda x: int(x.rsplit("=", 1)[1]),
+    ):
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            got2.extend(pq.read_table(f).column("doc_id").to_pylist())
+    assert got2 != got and sorted(got2) == sorted(got)
