@@ -2703,23 +2703,119 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM (
 
 
 def _q_ann_indexed(spark, sf_dir):
-    """Both indexed ANN paths (random-hyperplane LSH + IVF coarse
-    quantizer) in one composite so the whole family fits one driver slot;
-    each leg keeps its own value-level oracle (union of the two)."""
+    """The whole ANN family in one composite driver slot — exact BLAS
+    brute force + both indexed paths (random-hyperplane LSH, IVF coarse
+    quantizer); each leg keeps its own value-level oracle (3-way union)."""
+    exact = _q_ann_cosine(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "query_id", "rank", "vec_id"
+    )
     lsh = _q_lsh_ann(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "rank", "vec_id"
     )
     ivf = _q_ivf_ann(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "rank", "vec_id"
     )
-    return lsh.unionByName(ivf)
+    return exact.unionByName(lsh).unionByName(ivf)
 
 
 def _ann_indexed_oracle() -> str:
     return f"""
+SELECT 'exact' AS method, query_id, rank, vec_id FROM ({_ann_cosine_oracle()})
+UNION ALL
 SELECT 'lsh' AS method, query_id, rank, vec_id FROM ({_lsh_ann_oracle()})
 UNION ALL
 SELECT 'ivf' AS method, query_id, rank, vec_id FROM ({_ivf_serve_oracle()})
+"""
+
+
+def _q_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k (the memory half of FAISS-style
+    IVF-PQ at 10^12 vectors), value-level oracle-checked with the same
+    deterministic-codebook trick as IVF/SemDeDup: subspace ``s``'s
+    codebook = dims [8s, 8s+8) of the 16 lowest-vec_id embeddings.
+    Encode = per-(vector, subspace) argmax(dot - ||c||²/2) over a
+    broadcast codebook join; ADC = the m looked-up codeword dots folded
+    in fixed subspace order. The trained/refined production twin
+    (ivfpq_ann_topk: k-means books, Arrow LUT gather, exact-rescore
+    shortlist) is recall-tested in tests/test_search.py."""
+    from edspdf_spark.functions.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").cast("int").alias("c"), "embedding"
+    )
+    cb = cent.crossJoin(
+        spark.range(8).select(F.col("id").cast("int").alias("s"))
+    ).select(
+        "s", "c", F.slice("embedding", F.col("s") * 8 + 1, 8).alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id") % 53 == 0)
+    return pq_adc_topk(emb, cb, q, k=5, m=8, dsub=8)
+
+
+def _pq_adc_oracle(m: int = 8, dsub: int = 8, k: int = 5) -> str:
+    def dot(vec: str, book: str) -> str:
+        # identical left-assoc order to _sub_dot: 0.0 + Σ_j x[s·d+j]·c[j]
+        terms = " + ".join(
+            f"CAST({vec}[s * {dsub} + {j + 1}] AS DOUBLE)"
+            f" * CAST({book}[s * {dsub} + {j + 1}] AS DOUBLE)"
+            for j in range(dsub)
+        )
+        return f"(0.0 + {terms})"
+
+    def half_norm(book: str) -> str:
+        terms = " + ".join(
+            f"CAST({book}[s * {dsub} + {j + 1}] AS DOUBLE)"
+            f" * CAST({book}[s * {dsub} + {j + 1}] AS DOUBLE)"
+            for j in range(dsub)
+        )
+        return f"((0.0 + {terms}) / 2.0)"
+
+    adc_fold = "0.0 + " + " + ".join(f"_d{s}" for s in range(m))
+    per_s_cols = ", ".join(
+        f"SUM(CASE WHEN co.s = {s} THEN dot END) AS _d{s}" for s in range(m)
+    )
+    return f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS c, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT t.s, cent.c, cent.ce FROM cent
+  CROSS JOIN (SELECT CAST(UNNEST(generate_series(0, {m - 1})) AS INT) AS s) t
+),
+enc AS (
+  SELECT e.vec_id, cb.s, cb.c,
+         {dot('e.embedding', 'cb.ce')} - {half_norm('cb.ce')} AS score
+  FROM embeddings e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c ASC) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.c AS code,
+         {dot('q.embedding', 'cb.ce')} AS dot
+  FROM embeddings q CROSS JOIN cb
+  WHERE q.vec_id % 53 = 0
+),
+per_s AS (
+  SELECT l.query_id, co.vec_id, {per_s_cols}
+  FROM codes co JOIN lut l ON l.s = co.s AND l.code = co.code
+  GROUP BY l.query_id, co.vec_id
+),
+scored AS (
+  SELECT query_id, vec_id, ({adc_fold}) AS adc_score
+  FROM per_s WHERE query_id <> vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
 """
 
 
@@ -4160,10 +4256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,
         # multimodal binary columns
         "multimodal_meta_frames": _q_multimodal,
-        # similarity / ANN (lsh+ivf indexed paths share one composite slot
-        # so SemDeDup fits the driver's 50-query window)
-        "ann_cosine_topk": _q_ann_cosine,
+        # similarity / ANN (exact+lsh+ivf share one composite slot so
+        # SemDeDup and PQ-ADC fit the driver's 50-query window)
         "ann_indexed_topk": _q_ann_indexed,
+        "pq_adc_topk": _q_pq_adc,
         "semdedup": _q_semdedup,
         "lsh_neardup": _q_lsh_neardup,
         # extraction-quality eval + link-graph PageRank (round 3)
@@ -4227,8 +4323,8 @@ def oracle_sql() -> dict[str, str]:
         "training_prep": _training_prep_oracle(),
         "dsir_selection": _dsir_selection_oracle(),
         "multimodal_meta_frames": _MULTIMODAL_ORACLE,
-        "ann_cosine_topk": _ann_cosine_oracle(),
         "ann_indexed_topk": _ann_indexed_oracle(),
+        "pq_adc_topk": _pq_adc_oracle(),
         "semdedup": _semdedup_oracle(),
         "lsh_neardup": _lsh_neardup_oracle(),
         "extraction_eval": _extraction_eval_oracle(),

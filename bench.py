@@ -114,6 +114,19 @@ def bench_semdedup(spark, sf_dir):
     materialize(semdedup_verdicts_vec(emb, cent, eps=0.6))
 
 
+def bench_ivfpq(spark, sf_dir):
+    """IVF-PQ-R production ANN (FAISS architecture): k-means coarse cells
+    + per-subspace PQ codebooks on a capped sample, Arrow serve = cell
+    probe -> ADC LUT gather over codes -> exact rescore of the shortlist."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.similarity import ivfpq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 53 == 0)
+    materialize(ivfpq_ann_topk(emb, q, k=5, n_cells=16, nprobe=4, m=8, k_codes=16))
+
+
 def bench_pdf_bytes(spark, corpus_path):
     """Real %PDF- byte ingestion: pure-Python PDF parse (object scan,
     FlateDecode, content interpret, line grouping) → classify → aggregate
@@ -473,6 +486,7 @@ def main():
         "minhash_lsh": lambda: bench_minhash_lsh(spark, SF_DIR),
         "lsh_neardup": lambda: bench_lsh_neardup(spark, SF_DIR),
         "semdedup": lambda: bench_semdedup(spark, SF_DIR),
+        "ivfpq_ann": lambda: bench_ivfpq(spark, SF_DIR),
         "ann_cosine_topk": lambda: bench_ann(spark, SF_DIR),
         "pricing_summary": lambda: bench_pricing(spark, SF_DIR),
         "box_embedding": lambda: bench_box_embedding(spark, SF_DIR),

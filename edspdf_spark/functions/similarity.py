@@ -775,12 +775,15 @@ def semdedup(
     max_sample_rows: int = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Trained twin of :func:`semdedup_verdicts`: fit the codebook with
     seeded k-means on a BOUNDED driver-side sample (same guard rails as
     :func:`ivf_ann_topk` — ``sample_fraction`` thins, ``max_sample_rows``
     hard-caps, ordered limit for run-to-run determinism), then prune.
-    Returns the same ``(vec_id, cell, cent_sim, keep)`` verdict frame."""
+    Returns the same ``(vec_id, cell, cent_sim, keep)`` verdict frame.
+    ``vectorized=True`` (default — the production path) prunes via the
+    Arrow/BLAS twin; ``False`` uses the oracle-exact expression twin."""
     if max_sample_rows is None:
         max_sample_rows = max(n_cells * 256, 20_000)
     samp = corpus.select(id_col, vec_col)
@@ -804,6 +807,10 @@ def semdedup(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid int, c_emb array<double>",
     )
+    if vectorized:
+        return semdedup_verdicts_vec(
+            corpus, cent_df, eps=eps, id_col=id_col, vec_col=vec_col
+        )
     return semdedup_verdicts(
         corpus, cent_df, eps=eps, id_col=id_col, vec_col=vec_col,
         dim=int(centroids.shape[1]),
@@ -929,3 +936,302 @@ def semdedup_verdicts_vec(
         "cell", "cent_sim", id_col
     )
     return part.mapInPandas(prune, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory half of the FAISS-style IVF-PQ
+# architecture for 10^12-vector ANN: vectors compress to m code bytes
+# (64-dim float64 = 512 B → m=8 codes = 8 B, 64×), and queries score
+# against codes via an ADC lookup table instead of touching raw vectors.
+# Encode/score semantics are MIPS-style (dot product): a sub-vector's code
+# is argmax_c (dot(x_s, C_sc) - ||C_sc||²/2) — the L2-argmin rewritten so
+# every quantity is a dot product the DuckDB oracle replays bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def pq_fit(
+    sample: np.ndarray, m: int = 8, k: int = 16, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace seeded Lloyd k-means (plain L2, unnormalized — PQ
+    quantizes raw sub-vectors). Returns codebooks shaped ``(m, k, d/m)``."""
+    sample = np.asarray(sample, dtype=np.float64)
+    d = sample.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m} subspaces"
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(k, len(sample)), dsub))
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        idx = rng.choice(len(sub), size=min(k, len(sub)), replace=False)
+        cent = sub[idx].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_codebooks_df(spark, codebooks: np.ndarray) -> DataFrame:
+    """``(s, c, c_emb)`` rows from a ``(m, k, dsub)`` codebook tensor —
+    the broadcastable relational form every PQ stage joins against."""
+    m, k, dsub = codebooks.shape
+    rows = [
+        (int(s), int(c), [float(x) for x in codebooks[s, c]])
+        for s in range(m)
+        for c in range(k)
+    ]
+    return spark.createDataFrame(rows, "s int, c int, c_emb array<double>")
+
+
+def _sub_dot(vec_col, s_col, dsub: int, book_col: str):
+    """dot(x_s, C_sc) with the subspace offset as a COLUMN — identical
+    left-assoc term order in Spark and the SQL oracle."""
+    acc = F.lit(0.0)
+    for j in range(dsub):
+        acc = acc + F.element_at(
+            F.col(vec_col), (s_col * dsub + j + 1).cast("int")
+        ).cast("double") * F.element_at(F.col(book_col), j + 1).cast("double")
+    return acc
+
+
+def _book_half_norm(book_col: str, dsub: int):
+    acc = F.lit(0.0)
+    for j in range(dsub):
+        e = F.element_at(F.col(book_col), j + 1).cast("double")
+        acc = acc + e * e
+    return acc / F.lit(2.0)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Relational PQ encode: one row per ``(id, s)`` with the argmax code.
+
+    Plan: posexplode the subspace index (an 8-element literal array — no
+    data motion), broadcast-join the ``m·k``-row codebook, score with a
+    ``dsub``-term expression dot (small — never trips the janino method
+    limit the full-dim cosine does), argmax via partial-aggregatable
+    ``max_by``. One corpus-keyed exchange for the final groupBy; at
+    10^12 rows the ``n·m·k`` intermediate never materializes (pipelined
+    through the broadcast join). Ties → lowest code, np.argmax-style.
+    """
+    subs = corpus.select(
+        id_col, vec_col, F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
+    )
+    scored = subs.join(F.broadcast(codebooks), on="s").withColumn(
+        "score",
+        _sub_dot(vec_col, F.col("s"), dsub, "c_emb")
+        - _book_half_norm("c_emb", dsub),
+    )
+    return scored.groupBy(id_col, "s").agg(
+        F.max_by("c", F.struct(F.col("score"), -F.col("c"))).alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-ADC top-k over PQ codes, fully relational (the ORACLE twin —
+    production serving is :func:`ivfpq_ann_topk`).
+
+    ADC: per query build the ``m·k``-entry lookup table LUT[s,c] =
+    dot(q_s, C_sc) (a small explode × broadcast-codebook join — no
+    corpus involved), then join corpus CODES on ``(s, c)`` and SUM the m
+    looked-up dots per (query, vec). The approximate score
+    ``Σ_s dot(q_s, C_s,code_s)`` never touches raw corpus vectors —
+    that's the point of PQ: the serve working set is the 8-byte codes.
+    """
+    codes = pq_encode(corpus, codebooks, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s"),
+        )
+        .join(F.broadcast(codebooks), on="s")
+        .select(
+            "query_id",
+            "s",
+            F.col("c").alias("code"),
+            _sub_dot("q_emb", F.col("s"), dsub, "c_emb").alias("dot"),
+        )
+    )
+    # per-subspace conditional sums folded in FIXED s order — a bare
+    # SUM(dot) adds the m addends in partition order, which float-drifts
+    # vs a sequential oracle; each conditional sum has exactly one
+    # non-null addend so the fold below is the only addition sequence
+    # the LUT is nq·m·k rows (queries are the small side by contract) —
+    # broadcast it so the corpus codes never shuffle on (s, code)
+    per_s = codes.join(F.broadcast(lut), on=["s", "code"]).groupBy(
+        "query_id", id_col
+    ).agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dot"))).alias(f"_d{s}")
+            for s in range(m)
+        ]
+    )
+    acc = F.lit(0.0)
+    for s in range(m):
+        acc = acc + F.col(f"_d{s}")
+    scored = per_s.withColumn("adc_score", acc).filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col)
+    )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    max_sample_rows: int = None,
+    max_queries: int = MAX_QUERY_ROWS,
+    refine_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production IVF-PQ-R serving (the FAISS architecture at 10^12
+    vectors): an IVF coarse quantizer restricts each query to ``nprobe``
+    cells; candidates are SHORTLISTED by Arrow/NumPy ADC over their PQ
+    codes (a table-gather — the serve working set is the m-byte codes);
+    the top ``refine_factor·k`` of the shortlist are re-scored with the
+    exact cosine (FAISS's refine stage — it touches raw vectors for only
+    ``O(refine_factor·k)`` rows per query per batch). All vectors are
+    L2-normalized before quantization so ADC-dot approximates COSINE —
+    without this, PQ ranks by raw dot and recall vs a cosine ground
+    truth collapses on mixed-norm corpora.
+
+    Train side: both quantizers fit on one BOUNDED driver sample (same
+    guard rails as :func:`ivf_ann_topk`); query side: collected with the
+    same hard ``max_queries`` bound as :func:`cosine_topk`.
+
+    Returns ``(query_id, rank, vec_id, cosine)``. Recall vs exact
+    cosine top-k is asserted in tests (raise ``nprobe``/``m``/
+    ``refine_factor`` for recall, lower for speed — the standard dials).
+    """
+    if max_sample_rows is None:
+        max_sample_rows = max(n_cells * 256, 20_000)
+    samp = corpus.select(id_col, vec_col)
+    if sample_fraction < 1.0:
+        samp = samp.sample(fraction=sample_fraction, seed=seed)
+    sample = np.array(
+        [
+            np.asarray(r[1], dtype=np.float64)
+            for r in samp.orderBy(id_col).limit(int(max_sample_rows)).collect()
+        ]
+    )
+    if not len(sample):
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {_id_type(queries, id_col)}, rank int,"
+            f" {id_col} {_id_type(corpus, id_col)}, cosine double",
+        )
+    sample = _normalize(sample)
+    dim = sample.shape[1]
+    dsub = dim // m
+    centroids = kmeans_fit(sample, n_cells, seed=seed)  # spherical coarse
+    books = pq_fit(sample, m=m, k=k_codes, seed=seed)  # on NORMALIZED vecs
+
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_ann_topk collects the query side; got more than "
+            f"{max_queries} rows — chunk the queries"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qn = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # per-query LUTs: (nq, m, k_codes) — dot(qn_s, C_sc); Σ_s ≈ cosine
+    luts = np.einsum("qsd,scd->qsc", qn.reshape(len(qn), m, dsub), books)
+    # per-query probe cells: (nq, nprobe)
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    shortlist = max(int(refine_factor) * k, k)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize(
+                np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = (mat @ centroids.T).argmax(axis=1)
+            # encode batch: (n, m) codes via per-subspace L2 argmin
+            sub = mat.reshape(len(mat), m, dsub)
+            scores = np.einsum("nsd,scd->nsc", sub, books) - 0.5 * (
+                books**2
+            ).sum(axis=2)[None, :, :]
+            codes = scores.argmax(axis=2)  # (n, m)
+            qs_out, vs_out, sc_out = [], [], []
+            for qi in range(len(q_ids)):
+                # self excluded HERE, not post-hoc: filtered after the
+                # per-batch top-k it would evict a true neighbor from the
+                # k slots of the batch that contains the query itself
+                mask = np.isin(cells, probes[qi]) & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                cand = np.nonzero(mask)[0]
+                adc = luts[qi][np.arange(m)[None, :], codes[cand]].sum(axis=1)
+                ns = min(shortlist, len(cand))
+                short = cand[np.argpartition(-adc, ns - 1)[:ns]]
+                # refine: exact cosine on the ADC shortlist only
+                exact = mat[short] @ qn[qi]
+                kk = min(k, ns)
+                top = np.argpartition(-exact, kk - 1)[:kk]
+                qs_out.append(np.full(kk, q_ids[qi]))
+                vs_out.append(ids[short[top]])
+                sc_out.append(exact[top])
+            if not qs_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qs_out),
+                    "vec_id": np.concatenate(vs_out),
+                    "cosine": np.concatenate(sc_out),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(serve, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

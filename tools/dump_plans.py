@@ -253,6 +253,30 @@ def main() -> None:
             ))(__import__("edspdf_spark.functions.similarity", fromlist=["x"])),
         ),
         (
+            "pq_adc_topk (product-quantization ADC serve)",
+            "PQ encode = subspace posexplode (literal 8-element array, no "
+            "data motion) × broadcast m·k-row codebook with a dsub-term "
+            "expression dot (small — never trips the janino limit the "
+            "full-dim cosine does), argmax via partial-aggregatable "
+            "max_by; ADC = the tiny query-LUT broadcast-joined on "
+            "(s, code) and folded in fixed subspace order. Expected "
+            "corpus-keyed exchanges: the encode groupBy and the "
+            "(query,vec) score groupBy — codes, never raw vectors, are "
+            "the serve working set.",
+            (lambda _sim: _sim.pq_adc_topk(
+                emb,
+                emb.orderBy("vec_id").limit(16).crossJoin(
+                    emb.sparkSession.range(8).select(F.col("id").cast("int").alias("s"))
+                ).select(
+                    "s",
+                    F.col("vec_id").cast("int").alias("c"),
+                    F.slice("embedding", F.col("s") * 8 + 1, 8).alias("c_emb"),
+                ),
+                emb.filter(F.col("vec_id") % 53 == 0),
+                k=5, m=8, dsub=8,
+            ))(__import__("edspdf_spark.functions.similarity", fromlist=["x"])),
+        ),
+        (
             "top_ngram_stats (repetition quality gate)",
             "Gopher-style top-n-gram coverage. N-gram synthesis is a pure "
             "higher-order-function projection in the scan stage; the explode "
