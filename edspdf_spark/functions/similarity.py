@@ -1046,6 +1046,7 @@ def pq_adc_topk(
     dsub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame = None,
 ) -> DataFrame:
     """Exact-ADC top-k over PQ codes, fully relational (the ORACLE twin —
     production serving is :func:`ivfpq_ann_topk`).
@@ -1056,8 +1057,16 @@ def pq_adc_topk(
     looked-up dots per (query, vec). The approximate score
     ``Σ_s dot(q_s, C_s,code_s)`` never touches raw corpus vectors —
     that's the point of PQ: the serve working set is the 8-byte codes.
+
+    Pass a precomputed ``codes`` frame (``(id, s, code)`` — the
+    :func:`pq_encode` output, i.e. the persisted index-build artifact at
+    10^12 vectors) to serve WITHOUT rescanning raw vectors at all; the
+    ``corpus`` argument is then ignored.
     """
-    codes = pq_encode(corpus, codebooks, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(
+            corpus, codebooks, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
+        )
     lut = (
         queries.select(
             F.col(id_col).alias("query_id"),

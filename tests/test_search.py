@@ -266,3 +266,35 @@ def test_ivfpq_exactness_limit_and_recall(spark):
         ).collect()
     }
     assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_pq_adc_serves_from_stored_codes(spark, tmp_path):
+    """The index-build artifact (pq_encode output) round-trips through
+    parquet and serves identically — no raw-vector rescan at serve."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_codebooks_df,
+        pq_encode,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_fit(np.array([r[1] for r in rows]), m=4, k=8, seed=1)
+    cb = pq_codebooks_df(spark, books)
+    q = df.filter(F.col("vec_id") % 29 == 0)
+
+    live = pq_adc_topk(df, cb, q, k=3, m=4, dsub=4).collect()
+    p = str(tmp_path / "codes")
+    pq_encode(df, cb, m=4, dsub=4).write.parquet(p)
+    stored = pq_adc_topk(
+        None, cb, q, k=3, m=4, dsub=4, codes=spark.read.parquet(p)
+    ).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, stored))
