@@ -244,3 +244,83 @@ def windowed_ingest_metrics(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup_gate(
+    pages_stream: DataFrame,
+    snapshot_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    min_len: int = 5,
+    snap_id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    trigger_available_now: bool = True,
+):
+    """Streaming ingest near-dup gate: flag, AT INGEST TIME, pages whose
+    MinHash-LSH band buckets collide with the existing corpus snapshot —
+    the streaming face of :func:`~edspdf_spark.functions.dedup.
+    lsh_incremental_pairs` (new×old only, never old×old).
+
+    The snapshot's signatures are computed ONCE and persisted (at 10^12
+    docs a production system stores the banded table between dumps —
+    same note as the batch incremental path); each micro-batch computes
+    its own signatures with the pure-expression MinHash (stateless, so
+    streaming-legal) and runs the batch kernel inside ``foreachBatch``,
+    writing distinct ``(url, snap_id)`` flags idempotently into a
+    batch-partitioned sink (retries overwrite their own partition only —
+    the same exactly-once recipe as ``run_pipeline_stream``).
+
+    Downstream either drops flagged urls or routes them to exact
+    rescoring; unflagged pages are certifiably bucket-novel vs the
+    snapshot at the gate's recall.
+    """
+    from edspdf_spark.functions.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    snap_sig = minhash_signatures(
+        snapshot_docs.filter(F.length(text_col) >= min_len),
+        text_col=text_col,
+        id_col=snap_id_col,
+        k=k,
+        n_hashes=n_hashes,
+    ).persist()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.filter(F.length(text_col) >= min_len).select(
+            F.col(url_col).cast("string").alias("doc_id"), text_col
+        )
+        new_sig = minhash_signatures(
+            new, text_col=text_col, id_col="doc_id", k=k, n_hashes=n_hashes
+        )
+        flags = lsh_incremental_pairs(
+            new_sig,
+            snap_sig.select(
+                F.col(snap_id_col).cast("string").alias("doc_id"),
+                *[f"mh{i}" for i in range(n_hashes)],
+            ),
+            id_col="doc_id",
+            rows_per_band=rows_per_band,
+            n_hashes=n_hashes,
+        ).select(
+            F.col("new_id").alias("url"),
+            F.col("old_id").alias("snap_id"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        flags.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_dir)
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

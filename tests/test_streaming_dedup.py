@@ -147,3 +147,66 @@ def test_dedup_stream_with_state_ttl(spark, tmp_path):
     assert rows["u1"]["n_dups_so_far"] == 1
     assert rows["u1"]["first_seen"] == _ts(1)
     assert rows["u3"]["lang"] == "de"
+
+
+def test_stream_neardup_gate_flags_snapshot_collisions(spark, tmp_path):
+    """Stream-vs-snapshot LSH gate: pages near-duplicating a snapshot doc
+    are flagged at ingest; the flags equal the batch incremental kernel
+    run on the same data, and a replayed stream is idempotent."""
+    from edspdf_spark.functions.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+    from edspdf_spark.streaming.stream import read_pages_stream, stream_neardup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest where nobody ever goes at night"
+    )
+    other = (
+        "completely unrelated text about database systems and vectorized "
+        "query execution over columnar storage with late materialization"
+    )
+    snap = spark.createDataFrame(
+        [(100, base), (200, other)], "doc_id long, text string"
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        ("dup1", _ts(1), b"x", base + " extra tail", "en"),      # near-dup of 100
+        ("nov1", _ts(2), b"x", "totally novel words " * 8, "en"),
+        ("dup2", _ts(3), b"x", other, "en"),                     # exact of 200
+    ]
+    _write_batch(spark, src, rows)
+    q = stream_neardup_gate(read_pages_stream(spark, src), snap, out, ckpt)
+    q.awaitTermination()
+
+    got = {(r.url, int(r.snap_id)) for r in spark.read.parquet(out).collect()}
+    assert ("dup1", 100) in got
+    assert ("dup2", 200) in got
+    assert not any(u == "nov1" for u, _ in got)
+
+    # parity with the batch kernel on identical input
+    from pyspark.sql import functions as F
+
+    new = spark.createDataFrame(
+        [(u, t) for (u, _, _, t, _) in rows], "doc_id string, text string"
+    ).filter(F.length("text") >= 5)
+    batch = {
+        (r.new_id, int(r.old_id))
+        for r in lsh_incremental_pairs(
+            minhash_signatures(new),
+            minhash_signatures(snap).select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                *[f"mh{i}" for i in range(8)],
+            ),
+        ).collect()
+    }
+    assert got == batch
+
+    # replay from the same checkpoint: no duplicate flags
+    q2 = stream_neardup_gate(read_pages_stream(spark, src), snap, out, ckpt)
+    q2.awaitTermination()
+    assert {(r.url, int(r.snap_id)) for r in spark.read.parquet(out).collect()} == got
