@@ -1244,3 +1244,36 @@ def ivfpq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the storage-side
+    companion to PQ (8× smaller than float64 columns with near-lossless
+    cosine; PQ compresses further but lossier). Appends ``q``
+    (array<int> in [-127, 127]) and ``q_scale`` (double): ``v_j ≈ q_j ·
+    q_scale`` with ``q_scale = max|v| / 127``.
+
+    Pure expressions, zero shuffle. Rounding is ``floor(x + 0.5)``
+    (half-up — identical in Spark and DuckDB, unlike banker's
+    ``round``); an all-zero vector gets scale 0 and all-zero codes.
+    """
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.when(scale > 0, F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+    )).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame, q_col: str = "q", scale_col: str = "q_scale", out_col: str = "embedding"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8` (lossy within
+    ``q_scale / 2`` per element)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

@@ -1,4 +1,5 @@
 from edspdf_spark.operators.extract import extract_blocs
+from edspdf_spark.operators.extract_html import extract_blocs_html, extract_tables
 from edspdf_spark.operators.classify import (
     align_labels,
     classify_mask,
@@ -28,6 +29,8 @@ from edspdf_spark.operators.features import with_layout_features, FEATURE_COLS
 
 __all__ = [
     "extract_blocs",
+    "extract_blocs_html",
+    "extract_tables",
     "align_labels",
     "classify_mask",
     "simple_mask_classifier",

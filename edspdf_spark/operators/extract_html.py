@@ -1013,3 +1013,79 @@ def extract_image_pairs(
             & (F.length("alt_text") >= int(min_alt_len))
         )
     )
+
+
+def extract_tables(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Structured HTML TABLE extraction: one row per cell —
+    ``(url, table_idx, row_idx, col_idx, is_header, cell)`` — as pure
+    Catalyst expressions (zero UDFs, zero shuffle: the whole parse is a
+    scan-stage projection chain of ``regexp_extract_all`` + nested
+    ``posexplode``).
+
+    Table corpora are a first-class training-data modality (web tables →
+    QA/structured-reasoning sets); this is the relational face the
+    downstream ops (dedup on serialized rows, quality gates on cell
+    stats) consume.
+
+    Dialect: Java∩RE2-compatible patterns only (``(?is)`` flags, lazy
+    quantifiers — both engines agree), so a DuckDB oracle can replay the
+    parse verbatim. Limitations, documented: NESTED tables parse as
+    their first closing tag (non-nested assumption — the overwhelming
+    web-table case), ``colspan``/``rowspan`` are not expanded
+    (``col_idx`` is the CELL index, not the grid column), and entity
+    decoding covers the standard named entities (&amp; &lt; &gt; &quot;
+    &nbsp; &apos;) plus the ubiquitous ``&#39;`` — other numeric escapes
+    pass through untouched.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.col(html_col).cast("string")
+    # strip comments / script-ish containers so stray <tr> inside them
+    # can't fabricate cells
+    for pat in (
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        s = F.regexp_replace(s, pat, " ")
+
+    tables = F.regexp_extract_all(s, F.lit(r"(?is)<table\b[^>]*>(.*?)</table\s*>"), 1)
+    t = pages.select(
+        url_col, F.posexplode(tables).alias("table_idx", "_tbody")
+    )
+    rows = F.regexp_extract_all(
+        F.col("_tbody"), F.lit(r"(?is)<tr\b[^>]*>(.*?)</tr\s*>"), 1
+    )
+    r = t.select(
+        url_col, "table_idx", F.posexplode(rows).alias("row_idx", "_row")
+    )
+    cells = F.regexp_extract_all(
+        F.col("_row"), F.lit(r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]\s*>"), 1
+    )
+    kinds = F.regexp_extract_all(F.col("_row"), F.lit(r"(?is)<(t[dh])\b"), 1)
+    c = r.select(
+        url_col,
+        "table_idx",
+        "row_idx",
+        F.posexplode(F.arrays_zip(cells, kinds)).alias("col_idx", "_cell"),
+    )
+    raw = F.col("_cell").getField("0")
+    kind = F.lower(F.col("_cell").getField("1"))
+    txt = F.regexp_replace(raw, r"<[^>]+>", " ")
+    # the six standard named entities + decimal numeric escapes (ASCII)
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))  # LAST — &amp;lt; stays &lt;
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return c.select(
+        url_col,
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        (kind == F.lit("th")).alias("is_header"),
+        txt.alias("cell"),
+    )

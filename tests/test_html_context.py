@@ -119,3 +119,35 @@ def test_template_end_to_end_block_segmentation():
         "body",
         "boilerplate",
     ]
+
+
+def test_extract_tables_cells(spark):
+    """Structured table parse: cell grid indices, header detection,
+    entity decode, tag strip, multi-table pages, tableless pages."""
+    from edspdf_spark.operators.extract_html import extract_tables
+
+    html = b"""<html><body>
+    <script>var t = "<tr><td>fake</td></tr>";</script>
+    <p>prose</p>
+    <table class=x>
+      <tr><th> Name </th><th>Score &amp;&#32;Rank</th></tr>
+      <tr><td><b>alice</b></td><td>3 &lt; 5</td></tr>
+      <tr><td>bob</td><td>caf&eacute;</td></tr>
+    </table>
+    <TABLE><TR><TD>second</TD></TR></TABLE>
+    </body></html>"""
+    pages = spark.createDataFrame(
+        [("u1", html), ("u2", b"<p>no tables here</p>")], "url string, html binary"
+    )
+    got = {
+        (r.url, r.table_idx, r.row_idx, r.col_idx): (r.is_header, r.cell)
+        for r in extract_tables(pages).collect()
+    }
+    assert got[("u1", 0, 0, 0)] == (True, "Name")
+    assert got[("u1", 0, 1, 0)] == (False, "alice")      # <b> stripped
+    assert got[("u1", 0, 1, 1)] == (False, '3 < 5')      # &lt; decoded
+    assert got[("u1", 0, 2, 1)][1] == "caf&eacute;"      # non-standard entity kept
+    assert got[("u1", 1, 0, 0)] == (False, "second")     # case-insensitive tags
+    assert ("u1", 0, 0, 1) in got and got[("u1", 0, 0, 1)][0] is True
+    assert not any(u == "u2" for (u, *_), _ in got.items())
+    assert not any(v[1] == "fake" for v in got.values())  # script stripped
