@@ -1,0 +1,270 @@
+"""Crawl discovery — sitemaps, feed autodiscovery, RSS/Atom entries,
+JSON-LD metadata.
+
+Closes the crawl-side loop around the existing operators: ``robots.py``
+answers *may I fetch*, ``graph.py`` follows links already seen, and this
+module finds the URLs a polite crawler is *told about* — ``sitemap.xml``
+trees (plain and index files), ``<link rel=alternate>`` feed
+autodiscovery, the feeds themselves, and the schema.org JSON-LD blocks
+that carry publication metadata CommonCrawl-style corpora key on
+(article type, headline, publish date).
+
+Scale shape: every operator here is a scan-stage projection chain —
+``regexp_extract_all`` + ``posexplode`` + per-fragment ``regexp_extract``
+— zero UDFs, zero shuffles, whole-stage codegen end-to-end, exactly like
+``operators/extract_html.py``.  At 10^12 pages discovery is a side
+column of the ingest scan, not a job of its own.  Patterns are written in
+the Java∩RE2 dialect ((?is) flags, lazy quantifiers, no backrefs) so the
+pytest DuckDB differential can replay them verbatim
+(``tests/test_discover.py``).
+
+Reference scope note: the EDS-PDF reference has no crawl layer (its
+sources are local files/parquet, ``edspdf/data/files.py:184-281``); this
+family is part of the engine's web-corpus mandate (BASELINE.json
+north_star: Common-Crawl-style pages), mirroring the public
+sitemaps.org protocol and RSS 2.0 / Atom (RFC 4287) formats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_sitemap",
+    "discover_feeds",
+    "parse_feed",
+    "extract_jsonld",
+]
+
+
+# --- shared fragment helpers -------------------------------------------------
+
+#: strip a single CDATA wrapper and surrounding whitespace from a fragment
+def _cdata(col: Column) -> Column:
+    return F.trim(
+        F.regexp_replace(F.trim(col), r"(?s)^<!\[CDATA\[(.*)\]\]>$", "$1")
+    )
+
+
+def _tag_text(frag: Column, tag: str) -> Column:
+    """First ``<tag>…</tag>`` text inside an XML fragment ('' if absent)."""
+    return _cdata(
+        F.regexp_extract(frag, rf"(?is)<{tag}(?:\s[^>]*)?>(.*?)</{tag}\s*>", 1)
+    )
+
+
+def _decoded(df: DataFrame, col: str, charset: str) -> Column:
+    c = df.schema[col].dataType.simpleString()
+    x = F.col(col)
+    return F.decode(x, charset) if c == "binary" else x.cast("string")
+
+
+# --- sitemap.xml --------------------------------------------------------------
+
+def parse_sitemap(
+    df: DataFrame,
+    xml_col: str = "xml",
+    src_col: str = "sitemap_url",
+    charset: str = "utf-8",
+) -> DataFrame:
+    """sitemaps(src, xml) → one row per referenced URL.
+
+    Handles both document kinds of the sitemaps.org protocol in one
+    pass: ``<urlset>`` leaves (``<url>`` entries with loc / lastmod /
+    changefreq / priority) and ``<sitemapindex>`` nodes (``<sitemap>``
+    entries pointing at child sitemaps — feed those rows back through
+    this parser after fetching to walk the tree level by level; each
+    level is one distributed pass, no driver recursion).
+
+    Returns ``(src_col, kind, entry_idx, loc, lastmod, changefreq,
+    priority)`` where ``kind`` is ``'url'`` or ``'sitemap'`` and
+    ``priority`` is the raw decimal string (absent fields are ``''``,
+    never NULL, so downstream grouping keys stay total).
+    """
+    x = _decoded(df, xml_col, charset)
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    entries = F.concat(
+        # tag each fragment with its kind up front so one explode serves both
+        F.transform(
+            F.regexp_extract_all(x, F.lit(r"(?is)<url\s*>(.*?)</url\s*>"), 1),
+            lambda e: F.struct(F.lit("url").alias("kind"), e.alias("frag")),
+        ),
+        F.transform(
+            F.regexp_extract_all(
+                x, F.lit(r"(?is)<sitemap\s*>(.*?)</sitemap\s*>"), 1
+            ),
+            lambda e: F.struct(F.lit("sitemap").alias("kind"), e.alias("frag")),
+        ),
+    )
+    e = df.select(src_col, F.posexplode(entries).alias("entry_idx", "_e"))
+    frag = F.col("_e").getField("frag")
+    return e.select(
+        src_col,
+        F.col("_e").getField("kind").alias("kind"),
+        "entry_idx",
+        _tag_text(frag, "loc").alias("loc"),
+        _tag_text(frag, "lastmod").alias("lastmod"),
+        _tag_text(frag, "changefreq").alias("changefreq"),
+        _tag_text(frag, "priority").alias("priority"),
+    ).where(F.col("loc") != "")
+
+
+# --- feed autodiscovery from HTML heads ---------------------------------------
+
+_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+_HREF_RES = (
+    r"""(?is)\bhref\s*=\s*"([^"]*)\"""",
+    r"(?is)\bhref\s*=\s*'([^']*)'",
+)
+
+
+def discover_feeds(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    charset: str = "utf-8",
+) -> DataFrame:
+    """pages(url, html) → ``(url, feed_url, feed_kind)`` — the RSS/Atom
+    autodiscovery links (``<link rel="alternate"
+    type="application/rss+xml|atom+xml" href=…>``), attribute order and
+    quote style both handled by probing per-tag rather than one mega
+    regex. One page can announce many feeds; pages with none emit no
+    rows.
+    """
+    h = _decoded(pages, html_col, charset)
+    tags = F.regexp_extract_all(h, F.lit(_LINK_TAG_RE), 0)
+    t = pages.select(url_col, F.explode(tags).alias("_tag"))
+    tag = F.col("_tag")
+    is_alt = tag.rlike(r"""(?is)\brel\s*=\s*["']?\s*alternate\b""")
+    kind = F.when(
+        tag.rlike(r"(?is)application/rss\+xml"), F.lit("rss")
+    ).when(tag.rlike(r"(?is)application/atom\+xml"), F.lit("atom"))
+    href = F.coalesce(
+        *[F.nullif(F.regexp_extract(tag, p, 1), F.lit("")) for p in _HREF_RES]
+    )
+    return (
+        t.select(
+            url_col,
+            href.alias("feed_url"),
+            kind.alias("feed_kind"),
+            is_alt.alias("_alt"),
+        )
+        .where(F.col("_alt") & F.col("feed_kind").isNotNull() & F.col("feed_url").isNotNull())
+        .drop("_alt")
+    )
+
+
+# --- RSS 2.0 / Atom entry parsing ----------------------------------------------
+
+def parse_feed(
+    df: DataFrame,
+    xml_col: str = "xml",
+    src_col: str = "feed_url",
+    charset: str = "utf-8",
+) -> DataFrame:
+    """feeds(src, xml) → one row per entry, RSS ``<item>`` and Atom
+    ``<entry>`` unified into ``(src_col, feed_kind, entry_idx, title,
+    link, published, entry_id)``.
+
+    Field mapping — RSS: title / ``<link>text</link>`` / pubDate / guid;
+    Atom: title / ``<link … href=…/>`` attribute / published (falling
+    back to updated) / id. CDATA wrappers are stripped; entities are
+    left as-is (same policy as ``extract_html_meta``). Absent fields are
+    ``''``.
+    """
+    x = _decoded(df, xml_col, charset)
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    entries = F.concat(
+        F.transform(
+            F.regexp_extract_all(
+                x, F.lit(r"(?is)<item(?:\s[^>]*)?>(.*?)</item\s*>"), 1
+            ),
+            lambda e: F.struct(F.lit("rss").alias("kind"), e.alias("frag")),
+        ),
+        F.transform(
+            F.regexp_extract_all(
+                x, F.lit(r"(?is)<entry(?:\s[^>]*)?>(.*?)</entry\s*>"), 1
+            ),
+            lambda e: F.struct(F.lit("atom").alias("kind"), e.alias("frag")),
+        ),
+    )
+    e = df.select(src_col, F.posexplode(entries).alias("entry_idx", "_e"))
+    frag = F.col("_e").getField("frag")
+    kind = F.col("_e").getField("kind")
+    atom_href = F.coalesce(
+        *[
+            F.nullif(
+                F.regexp_extract(
+                    F.regexp_extract(frag, r"(?is)<link\b[^>]*>", 0), p, 1
+                ),
+                F.lit(""),
+            )
+            for p in _HREF_RES
+        ],
+        F.lit(""),
+    )
+    link = F.when(kind == "rss", _tag_text(frag, "link")).otherwise(atom_href)
+    published = F.when(
+        kind == "rss", _tag_text(frag, "pubDate")
+    ).otherwise(
+        F.when(_tag_text(frag, "published") != "", _tag_text(frag, "published"))
+        .otherwise(_tag_text(frag, "updated"))
+    )
+    entry_id = F.when(kind == "rss", _tag_text(frag, "guid")).otherwise(
+        _tag_text(frag, "id")
+    )
+    return e.select(
+        src_col,
+        kind.alias("feed_kind"),
+        "entry_idx",
+        _tag_text(frag, "title").alias("title"),
+        link.alias("link"),
+        published.alias("published"),
+        entry_id.alias("entry_id"),
+    )
+
+
+# --- schema.org JSON-LD ---------------------------------------------------------
+
+_JSONLD_RE = (
+    r"""(?is)<script\b[^>]*type\s*=\s*["']application/ld\+json["'][^>]*>(.*?)</script\s*>"""
+)
+
+
+def extract_jsonld(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    charset: str = "utf-8",
+) -> DataFrame:
+    """pages(url, html) → one row per ``<script type="application/ld+json">``
+    block: ``(url, block_idx, ld_type, headline, date_published,
+    author_name, jsonld)`` — the schema.org fields article corpora key
+    on, pulled with JVM-side ``get_json_object`` (malformed JSON yields
+    NULL fields but keeps the raw block for downstream repair; top-level
+    JSON arrays — the ``@graph``-less list form — are probed at ``$[0]``
+    as a fallback).
+    """
+    h = _decoded(pages, html_col, charset)
+    blocks = F.regexp_extract_all(h, F.lit(_JSONLD_RE), 1)
+    b = pages.select(url_col, F.posexplode(blocks).alias("block_idx", "_j"))
+    j = F.trim(F.col("_j"))
+
+    def field(path: str) -> Column:
+        return F.coalesce(
+            F.get_json_object(j, "$" + path),
+            F.get_json_object(j, "$[0]" + path),
+        )
+
+    return b.select(
+        url_col,
+        "block_idx",
+        field("['@type']").alias("ld_type"),
+        field(".headline").alias("headline"),
+        field(".datePublished").alias("date_published"),
+        F.coalesce(field(".author.name"), field(".author[0].name")).alias(
+            "author_name"
+        ),
+        j.alias("jsonld"),
+    )

@@ -1,0 +1,250 @@
+"""Crawl-discovery family (`functions/discover.py`): sitemap trees, feed
+autodiscovery, RSS/Atom entries, JSON-LD blocks — pure-expression parses
+plus a DuckDB differential on the shared regex/JSON-path dialect."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from edspdf_spark.functions.discover import (
+    discover_feeds,
+    extract_jsonld,
+    parse_feed,
+    parse_sitemap,
+)
+
+SITEMAPS = [
+    (
+        "https://ex.com/sitemap.xml",
+        """<?xml version="1.0" encoding="UTF-8"?>
+        <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+          <url><loc>https://ex.com/a</loc><lastmod>2026-01-01</lastmod>
+               <changefreq>daily</changefreq><priority>0.8</priority></url>
+          <!-- commented out: <url><loc>https://ex.com/ghost</loc></url> -->
+          <url><loc><![CDATA[https://ex.com/b?x=1&amp;y=2]]></loc></url>
+          <url><lastmod>2026-01-02</lastmod></url>
+        </urlset>""",
+    ),
+    (
+        "https://ex.com/sitemap_index.xml",
+        """<sitemapindex>
+          <sitemap><loc>https://ex.com/s1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+          <sitemap><loc>https://ex.com/s2.xml</loc></sitemap>
+        </sitemapindex>""",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def sitemap_rows(spark):
+    df = spark.createDataFrame(SITEMAPS, "sitemap_url string, xml string")
+    return parse_sitemap(df).collect()
+
+
+def test_sitemap_urlset(sitemap_rows):
+    leaf = sorted(
+        (r for r in sitemap_rows if r["kind"] == "url"),
+        key=lambda r: r["entry_idx"],
+    )
+    # the loc-less third <url> is dropped, the commented-out one never parsed
+    assert [r["loc"] for r in leaf] == [
+        "https://ex.com/a",
+        "https://ex.com/b?x=1&amp;y=2",  # entities kept raw, CDATA stripped
+    ]
+    assert leaf[0]["lastmod"] == "2026-01-01"
+    assert leaf[0]["changefreq"] == "daily"
+    assert leaf[0]["priority"] == "0.8"
+    assert leaf[1]["lastmod"] == ""  # absent → '' not NULL
+
+
+def test_sitemap_index(sitemap_rows):
+    idx = sorted(
+        (r for r in sitemap_rows if r["kind"] == "sitemap"),
+        key=lambda r: r["entry_idx"],
+    )
+    assert [r["loc"] for r in idx] == [
+        "https://ex.com/s1.xml",
+        "https://ex.com/s2.xml",
+    ]
+    assert idx[0]["sitemap_url"] == "https://ex.com/sitemap_index.xml"
+    assert idx[0]["lastmod"] == "2026-02-01" and idx[1]["lastmod"] == ""
+
+
+FEED_PAGES = [
+    (
+        "https://ex.com/",
+        "<html><head>"
+        '<link rel="alternate" type="application/rss+xml" href="https://ex.com/rss">'
+        "<LINK TYPE='application/atom+xml' HREF='https://ex.com/atom' REL='alternate'>"
+        '<link rel="stylesheet" type="text/css" href="/s.css">'
+        '<link rel="alternate" hreflang="fr" href="https://ex.com/fr">'
+        "</head></html>",
+    ),
+    ("https://none.com/", "<html><head><title>t</title></head></html>"),
+]
+
+
+def test_discover_feeds(spark):
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in FEED_PAGES], "url string, html binary"
+    )
+    got = {(r["feed_url"], r["feed_kind"]) for r in discover_feeds(df).collect()}
+    assert got == {
+        ("https://ex.com/rss", "rss"),
+        ("https://ex.com/atom", "atom"),
+    }
+
+
+FEEDS = [
+    (
+        "https://ex.com/rss",
+        """<rss version="2.0"><channel><title>chan</title>
+        <item><title><![CDATA[First & last]]></title>
+              <link>https://ex.com/p1</link>
+              <pubDate>Mon, 02 Feb 2026 10:00:00 GMT</pubDate>
+              <guid isPermaLink="true">g1</guid></item>
+        <item><title>Second</title></item>
+        </channel></rss>""",
+    ),
+    (
+        "https://ex.com/atom",
+        """<feed xmlns="http://www.w3.org/2005/Atom"><title>feed</title>
+        <entry><title>A1</title><link rel="alternate" href="https://ex.com/a1"/>
+               <updated>2026-03-01T00:00:00Z</updated><id>tag:a1</id></entry>
+        <entry><title>A2</title><link href='https://ex.com/a2'/>
+               <published>2026-03-02T00:00:00Z</published>
+               <updated>2026-03-03T00:00:00Z</updated><id>tag:a2</id></entry>
+        </feed>""",
+    ),
+]
+
+
+def test_parse_feed(spark):
+    df = spark.createDataFrame(FEEDS, "feed_url string, xml string")
+    rows = {
+        (r["feed_kind"], r["entry_idx"]): r for r in parse_feed(df).collect()
+    }
+    r0 = rows[("rss", 0)]
+    assert r0["title"] == "First & last"  # CDATA stripped, entity kept
+    assert r0["link"] == "https://ex.com/p1"
+    assert r0["published"].startswith("Mon, 02 Feb")
+    assert r0["entry_id"] == "g1"
+    assert rows[("rss", 1)]["link"] == ""  # absent → ''
+    a0, a1 = rows[("atom", 0)], rows[("atom", 1)]
+    assert a0["link"] == "https://ex.com/a1"  # href attribute, not text
+    assert a0["published"] == "2026-03-01T00:00:00Z"  # updated fallback
+    assert a1["published"] == "2026-03-02T00:00:00Z"  # published wins
+    assert a1["entry_id"] == "tag:a2"
+    # the channel-level <title> must NOT leak in as an entry
+    assert len(rows) == 4
+
+
+JSONLD_PAGES = [
+    (
+        "u0",
+        '<html><head><script type="application/ld+json">'
+        '{"@context":"https://schema.org","@type":"NewsArticle",'
+        '"headline":"Big & small","datePublished":"2026-01-05",'
+        '"author":{"@type":"Person","name":"Ada"}}'
+        "</script></head></html>",
+    ),
+    (
+        "u1",
+        "<html><body><script type='application/ld+json'>"
+        '[{"@type":"Article","headline":"Listed","author":'
+        '[{"name":"Bob"},{"name":"Eve"}]}]'
+        "</script><script type=\"application/ld+json\">not json</script></body></html>",
+    ),
+    ("u2", "<html><script>var x=1;</script></html>"),
+]
+
+
+@pytest.fixture(scope="module")
+def jsonld_rows(spark):
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in JSONLD_PAGES], "url string, html binary"
+    )
+    return extract_jsonld(df).collect()
+
+
+def test_jsonld_object_form(jsonld_rows):
+    r = {(x["url"], x["block_idx"]): x for x in jsonld_rows}
+    r0 = r[("u0", 0)]
+    assert r0["ld_type"] == "NewsArticle"
+    assert r0["headline"] == "Big & small"
+    assert r0["date_published"] == "2026-01-05"
+    assert r0["author_name"] == "Ada"
+
+
+def test_jsonld_array_form_and_malformed(jsonld_rows):
+    r = {(x["url"], x["block_idx"]): x for x in jsonld_rows}
+    r1 = r[("u1", 0)]
+    assert r1["ld_type"] == "Article" and r1["headline"] == "Listed"
+    assert r1["author_name"] == "Bob"  # author list → first author
+    bad = r[("u1", 1)]
+    assert bad["ld_type"] is None and bad["jsonld"] == "not json"
+    assert ("u2", 0) not in r  # plain <script> is not JSON-LD
+
+
+def test_duckdb_differential_sitemap(sitemap_rows):
+    """DuckDB (RE2) replays the sitemap fragment patterns verbatim."""
+    con = duckdb.connect()
+    for src, xml in SITEMAPS:
+        stripped = con.execute(
+            r"SELECT regexp_replace($x, '(?s)<!--.*?-->', ' ', 'g')", {"x": xml}
+        ).fetchone()[0]
+        for kind, pat in (
+            ("url", r"(?is)<url\s*>(.*?)</url\s*>"),
+            ("sitemap", r"(?is)<sitemap\s*>(.*?)</sitemap\s*>"),
+        ):
+            frags = con.execute(
+                "SELECT regexp_extract_all($x, $p, 1)",
+                {"x": stripped, "p": pat},
+            ).fetchone()[0]
+            locs = [
+                con.execute(
+                    r"""SELECT trim(regexp_replace(trim(
+                            regexp_extract($f, '(?is)<loc(?:\s[^>]*)?>(.*?)</loc\s*>', 1)
+                        ), '(?s)^<!\[CDATA\[(.*)\]\]>$', '\1'))""",
+                    {"f": f},
+                ).fetchone()[0]
+                for f in frags
+            ]
+            locs = [l for l in locs if l]
+            got = [
+                r["loc"]
+                for r in sorted(
+                    (
+                        r
+                        for r in sitemap_rows
+                        if r["kind"] == kind and r["sitemap_url"] == src
+                    ),
+                    key=lambda r: r["entry_idx"],
+                )
+            ]
+            assert locs == got, (src, kind)
+
+
+def test_duckdb_differential_jsonld(jsonld_rows):
+    """DuckDB's JSON extractor agrees on the schema.org fields."""
+    con = duckdb.connect()
+    r = {(x["url"], x["block_idx"]): x for x in jsonld_rows}
+    for (url, idx), row in r.items():
+        j = row["jsonld"]
+
+        def dk(path):
+            for pref in ("$", "$[0]"):
+                got = con.execute(
+                    "SELECT json_extract_string(TRY_CAST($j AS JSON), $p)",
+                    {"j": j, "p": pref + path},
+                ).fetchone()[0]
+                if got is not None:
+                    return got
+            return None
+
+        assert dk('."@type"') == row["ld_type"], (url, idx)
+        assert dk(".headline") == row["headline"]
+        assert dk(".datePublished") == row["date_published"]
+        author = dk(".author.name") or dk(".author[0].name")
+        assert author == row["author_name"]
