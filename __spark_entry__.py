@@ -3583,6 +3583,147 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("imgpairs").alias("algo"),
     )
 
+    # ninth leg: crawl-discovery family (functions/discover.py) — every
+    # input is a pure expression function of doc_id, every expected row a
+    # closed-form CASE on parity (ground-truth oracle, no regex replay):
+    # even docs get a <urlset> sitemap (two locs, one CDATA-wrapped, one
+    # commented-out ghost that must NOT parse), an RSS autodiscovery link
+    # + object-form JSON-LD, and an RSS feed with a CDATA title; odd docs
+    # get a <sitemapindex>, an Atom link in flipped attribute order +
+    # array-form JSON-LD with an author list, and an Atom entry whose
+    # published falls back to <updated>.
+    from edspdf_spark.functions.discover import (
+        discover_feeds,
+        extract_jsonld,
+        parse_feed,
+        parse_sitemap,
+    )
+
+    even = F.col("doc_id") % 2 == 0
+    sm_xml = F.when(
+        even,
+        F.concat(
+            F.lit("<urlset><url><loc>https://ex.com/"), did_s,
+            F.lit(
+                "/a</loc><lastmod>2026-01-01</lastmod>"
+                "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+                "<!-- <url><loc>https://ex.com/ghost</loc></url> -->"
+                "<url><loc><![CDATA[https://ex.com/"
+            ),
+            did_s,
+            F.lit("/b]]></loc></url></urlset>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://ex.com/"), did_s,
+            F.lit(
+                "/s.xml</loc><lastmod>2026-02-01</lastmod>"
+                "</sitemap></sitemapindex>"
+            ),
+        )
+    )
+    sm = parse_sitemap(
+        docs.select(did_s.alias("sitemap_url"), sm_xml.alias("xml"))
+    ).select(
+        F.col("sitemap_url").alias("url"),
+        F.concat(
+            F.lit("sm:"), F.col("kind"), F.lit(":"),
+            F.col("entry_idx").cast("string"),
+        ).alias("label"),
+        F.concat_ws("|", "loc", "lastmod", "changefreq", "priority").alias("text"),
+        F.lit("discovery").alias("algo"),
+    )
+
+    disc_html = F.encode(
+        F.concat(
+            F.lit("<html><head>"),
+            F.when(
+                even,
+                F.concat(
+                    F.lit(
+                        '<link rel="alternate" type="application/rss+xml" href="/f'
+                    ),
+                    did_s,
+                    F.lit('.rss">'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("<link type='application/atom+xml' href='/f"),
+                    did_s,
+                    F.lit(".atom' rel='alternate'>"),
+                )
+            ),
+            F.lit('<link rel="stylesheet" type="text/css" href="/s.css">'),
+            F.lit('<script type="application/ld+json">'),
+            F.when(
+                even,
+                F.concat(
+                    F.lit('{"@type":"NewsArticle","headline":"H '), did_s,
+                    F.lit('","datePublished":"2026-01-05","author":{"name":"A '),
+                    did_s,
+                    F.lit('"}}'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('[{"@type":"Article","headline":"H '), did_s,
+                    F.lit('","author":[{"name":"B '), did_s, F.lit('"}]}]'),
+                )
+            ),
+            F.lit("</script></head></html>"),
+        ),
+        "utf-8",
+    )
+    pages_disc = docs.select(did_s.alias("url"), disc_html.alias("html"))
+    fd = discover_feeds(pages_disc).select(
+        "url",
+        F.concat(F.lit("feed:"), F.col("feed_kind")).alias("label"),
+        F.col("feed_url").alias("text"),
+        F.lit("discovery").alias("algo"),
+    )
+    ld = extract_jsonld(pages_disc).select(
+        "url",
+        F.concat(F.lit("ld:"), F.col("block_idx").cast("string")).alias("label"),
+        F.concat_ws(
+            "|", "ld_type", "headline", "date_published", "author_name"
+        ).alias("text"),
+        F.lit("discovery").alias("algo"),
+    )
+
+    feed_xml = F.when(
+        even,
+        F.concat(
+            F.lit(
+                '<rss version="2.0"><channel><title>chan</title>'
+                "<item><title><![CDATA[T "
+            ),
+            did_s,
+            F.lit("]]></title><link>https://ex.com/p/"), did_s,
+            F.lit(
+                "</link><pubDate>Mon, 02 Feb 2026 10:00:00 GMT</pubDate>"
+                "<guid>g"
+            ),
+            did_s,
+            F.lit("</guid></item></channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<feed><title>f</title><entry><title>T "), did_s,
+            F.lit('</title><link rel="alternate" href="https://ex.com/a/'),
+            did_s,
+            F.lit('"/><updated>2026-03-01T00:00:00Z</updated><id>tag:'),
+            did_s,
+            F.lit("</id></entry></feed>"),
+        )
+    )
+    fe = parse_feed(
+        docs.select(did_s.alias("feed_url"), feed_xml.alias("xml"))
+    ).select(
+        F.col("feed_url").alias("url"),
+        F.concat(F.lit("entry:"), F.col("feed_kind")).alias("label"),
+        F.concat_ws("|", "title", "link", "published", "entry_id").alias("text"),
+        F.lit("discovery").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
@@ -3590,6 +3731,10 @@ def _q_html_boilerplate(spark, sf_dir):
         .unionByName(cons)
         .unionByName(cetr)
         .unionByName(img)
+        .unionByName(sm)
+        .unionByName(fd)
+        .unionByName(ld)
+        .unionByName(fe)
     )
 
 
@@ -3732,6 +3877,55 @@ SELECT CAST(doc_id AS VARCHAR) AS url, 'img:0' AS label,
             ELSE '/j/' || CAST(doc_id AS VARCHAR) || '.png|photo '
                  || CAST(doc_id AS VARCHAR) END AS text,
        'imgpairs' AS algo
+FROM documents
+UNION ALL
+-- discovery leg (ground truth): even docs carry a urlset (two locs, the
+-- commented ghost never parses), odd docs a sitemapindex
+SELECT CAST(doc_id AS VARCHAR) AS url, 'sm:url:0' AS label,
+       'https://ex.com/' || CAST(doc_id AS VARCHAR)
+         || '/a|2026-01-01|daily|0.8' AS text,
+       'discovery' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'sm:url:1' AS label,
+       'https://ex.com/' || CAST(doc_id AS VARCHAR) || '/b|||' AS text,
+       'discovery' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'sm:sitemap:0' AS label,
+       'https://ex.com/' || CAST(doc_id AS VARCHAR)
+         || '/s.xml|2026-02-01||' AS text,
+       'discovery' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'feed:rss' ELSE 'feed:atom' END AS label,
+       '/f' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '.rss' ELSE '.atom' END AS text,
+       'discovery' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'ld:0' AS label,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'NewsArticle|H ' || CAST(doc_id AS VARCHAR)
+                 || '|2026-01-05|A ' || CAST(doc_id AS VARCHAR)
+            ELSE 'Article|H ' || CAST(doc_id AS VARCHAR)
+                 || '|B ' || CAST(doc_id AS VARCHAR) END AS text,
+       'discovery' AS algo
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'entry:rss' ELSE 'entry:atom' END AS label,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'T ' || CAST(doc_id AS VARCHAR) || '|https://ex.com/p/'
+                 || CAST(doc_id AS VARCHAR)
+                 || '|Mon, 02 Feb 2026 10:00:00 GMT|g'
+                 || CAST(doc_id AS VARCHAR)
+            ELSE 'T ' || CAST(doc_id AS VARCHAR) || '|https://ex.com/a/'
+                 || CAST(doc_id AS VARCHAR)
+                 || '|2026-03-01T00:00:00Z|tag:'
+                 || CAST(doc_id AS VARCHAR) END AS text,
+       'discovery' AS algo
 FROM documents
 """
 
