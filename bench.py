@@ -503,10 +503,14 @@ def main():
     # single-pass timing is a lottery draw — the minimum over a few
     # back-to-back passes is the stable engine number.
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # the two headline queries set the reported metric, so they get extra
+    # draws — the VM's slow phases last minutes, and min-of-N only works
+    # if N spans enough wall-clock to catch a normal-speed moment
+    headline = {"pipeline_documents", "pipeline_synthetic_skewed"}
     timings = {}
     for name, fn in queries.items():
         walls = []
-        for _ in range(reps):
+        for _ in range(max(reps, 6) if name in headline else reps):
             t0 = time.perf_counter()
             fn()
             walls.append(time.perf_counter() - t0)

@@ -1038,3 +1038,139 @@ def dedup_incremental(
         )
     )
     return fast.unionByName(rescued)
+
+
+# --- host-level template (per-site boilerplate) dedup -------------------------
+
+def _url_full_host(url: Column) -> Column:
+    """Full host (subdomain kept — templates are per-site, not per-registered
+    -domain) from ``scheme://[user@]host[:port]/…``, lowercased, userinfo and
+    port stripped. Pure expressions."""
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def host_template_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    sep: str = "\n",
+    min_pages: int = 4,
+    min_fraction: float = 0.5,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Per-host template detection — the per-site half of crawl boilerplate
+    removal (the RefinedWeb/CCNet "line appears on most of a site's pages ⇒
+    chrome" heuristic, distinct from :func:`dedup_spans`' corpus-global
+    first-occurrence rule): a ``sep``-delimited line is a template line of
+    host H when it occurs on at least ``min_fraction`` of H's pages and H
+    has at least ``min_pages`` pages (below that the fraction is
+    meaningless — a 2-page site "repeats" everything).
+
+    Returns ``(host, line, n_pages, n_host_pages)`` — the template table,
+    consumable by :func:`strip_host_boilerplate` or auditable on its own.
+
+    Plan shape: line explode → per-page distinct (a line repeated within
+    ONE page counts once) → one (host, digest)-keyed count, one host-keyed
+    count, one broadcast-friendly equi-join. The fraction test is exact
+    integer cross-multiplication in milli-units — no float, so the DuckDB
+    oracle replays it bit-for-bit. No windows, no collect.
+    """
+    frac_milli = int(round(min_fraction * 1000))
+    host = _url_full_host(F.col(url_col))
+    lines = (
+        df.select(
+            host.alias("host"),
+            F.col(url_col).alias("_url"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("line"),
+        )
+        .where(F.length("line") >= min_line_chars)
+        .select("host", "_url", F.md5("line").alias("_h"), "line")
+        .distinct()
+    )
+    per_line = lines.groupBy("host", "_h").agg(
+        F.count(F.lit(1)).alias("n_pages"), F.min("line").alias("line")
+    )
+    per_host = (
+        df.select(host.alias("host"), F.col(url_col).alias("_url"))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_host_pages"))
+    )
+    return (
+        per_line.join(per_host, on="host")
+        .where(
+            (F.col("n_host_pages") >= min_pages)
+            & (
+                F.col("n_pages") * F.lit(1000)
+                >= F.lit(frac_milli) * F.col("n_host_pages")
+            )
+        )
+        .select("host", "line", "n_pages", "n_host_pages")
+    )
+
+
+def strip_host_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    sep: str = "\n",
+    min_pages: int = 4,
+    min_fraction: float = 0.5,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Remove each host's template lines (see :func:`host_template_lines`)
+    from every page of that host, preserving line order; pages reduced to
+    nothing survive as empty docs (same contract as :func:`dedup_spans`).
+    Lines shorter than ``min_line_chars`` are exempt — at the default 1
+    that's empty lines, which templates must not claim.
+
+    Returns ``(url_col, text_col)``. Plan shape: the template table joins
+    back on (host, digest) — a LEFT join + null filter, so the big side
+    streams; template tables are tiny (per-host chrome) and broadcast
+    under AQE. One doc-keyed aggregation reassembles.
+    """
+    tmpl = host_template_lines(
+        df, text_col, url_col, sep, min_pages, min_fraction, min_line_chars
+    ).select(
+        F.col("host").alias("_thost"), F.md5("line").alias("_th")
+    )
+    host = _url_full_host(F.col(url_col))
+    lines = df.select(
+        F.col(url_col),
+        host.alias("_host"),
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("_pos", "_line"),
+    ).withColumn(
+        "_h",
+        F.when(F.length("_line") >= min_line_chars, F.md5(F.col("_line"))),
+    )
+    kept = lines.join(
+        tmpl,
+        on=(F.col("_host") == F.col("_thost")) & (F.col("_h") == F.col("_th")),
+        how="left",
+    ).where(F.col("_th").isNull())
+    rebuilt = kept.groupBy(url_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.select(url_col)
+        .join(rebuilt, on=url_col, how="left")
+        .select(
+            url_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+        )
+    )
