@@ -940,6 +940,46 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.col("new_id").alias("keep_id"),
         F.col("old_id").cast("long").alias("n_dups"),
     )
+    # host-template boilerplate probe: every doc gets a CONSENT BANNER
+    # line (host fraction 1.0) and ~75% get a PROMO BLOCK (comfortably
+    # over the 0.5 bar at every sf with >= 4 pages/host — doc_id%5 hosts
+    # give 10 pages/host even at sf0.001), so strip_host_boilerplate must
+    # return each doc's ORIGINAL text exactly (ground-truth oracle:
+    # md5(documents.text)); the template-table leg checks the detected
+    # (host, line, n_pages, n_host_pages) rows against closed-form counts
+    from edspdf_spark.functions.dedup import (
+        host_template_lines,
+        strip_host_boilerplate,
+    )
+
+    host_pages = docs.select(
+        F.concat(F.lit("https://site"), site, F.lit(".com/p/"), did).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("CONSENT BANNER\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 != 0, F.lit("\nPROMO BLOCK")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    hosttmpl_tbl = host_template_lines(
+        host_pages, min_pages=4, min_fraction=0.5
+    ).select(
+        F.lit("hosttmpl_tbl").alias("probe"),
+        F.md5(F.concat_ws("|", "host", "line")).alias("content_hash"),
+        F.col("n_pages").cast("long").alias("keep_id"),
+        F.col("n_host_pages").cast("long").alias("n_dups"),
+    )
+    hosttmpl_strip = strip_host_boilerplate(
+        host_pages, min_pages=4, min_fraction=0.5
+    ).select(
+        F.lit("hosttmpl").alias("probe"),
+        F.md5("text").alias("content_hash"),
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("keep_id"),
+        F.size(F.split("text", "\n")).cast("long").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
@@ -951,6 +991,8 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         .unionAll(robots_leg)
         .unionAll(revision_leg)
         .unionAll(inc_leg)
+        .unionAll(hosttmpl_tbl)
+        .unionAll(hosttmpl_strip)
     )
 
 
@@ -2040,6 +2082,31 @@ FROM (
     ON l.band = r.band AND l.bucket = r.bucket
   WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
 )
+UNION ALL
+-- host-template table: closed-form counts per synthetic host (ground
+-- truth on the synthesis — banner on every page, promo on doc_id%4<>0)
+SELECT 'hosttmpl_tbl',
+       md5(host || '|' || line),
+       CAST(n_pages AS BIGINT), CAST(n_host_pages AS BIGINT)
+FROM (
+  WITH hostagg AS (
+    SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+           COUNT(*) AS n_host_pages,
+           SUM(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS n_promo
+    FROM documents GROUP BY 1
+  )
+  SELECT host, 'CONSENT BANNER' AS line,
+         n_host_pages AS n_pages, n_host_pages FROM hostagg
+  UNION ALL
+  SELECT host, 'PROMO BLOCK', n_promo, n_host_pages FROM hostagg
+  WHERE n_promo * 1000 >= 500 * n_host_pages
+)
+UNION ALL
+-- host-template strip: removing exactly the banner and promo lines must
+-- return each doc's ORIGINAL text (single-line corpus text stays intact)
+SELECT 'hosttmpl', md5(text), doc_id,
+       CAST(len(string_split(text, chr(10))) AS BIGINT)
+FROM documents
 """
 
 
