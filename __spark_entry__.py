@@ -304,6 +304,31 @@ def _q_text_signals(spark, sf_dir):
         "symbol_word_ratio",
         "alpha_word_fraction",
     )
+    # Luhn-validated credit-card probe: inject two known-valid PANs
+    # (contiguous + space-separated) and one checksum-failing lookalike
+    # keyed by doc_id mod — the oracle asserts from the synthesis ground
+    # truth (which injections are Luhn-valid is a fixed fact of the
+    # constants), so the operator's checksum fold is checked against
+    # independent knowledge, not a replay of itself.
+    from edspdf_spark.functions.quality import with_ccn_signals
+
+    ccn_probe = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.lit(" card 4532015112830366 ok")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" ref 4532 0151 1283 0366 thanks"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" order 4532015112830367 id"),
+        ).otherwise(F.lit("")),
+    )
+    ccn_sig = with_ccn_signals(
+        docs.select("doc_id", ccn_probe.alias("text"))
+    ).select("doc_id", "pii_ccn_count", "ccn_redacted_md5")
     out = (
         with_pii_signals(word_sig, text_col="pii_text")
         .join(line_sig, on="doc_id")
@@ -315,6 +340,7 @@ def _q_text_signals(spark, sf_dir):
         .join(bl_sig, on="doc_id")
         .join(c4_sig, on="doc_id")
         .join(shape_sig, on="doc_id")
+        .join(ccn_sig, on="doc_id")
     )
     return out.select(
         "doc_id",
@@ -364,6 +390,8 @@ def _q_text_signals(spark, sf_dir):
         "mean_word_len",
         "symbol_word_ratio",
         "alpha_word_fraction",
+        "pii_ccn_count",
+        "ccn_redacted_md5",
     )
 
 
@@ -651,6 +679,26 @@ rd AS (
                  replace(text, ' merge ', '.' || chr(10) || 'The ') AS t
           FROM documents))
 ),
+ccn AS (
+  -- ground truth from the probe synthesis: exactly the %6 and %7
+  -- injections are Luhn-valid PANs; the %11 lookalike fails mod-10 and
+  -- must survive redaction untouched
+  SELECT doc_id,
+         CAST((CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS pii_ccn_count,
+         md5(replace(replace(
+               text
+               || CASE WHEN doc_id % 6 = 0
+                       THEN ' card 4532015112830366 ok' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' ref 4532 0151 1283 0366 thanks' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' order 4532015112830367 id' ELSE '' END,
+             '4532015112830366', '<CCN>'),
+             '4532 0151 1283 0366', '<CCN>')) AS ccn_redacted_md5
+  FROM documents
+),
 bl AS (
   SELECT doc_id,
          CAST(len(list_filter(tl, w -> w IN ('labore','tempor'))) AS BIGINT)
@@ -694,7 +742,8 @@ SELECT t.doc_id, t.n_tokens, t.mean_token_len, t.n_word_pieces,
        c4.c4_lines_total, c4.c4_lines_kept, c4.c4_text_md5,
        c4.c4_n_sentences, c4.c4_keep,
        shp.bullet_line_fraction, shp.ellipsis_line_fraction,
-       shp.mean_word_len, shp.symbol_word_ratio, shp.alpha_word_fraction
+       shp.mean_word_len, shp.symbol_word_ratio, shp.alpha_word_fraction,
+       ccn.pii_ccn_count, ccn.ccn_redacted_md5
 FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN l ON l.doc_id = t.doc_id
        JOIN f ON f.doc_id = t.doc_id
@@ -709,6 +758,7 @@ FROM t JOIN q ON q.doc_id = t.doc_id
        JOIN bl ON bl.doc_id = t.doc_id
        JOIN c4 ON c4.doc_id = t.doc_id
        JOIN shp ON shp.doc_id = t.doc_id
+       JOIN ccn ON ccn.doc_id = t.doc_id
 """
 
 

@@ -797,3 +797,69 @@ def with_shuffle_order(
     return df.withColumn(
         "shuffle_shard", (key % F.lit(int(n_shards))).cast("int")
     ).withColumn("shuffle_rank", key)
+
+
+# --- credit-card detection with Luhn checksum validation ----------------------
+
+#: candidate PAN: 13-19 digits, single space/dash separators allowed
+CCN_CAND_RE = r"\b(?:\d[ \-]?){12,18}\d\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812, public) over a digit-only string —
+    TRUE when the mod-10 check passes. Pure Catalyst higher-order
+    expressions (sequence → transform → aggregate), replayed verbatim by
+    DuckDB's ``list_transform``/``list_reduce`` in the oracle. The check
+    is what separates a real PAN from any 16-digit run, cutting the
+    false-positive rate of pattern-only credit-card scrubbing by ~10×
+    (only 1 in 10 random digit runs passes)."""
+    r = F.reverse(digits)
+    vals = F.transform(
+        F.sequence(F.lit(1), F.length(digits)),
+        lambda i: F.when(
+            i % 2 == 0,
+            F.when(
+                (F.ascii(F.substring(r, i, F.lit(1))) - 48) * 2 > 9,
+                (F.ascii(F.substring(r, i, F.lit(1))) - 48) * 2 - 9,
+            ).otherwise((F.ascii(F.substring(r, i, F.lit(1))) - 48) * 2),
+        ).otherwise(F.ascii(F.substring(r, i, F.lit(1))) - 48),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) >= 13) & (total % 10 == 0)
+
+
+def _ccn_valid_raws(col: Column) -> Column:
+    """Array of the raw (separator-kept) candidate substrings that pass
+    the Luhn check and the 13-19 digit length window."""
+    cands = F.regexp_extract_all(col, F.lit(CCN_CAND_RE), 0)
+    pairs = F.transform(
+        cands,
+        lambda c: F.struct(
+            c.alias("raw"),
+            F.regexp_replace(c, r"[ \-]", "").alias("digits"),
+        ),
+    )
+    valid = F.filter(
+        pairs,
+        lambda p: (F.length(p["digits"]) <= 19) & luhn_valid(p["digits"]),
+    )
+    return valid
+
+
+def with_ccn_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``pii_ccn_count`` (Luhn-VALIDATED credit-card-number matches —
+    not raw pattern hits) and ``ccn_redacted_md5`` (text with each valid
+    PAN exact-string-replaced by ``<CCN>``; invalid lookalike digit runs
+    are left untouched, unlike regex-only scrubbers). The conditional
+    replace is an ``aggregate`` fold over the validated candidates — no
+    UDF, no shuffle; the whole operator is one scan-stage projection."""
+    t = F.col(text_col)
+    valid = _ccn_valid_raws(t)
+    red = F.aggregate(
+        valid,
+        t,
+        lambda acc, p: F.replace(acc, p["raw"], F.lit("<CCN>")),
+    )
+    return df.withColumn(
+        "pii_ccn_count", F.size(valid).cast("long")
+    ).withColumn("ccn_redacted_md5", F.md5(red))
