@@ -3841,6 +3841,106 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("discovery").alias("algo"),
     )
 
+    # --- crawl-frontier legs (functions/frontier.py): URL quality gate,
+    # per-host cap, politeness schedule. URLs are synthesized from doc_id
+    # (mod-4 shape branches: clean / IP host / digit-heavy+deep path /
+    # deep-subdomain+blockword) so the cap/schedule partitions are ground
+    # truth (registered domain ⇔ doc_id%5) and the integer quality score
+    # is an independent DuckDB replay of the documented formula.
+    from edspdf_spark.functions.frontier import (
+        cap_per_host,
+        schedule_frontier,
+        with_url_quality,
+    )
+
+    m5 = (F.col("doc_id") % 5).cast("string")
+    furl = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://site"), m5, F.lit(".com/p/"), did_s),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7/p"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://cdn"), did_s, F.lit(".site"), m5,
+                F.lit(".com/a/b/c/d/e/f/g"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://a.b.c.site"), m5, F.lit(".com/casino/"), did_s
+            )
+        )
+    )
+    uq = with_url_quality(
+        docs.select("doc_id", furl.alias("url")), blockwords=["casino"]
+    ).select(
+        "url",
+        F.lit("uq").alias("label"),
+        F.concat_ws(
+            "|",
+            F.col("url_quality_milli").cast("string"),
+            F.col("url_keep").cast("string"),
+            F.col("subdomain_depth").cast("string"),
+            F.col("path_depth").cast("string"),
+            F.col("host_digit_milli").cast("string"),
+            F.col("url_block_hits").cast("string"),
+            F.col("is_ip_host").cast("string"),
+        ).alias("text"),
+        F.lit("frontier").alias("algo"),
+    )
+    cap = cap_per_host(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://www.site"), m5, F.lit(".com/d/"), did_s
+            ).alias("url"),
+            (F.col("doc_id") % 97).alias("cap_score"),
+        ),
+        3,
+        "cap_score",
+    ).select(
+        "url",
+        F.lit("cap").alias("label"),
+        F.col("doc_id").cast("string").alias("text"),
+        F.lit("frontier").alias("algo"),
+    )
+    delays = spark.createDataFrame(
+        [("site0.com", 100), ("site1.com", 200), ("site2.com", 300)],
+        "host string, delay_ms long",
+    )
+    sch = schedule_frontier(
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("https://site"), m5, F.lit(".com/s/"), did_s).alias(
+                "url"
+            ),
+            (F.col("doc_id") % 13).alias("prio"),
+        ),
+        "prio",
+        delays=delays,
+        default_delay_ms=1000,
+        max_per_cycle=7,
+    ).select(
+        "url",
+        F.lit("sched").alias("label"),
+        F.concat_ws(
+            "|",
+            F.col("fetch_slot").cast("string"),
+            F.col("fetch_cycle").cast("string"),
+            F.col("fetch_offset_ms").cast("string"),
+        ).alias("text"),
+        F.lit("frontier").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
@@ -3852,6 +3952,9 @@ def _q_html_boilerplate(spark, sf_dir):
         .unionByName(fd)
         .unionByName(ld)
         .unionByName(fe)
+        .unionByName(uq)
+        .unionByName(cap)
+        .unionByName(sch)
     )
 
 
@@ -4044,6 +4147,95 @@ SELECT CAST(doc_id AS VARCHAR) AS url,
                  || CAST(doc_id AS VARCHAR) END AS text,
        'discovery' AS algo
 FROM documents
+UNION ALL
+-- frontier 'uq': independent replay of the integer URL-quality formula
+-- over the same mod-4 synthesized URL shapes
+SELECT url, 'uq' AS label,
+       CAST(score AS VARCHAR) || '|' || CAST(score >= 500 AS VARCHAR) || '|'
+       || CAST(sub_depth AS VARCHAR) || '|' || CAST(path_depth AS VARCHAR)
+       || '|' || CAST(digit_milli AS VARCHAR) || '|' || CAST(hits AS VARCHAR)
+       || '|' || CAST(is_ip AS VARCHAR) AS text,
+       'frontier' AS algo
+FROM (
+  SELECT url,
+         1000 - CASE WHEN is_ip THEN 400 ELSE 0 END - hits * 250
+              - GREATEST(sub_depth - 2, 0) * 40
+              - GREATEST(host_len - 30, 0) * 5
+              - GREATEST(path_depth - 6, 0) * 15
+              - CAST(floor(digit_milli / 5.0) AS BIGINT) AS score,
+         sub_depth, path_depth, digit_milli, hits, is_ip
+  FROM (
+    SELECT url,
+           CAST(len(host) AS BIGINT) AS host_len,
+           CAST(len(host) - len(replace(host, '.', '')) AS BIGINT) AS sub_depth,
+           CAST(len(path) - len(replace(path, '/', '')) AS BIGINT) AS path_depth,
+           CASE WHEN len(host) > 0 THEN
+             CAST(floor((len(host) - len(regexp_replace(host, '[0-9]', '', 'g')))
+                  * 1000.0 / len(host)) AS BIGINT) ELSE 0 END AS digit_milli,
+           regexp_matches(host, '^\\d+\\.\\d+\\.\\d+\\.\\d+$') AS is_ip,
+           CAST(CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END
+                AS BIGINT) AS hits
+    FROM (
+      SELECT url,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path
+      FROM (
+        SELECT CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.com/p/' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN 'https://10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7/p'
+                 WHEN 2 THEN 'https://cdn' || CAST(doc_id AS VARCHAR)
+                        || '.site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.com/a/b/c/d/e/f/g'
+                 ELSE 'https://a.b.c.site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.com/casino/' || CAST(doc_id AS VARCHAR)
+               END AS url
+        FROM documents
+      )
+    )
+  )
+)
+UNION ALL
+-- frontier 'cap': per-host top-3; registered domain is doc_id%5 by
+-- construction (ground truth), order (score desc, doc_id asc)
+SELECT url, 'cap' AS label, CAST(doc_id AS VARCHAR) AS text,
+       'frontier' AS algo
+FROM (
+  SELECT doc_id,
+         'https://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.com/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         row_number() OVER (
+           PARTITION BY doc_id % 5
+           ORDER BY (doc_id % 97) DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+UNION ALL
+-- frontier 'sched': per-host fetch slots by (prio desc, url asc); delay
+-- table covers hosts 0-2, hosts 3-4 take the 1000 ms default
+SELECT url, 'sched' AS label,
+       CAST(slot AS VARCHAR) || '|' || CAST(slot // 7 AS VARCHAR) || '|'
+       || CAST(slot * delay AS VARCHAR) AS text,
+       'frontier' AS algo
+FROM (
+  SELECT url,
+         row_number() OVER (
+           PARTITION BY doc_id % 5
+           ORDER BY (doc_id % 13) DESC, url ASC
+         ) - 1 AS slot,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN 100 WHEN 1 THEN 200 WHEN 2 THEN 300
+           ELSE 1000 END AS delay
+  FROM (
+    SELECT doc_id,
+           'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/s/'
+             || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+  )
+)
 """
 
 

@@ -1,0 +1,217 @@
+"""Crawl-frontier curation (`functions/frontier.py`): URL quality
+scoring vs hand-computed values + a DuckDB differential, skew-aware
+per-host caps, and politeness scheduling — all partitioning-invariant."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from edspdf_spark.functions.frontier import (
+    cap_per_host,
+    schedule_frontier,
+    url_quality_filter,
+    with_url_quality,
+)
+
+URLS = [
+    # (id, url) — shapes chosen to light up each penalty independently
+    (0, "https://site0.com/a/b"),                      # clean
+    (1, "https://10.1.2.3/x"),                         # IP host
+    (2, "https://free-casino.example.com/win"),        # blockword
+    (3, "https://a.b.c.d.site1.com/p"),                # deep subdomains
+    (4, "https://cdn1234567890.site2.com/img"),        # digit-heavy host
+    (5, "https://site3.com/a/b/c/d/e/f/g/h"),          # deep path
+    (6, "https://this-is-a-very-long-hostname-indeed.com/"),  # long host
+]
+BLOCK = ["casino", "viagra"]
+
+
+@pytest.fixture(scope="module")
+def uq(spark):
+    df = spark.createDataFrame(URLS, "doc_id long, url string")
+    rows = with_url_quality(df, blockwords=BLOCK).collect()
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def test_clean_url(uq):
+    r = uq[0]
+    assert r["host"] == "site0.com"
+    assert r["subdomain_depth"] == 1
+    assert r["path_depth"] == 2
+    assert not r["is_ip_host"]
+    assert r["url_block_hits"] == 0
+    # 1000 - floor(1000*1/9)/5 = 1000 - floor(111.1)/5 = 1000 - 22
+    assert r["url_quality_milli"] == 978
+    assert r["url_keep"]
+
+
+def test_ip_host(uq):
+    r = uq[1]
+    assert r["is_ip_host"]
+    # digits 5 of 8 chars -> 625 milli -> 125 penalty; the dotted quad
+    # also counts 3 dots -> (3-2)*40 subdomain penalty on top of the 400
+    assert r["host_digit_milli"] == 625
+    assert r["url_quality_milli"] == 1000 - 400 - 125 - 40
+    assert r["url_keep"] is False
+
+
+def test_blockword(uq):
+    r = uq[2]
+    assert r["url_block_hits"] == 1
+    assert not r["is_ip_host"]
+
+
+def test_subdomain_and_digits(uq):
+    assert uq[3]["subdomain_depth"] == 5          # a.b.c.d.site1.com
+    assert uq[3]["url_quality_milli"] <= 1000 - 3 * 40
+    assert uq[4]["host_digit_milli"] > 0
+
+
+def test_path_and_host_len(uq):
+    assert uq[5]["path_depth"] == 8
+    assert uq[6]["host_len"] > 30
+
+
+def test_filter_form(spark):
+    df = spark.createDataFrame(URLS, "doc_id long, url string")
+    kept = url_quality_filter(df, blockwords=BLOCK)
+    assert kept.columns == ["doc_id", "url"]
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids and 1 not in ids
+
+
+def test_duckdb_differential(spark, uq):
+    """Replay the full integer score in DuckDB for every fixture URL."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", URLS)
+    got = con.execute(
+        r"""
+        WITH h AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path
+          FROM u
+        ), s AS (
+          SELECT doc_id,
+                 len(host) AS host_len,
+                 len(host) - len(replace(host, '.', '')) AS sub_depth,
+                 len(path) - len(replace(path, '/', '')) AS path_depth,
+                 CASE WHEN len(host) > 0 THEN
+                   CAST(floor((len(host) - len(regexp_replace(host, '[0-9]', '', 'g')))
+                        * 1000.0 / len(host)) AS BIGINT) ELSE 0 END AS digit_milli,
+                 regexp_matches(host, '^\d+\.\d+\.\d+\.\d+$') AS is_ip,
+                 (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(url), 'viagra') THEN 1 ELSE 0 END) AS hits
+          FROM h
+        )
+        SELECT doc_id,
+               1000 - CASE WHEN is_ip THEN 400 ELSE 0 END
+                    - hits * 250
+                    - GREATEST(sub_depth - 2, 0) * 40
+                    - GREATEST(host_len - 30, 0) * 5
+                    - GREATEST(path_depth - 6, 0) * 15
+                    - CAST(floor(digit_milli / 5.0) AS BIGINT) AS score
+        FROM s
+        """
+    ).fetchall()
+    for doc_id, score in got:
+        assert score == uq[doc_id]["url_quality_milli"], doc_id
+
+
+# --- cap_per_host ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cap_df(spark):
+    # host site{i%3}.com; score = doc_id; 9 docs -> 3 per host
+    rows = [(i, f"https://www.site{i % 3}.com/p/{i}", i * 10) for i in range(9)]
+    # one light host with a single doc
+    rows.append((100, "https://lonely.org/x", 1))
+    return spark.createDataFrame(rows, "doc_id long, url string, score long")
+
+
+def test_cap_keeps_topk(cap_df):
+    out = cap_per_host(cap_df, k=2, score_col="score").collect()
+    ids = sorted(r.doc_id for r in out)
+    # per host keep top-2 by score desc: site0 {6,3}, site1 {7,4}, site2 {8,5}
+    assert ids == [3, 4, 5, 6, 7, 8, 100]
+
+
+def test_cap_light_host_passthrough(cap_df):
+    out = cap_per_host(cap_df, k=5, score_col="score")
+    assert out.count() == 10  # nothing dropped, incl. lonely.org
+    assert sorted(out.columns) == sorted(cap_df.columns)
+
+
+def test_cap_deterministic_ties(spark):
+    rows = [(i, "https://t.com/x", 7) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score long")
+    out = sorted(r.doc_id for r in cap_per_host(df, 3, "score").collect())
+    assert out == [0, 1, 2]  # tie on score -> ascending doc_id wins
+
+
+def test_cap_rejects_bad_k(cap_df):
+    with pytest.raises(ValueError):
+        cap_per_host(cap_df, 0, "score")
+
+
+def test_cap_partitioning_invariance(cap_df):
+    a = sorted(
+        r.doc_id
+        for r in cap_per_host(cap_df.repartition(7), 2, "score").collect()
+    )
+    b = sorted(
+        r.doc_id for r in cap_per_host(cap_df.coalesce(1), 2, "score").collect()
+    )
+    assert a == b
+
+
+# --- schedule_frontier -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sched_out(spark):
+    rows = [(i, f"https://h{i % 2}.com/p{i}", 100 - i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, prio long")
+    delays = spark.createDataFrame(
+        [("h0.com", 500)], "host string, delay_ms long"
+    )
+    out = schedule_frontier(
+        df, "prio", delays=delays, default_delay_ms=2000, max_per_cycle=2
+    )
+    return {r.doc_id: r.asDict() for r in out.collect()}
+
+
+def test_schedule_slots_follow_priority(sched_out):
+    # h0.com holds docs 0,2,4 with prio 100,98,96 -> slots 0,1,2
+    assert [sched_out[i]["fetch_slot"] for i in (0, 2, 4)] == [0, 1, 2]
+    assert [sched_out[i]["fetch_slot"] for i in (1, 3, 5)] == [0, 1, 2]
+
+
+def test_schedule_offsets_use_delay_table(sched_out):
+    # h0.com has delay 500; h1.com falls back to 2000
+    assert sched_out[4]["fetch_offset_ms"] == 2 * 500
+    assert sched_out[5]["fetch_offset_ms"] == 2 * 2000
+
+
+def test_schedule_cycles(sched_out):
+    assert sched_out[0]["fetch_cycle"] == 0
+    assert sched_out[2]["fetch_cycle"] == 0
+    assert sched_out[4]["fetch_cycle"] == 1  # slot 2 // max_per_cycle 2
+
+
+def test_schedule_partitioning_invariance(spark):
+    rows = [(i, f"https://h{i % 3}.com/p{i}", i % 5) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, prio long")
+    a = {
+        (r.doc_id, r.fetch_slot, r.fetch_offset_ms)
+        for r in schedule_frontier(df.repartition(11), "prio").collect()
+    }
+    b = {
+        (r.doc_id, r.fetch_slot, r.fetch_offset_ms)
+        for r in schedule_frontier(df.coalesce(1), "prio").collect()
+    }
+    assert a == b
