@@ -2822,7 +2822,14 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM (
 def _q_ann_indexed(spark, sf_dir):
     """The whole ANN family in one composite driver slot — exact BLAS
     brute force + both indexed paths (random-hyperplane LSH, IVF coarse
-    quantizer); each leg keeps its own value-level oracle (3-way union)."""
+    quantizer) + hard-negative mining (top-3 excluding the rank-1
+    positive and self — the DPR-style contrastive-training negatives
+    source, ``functions.similarity.mine_hard_negatives`` on its
+    oracle-identical ``exact_expr`` kernel; the BLAS twin is
+    parity-asserted in tests/test_hard_negatives.py). Each leg keeps its
+    own value-level oracle (4-way union)."""
+    from edspdf_spark.functions.similarity import mine_hard_negatives
+
     exact = _q_ann_cosine(spark, sf_dir).select(
         F.lit("exact").alias("method"), "query_id", "rank", "vec_id"
     )
@@ -2832,16 +2839,67 @@ def _q_ann_indexed(spark, sf_dir):
     ivf = _q_ivf_ann(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "rank", "vec_id"
     )
-    return exact.unionByName(lsh).unionByName(ivf)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 31 == 0)
+    # positives := each query's exact nearest neighbor (rank 1)
+    pos = (
+        _q_ann_cosine(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("vec_id").alias("pos_id"))
+    )
+    hardneg = mine_hard_negatives(
+        emb, queries, pos, k=3, method="exact_expr"
+    ).select(F.lit("hardneg").alias("method"), "query_id", "rank", "vec_id")
+    return exact.unionByName(lsh).unionByName(ivf).unionByName(hardneg)
 
 
 def _ann_indexed_oracle() -> str:
+    dim = 64
+    dot = " + ".join(
+        f"CAST(c.embedding[{j}] AS DOUBLE) * CAST(q.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    nc = " + ".join(
+        f"CAST(c.embedding[{j}] AS DOUBLE) * CAST(c.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    nq = " + ".join(
+        f"CAST(q.embedding[{j}] AS DOUBLE) * CAST(q.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    hardneg = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 31 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    ({dot}) / (sqrt({nc}) * sqrt({nq})) AS cos
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+),
+pos AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank = 1
+),
+neg AS (
+  SELECT s.query_id, s.vec_id,
+    ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.cos DESC, s.vec_id ASC) AS rank
+  FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos p WHERE p.query_id = s.query_id AND p.vec_id = s.vec_id
+  )
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM neg WHERE rank <= 3
+"""
     return f"""
 SELECT 'exact' AS method, query_id, rank, vec_id FROM ({_ann_cosine_oracle()})
 UNION ALL
 SELECT 'lsh' AS method, query_id, rank, vec_id FROM ({_lsh_ann_oracle()})
 UNION ALL
 SELECT 'ivf' AS method, query_id, rank, vec_id FROM ({_ivf_serve_oracle()})
+UNION ALL
+SELECT 'hardneg' AS method, query_id, rank, vec_id FROM ({hardneg})
 """
 
 

@@ -1277,3 +1277,114 @@ def dequantize_embeddings_int8(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    pos_query_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+    exclude_self: bool = True,
+    method: str = "exact",
+    n_bits: int = 8,
+    seed: int = 42,
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per query,
+    the top-``k`` most-similar corpus vectors that are NOT known
+    positives (and not the query itself) — the standard negatives source
+    for DPR/sentence-transformers-style contrastive training (Karpukhin
+    et al. 2020 §3.2 "hard negatives from BM25/dense retrieval", public).
+
+    ``positives`` carries the labeled pairs ``(pos_query_col,
+    pos_id_col)``; they (plus the query's own id when ``exclude_self``)
+    are removed from the candidate ranking, so the survivors are exactly
+    the near-misses the training loss wants.
+
+    Methods:
+
+    * ``"exact"`` — BLAS brute force (:func:`cosine_topk`): one corpus
+      scan, partition-local top-k, one k-rows-per-partition shuffle. The
+      production exact path.
+    * ``"exact_expr"`` — same semantics via pure Catalyst expressions
+      with left-assoc sums (:func:`_cos_expr` against a broadcast query
+      table), so the ranking is bit-identical to a sequential-SQL oracle.
+      Test/oracle twin of ``"exact"``; parity is pytest-asserted.
+    * ``"lsh"`` — :func:`lsh_ann_topk` sign-bucket candidates. The
+      10^12-corpus path: candidates per query ~ corpus / 2^n_bits and the
+      bucket is the shuffle key.
+
+    Overfetch: candidates are retrieved at ``k + max positives per query
+    (+1 for self)`` so the post-exclusion ranking still yields k rows —
+    the max-per-query count is one tiny aggregate, never a collect of the
+    pairs themselves.
+    """
+    if method not in ("exact", "exact_expr", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    max_pos_row = (
+        positives.groupBy(pos_query_col).count().agg(F.max("count")).first()[0]
+    )
+    fetch = k + int(max_pos_row or 0) + (1 if exclude_self else 0)
+
+    if method == "exact":
+        cand = cosine_topk(
+            corpus,
+            queries,
+            k=fetch,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            max_queries=max_queries,
+        )
+    elif method == "lsh":
+        q = queries.select(
+            F.col(query_id_col).alias("vec_id"),
+            F.col(query_vec_col).alias(vec_col),
+        )
+        cand = lsh_ann_topk(
+            corpus, q, k=fetch, n_bits=n_bits, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:  # exact_expr — oracle-replayable ranking
+        head = corpus.select(vec_col).head(1)
+        if not head:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, rank int, vec_id long, cosine double"
+            )
+        dim = len(head[0][0])
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_q_vec"),
+        )
+        cand = corpus.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            _cos_expr(vec_col, "_q_vec", dim).alias("cosine"),
+        )
+
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    pos = positives.select(
+        F.col(pos_query_col).alias("query_id"), F.col(pos_id_col).alias("vec_id")
+    )
+    # positives are per-query labels — bounded by the query batch, so the
+    # anti-join broadcasts on the exact paths; the LSH path leaves the
+    # strategy to AQE (query set may be corpus-sized there).
+    if method in ("exact", "exact_expr"):
+        pos = F.broadcast(pos)
+    cand = cand.join(pos, ["query_id", "vec_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
