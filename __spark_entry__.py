@@ -3999,6 +3999,49 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("frontier").alias("algo"),
     )
 
+    # --- heading-outline leg (operators/extract_html.extract_outline):
+    # parity-varied structures — even docs get h1→h2→h3 (+a sibling h2 and
+    # a script-trap fake h2), odd docs start at h2 (rootless), skip to h4,
+    # then open a LATE h1 root; one heading carries the doc's own text
+    # slice so the parse provably touches real content. Expected rows are
+    # pure functions of (doc_id, text) → ground-truth oracle.
+    from edspdf_spark.operators.extract_html import extract_outline
+
+    h_even = F.concat(
+        F.lit(
+            "<html><body><script>var a='<h2>fake</h2>';</script><h1>Doc "
+        ),
+        did_s,
+        F.lit("</h1><p>x</p><h2 class='s'>Part <span>A</span></h2><h3>"),
+        F.substring(F.col("text"), 1, 15),
+        F.lit("</h3><h2>Part B</h2></body></html>"),
+    )
+    h_odd = F.concat(
+        F.lit("<!-- <h3>c</h3> --><h2>Orphan "),
+        did_s,
+        F.lit("</h2><h4>Child &amp; co</h4><h1>Late root</h1>"),
+    )
+    ol_pages = docs.select(
+        did_s.alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, h_even)
+        .otherwise(h_odd)
+        .cast("binary")
+        .alias("html"),
+    )
+    ol = extract_outline(ol_pages).select(
+        "url",
+        F.concat(F.lit("outline:"), F.col("seq").cast("string")).alias(
+            "label"
+        ),
+        F.concat_ws(
+            "|",
+            F.col("level").cast("string"),
+            F.coalesce(F.col("parent_seq"), F.lit(-1)).cast("string"),
+            F.col("heading"),
+        ).alias("text"),
+        F.lit("outline").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
@@ -4013,6 +4056,7 @@ def _q_html_boilerplate(spark, sf_dir):
         .unionByName(uq)
         .unionByName(cap)
         .unionByName(sch)
+        .unionByName(ol)
     )
 
 
@@ -4294,6 +4338,40 @@ FROM (
     FROM documents
   )
 )
+UNION ALL
+-- outline: even docs h1→h2→h3(+sibling h2, script trap); heading seq 2
+-- carries the doc's own 15-char text slice (whitespace-collapsed, like
+-- the extractor's cleanup)
+SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:0' AS label,
+       '1|-1|Doc ' || CAST(doc_id AS VARCHAR) AS text, 'outline' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:1' AS label,
+       '2|0|Part A' AS text, 'outline' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:2' AS label,
+       '3|1|' || trim(regexp_replace(substr(text, 1, 15), '\\s+', ' ', 'g'))
+         AS text,
+       'outline' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:3' AS label,
+       '2|0|Part B' AS text, 'outline' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+-- outline: odd docs — rootless h2, skip-level h4 child, late h1 root
+SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:0' AS label,
+       '2|-1|Orphan ' || CAST(doc_id AS VARCHAR) AS text, 'outline' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:1' AS label,
+       '4|0|Child & co' AS text, 'outline' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:2' AS label,
+       '1|-1|Late root' AS text, 'outline' AS algo
+FROM documents WHERE doc_id % 2 = 1
 """
 
 

@@ -1,5 +1,9 @@
 from edspdf_spark.operators.extract import extract_blocs
-from edspdf_spark.operators.extract_html import extract_blocs_html, extract_tables
+from edspdf_spark.operators.extract_html import (
+    extract_blocs_html,
+    extract_outline,
+    extract_tables,
+)
 from edspdf_spark.operators.classify import (
     align_labels,
     classify_mask,
@@ -30,6 +34,7 @@ from edspdf_spark.operators.features import with_layout_features, FEATURE_COLS
 __all__ = [
     "extract_blocs",
     "extract_blocs_html",
+    "extract_outline",
     "extract_tables",
     "align_labels",
     "classify_mask",

@@ -1089,3 +1089,96 @@ def extract_tables(
         (kind == F.lit("th")).alias("is_header"),
         txt.alias("cell"),
     )
+
+
+def extract_outline(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Document heading outline: one row per ``<h1>``–``<h6>`` —
+    ``(url, seq, level, heading, parent_seq)`` where ``parent_seq`` points
+    at the nearest PRECEDING heading of a smaller level (NULL for roots) —
+    the section hierarchy that titled-chunk training sets and
+    markdown-style reconstitution consume.
+
+    Same zero-UDF discipline as :func:`extract_tables`: the parse is a
+    scan-stage chain of ``regexp_extract_all`` + ``posexplode`` (both
+    groups extracted with the SAME pattern so the level/body arrays
+    align), and the parent
+    pointers are per-level running maxima over one ``(url, seq)`` window —
+    a single shuffle on url, the partition key any downstream per-document
+    stage reuses. Java∩RE2∩DuckDB-compatible regex dialect, so an SQL
+    oracle can replay the parse verbatim.
+
+    Cleanup matches ``extract_tables``: inner tags stripped, the six
+    standard named entities decoded, whitespace collapsed. Comments and
+    script-ish containers are stripped first so a ``<h2>`` inside
+    ``<script>`` cannot fabricate a heading.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = F.col(html_col).cast("string")
+    for pat in (
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        s = F.regexp_replace(s, pat, " ")
+
+    # generic closer (no back-reference — RE2/DuckDB dialect): like the
+    # HTML5 recovery browsers apply, ANY </hN> closes an open heading, so
+    # <h3>x</h4> parses as a level-3 heading; an unclosed heading does not.
+    pat = r"(?is)<h([1-6])\b[^>]*>(.*?)</h[1-6]\s*>"
+    levels = F.regexp_extract_all(s, F.lit(pat), 1)
+    bodies = F.regexp_extract_all(s, F.lit(pat), 2)
+    h = pages.select(
+        url_col,
+        F.posexplode(F.arrays_zip(levels, bodies)).alias("seq", "_h"),
+    )
+    level = F.col("_h").getField("0").cast("int")
+    raw = F.col("_h").getField("1")
+    txt = F.regexp_replace(raw, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    base = h.select(
+        url_col,
+        F.col("seq"),
+        level.alias("level"),
+        txt.alias("heading"),
+    )
+
+    # nearest preceding smaller-level heading: per-level running max of
+    # seq over strictly-preceding rows, then pick the latest among levels
+    # below the current one. -1 sentinel keeps GREATEST null-free (NULL
+    # handling in GREATEST differs between engines; ints do not).
+    w = (
+        Window.partitionBy(url_col)
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cols = [
+        F.coalesce(
+            F.max(F.when(F.col("level") == k, F.col("seq"))).over(w),
+            F.lit(-1),
+        ).alias(f"_m{k}")
+        for k in range(1, 6)
+    ]
+    parent = F.lit(-1)
+    for k in range(2, 7):
+        below = [F.col(f"_m{j}") for j in range(1, k)]
+        cand = below[0] if len(below) == 1 else F.greatest(*below)
+        parent = F.when(F.col("level") == k, cand).otherwise(parent)
+    return (
+        base.select(url_col, "seq", "level", "heading", *cols)
+        .withColumn(
+            "parent_seq",
+            F.when(parent < 0, F.lit(None).cast("int")).otherwise(
+                parent.cast("int")
+            ),
+        )
+        .drop(*[f"_m{k}" for k in range(1, 6)])
+    )

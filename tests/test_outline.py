@@ -1,0 +1,145 @@
+"""Heading-outline extraction (operators/extract_html.extract_outline):
+hand-built pages with known hierarchy, skip-level parents, traps, and a
+DuckDB replay of the regex parse."""
+
+import duckdb
+import pytest
+
+from edspdf_spark.operators import extract_outline
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary"
+    )
+
+
+def test_outline_hierarchy_and_parents(spark):
+    html = (
+        "<html><body>"
+        "<h1>Title</h1>"
+        "<p>intro</p>"
+        "<h2 class='x'>Section <span>A</span></h2>"
+        "<h3>Sub A1</h3>"
+        "<h2>Section B</h2>"
+        "<h3>Sub B1</h3>"
+        "<h6>Deep &amp; odd</h6>"
+        "</body></html>"
+    )
+    got = (
+        extract_outline(_pages(spark, [("u", html)]))
+        .orderBy("seq")
+        .collect()
+    )
+    rows = [(r.seq, r.level, r.heading, r.parent_seq) for r in got]
+    assert rows == [
+        (0, 1, "Title", None),
+        (1, 2, "Section A", 0),
+        (2, 3, "Sub A1", 1),
+        (3, 2, "Section B", 0),
+        (4, 3, "Sub B1", 3),
+        (5, 6, "Deep & odd", 4),
+    ]
+
+
+def test_outline_skip_level_and_orphan(spark):
+    # h3 directly under h1 (skip-level) and a document starting at h2
+    a = "<h1>Root</h1><h3>Skip</h3><h2>Back</h2>"
+    b = "<h2>Orphan lead</h2><h4>Child</h4>"
+    got = extract_outline(_pages(spark, [("a", a), ("b", b)])).collect()
+    by = {(r.url, r.seq): (r.level, r.parent_seq) for r in got}
+    assert by[("a", 1)] == (3, 0)  # h3's parent is the h1
+    assert by[("a", 2)] == (2, 0)  # h2's parent is the h1, not the h3
+    assert by[("b", 0)] == (2, None)  # no smaller level before it
+    assert by[("b", 1)] == (4, 0)
+
+
+def test_outline_traps_ignored(spark):
+    html = (
+        "<script>var x = '<h2>fake</h2>';</script>"
+        "<!-- <h3>commented</h3> -->"
+        "<h2>Real</h2>"
+        "<h3>mismatch closer</h4>"  # ANY </hN> closes (HTML5-style recovery)
+        "<h5>never closed"  # no </hN> at all → not a heading
+    )
+    got = extract_outline(_pages(spark, [("u", html)])).orderBy("seq").collect()
+    assert [(r.level, r.heading) for r in got] == [
+        (2, "Real"),
+        (3, "mismatch closer"),
+    ]
+
+
+def test_outline_empty_and_no_headings(spark):
+    got = extract_outline(
+        _pages(spark, [("u", "<p>no headings here</p>")])
+    ).collect()
+    assert got == []
+
+
+def test_outline_matches_duckdb_replay(spark):
+    pages = [
+        (
+            f"u{i}",
+            f"<h1>Doc {i}</h1><h2>Part {i}.1</h2><h3>Leaf</h3>"
+            f"<h2>Part {i}.2</h2>",
+        )
+        for i in range(20)
+    ]
+    got = sorted(
+        (r.url, r.seq, r.level, r.heading, r.parent_seq)
+        for r in extract_outline(_pages(spark, pages)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pages AS SELECT * FROM (VALUES "
+        + ",".join("(?, ?)" for _ in pages)
+        + ") t(url, html)",
+        [x for row in pages for x in row],
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            r"""
+WITH m AS (
+  SELECT url,
+    regexp_extract_all(html, '(?is)<h([1-6])\b[^>]*>(.*?)</h[1-6]\s*>', 1) AS lv,
+    regexp_extract_all(html, '(?is)<h([1-6])\b[^>]*>(.*?)</h[1-6]\s*>', 2) AS bd
+  FROM pages
+), e AS (
+  SELECT url, g.i - 1 AS seq, CAST(lv[g.i] AS INT) AS level,
+    trim(regexp_replace(regexp_replace(bd[g.i], '<[^>]+>', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS heading
+  FROM m, LATERAL (SELECT unnest(generate_series(1, len(lv))) AS i) g
+), p AS (
+  SELECT url, seq, level, heading,
+    COALESCE(MAX(CASE WHEN level = 1 THEN seq END) OVER prev, -1) AS m1,
+    COALESCE(MAX(CASE WHEN level = 2 THEN seq END) OVER prev, -1) AS m2,
+    COALESCE(MAX(CASE WHEN level = 3 THEN seq END) OVER prev, -1) AS m3,
+    COALESCE(MAX(CASE WHEN level = 4 THEN seq END) OVER prev, -1) AS m4,
+    COALESCE(MAX(CASE WHEN level = 5 THEN seq END) OVER prev, -1) AS m5
+  FROM e
+  WINDOW prev AS (PARTITION BY url ORDER BY seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT url, seq, level, heading,
+  CASE WHEN level = 1 THEN NULL
+       WHEN greatest(m1, m2, m3, m4, m5,
+            CASE level WHEN 2 THEN m1
+                       WHEN 3 THEN greatest(m1, m2)
+                       WHEN 4 THEN greatest(m1, m2, m3)
+                       WHEN 5 THEN greatest(m1, m2, m3, m4)
+                       ELSE greatest(m1, m2, m3, m4, m5) END) IS NULL THEN NULL
+       ELSE (CASE level WHEN 2 THEN m1
+                        WHEN 3 THEN greatest(m1, m2)
+                        WHEN 4 THEN greatest(m1, m2, m3)
+                        WHEN 5 THEN greatest(m1, m2, m3, m4)
+                        ELSE greatest(m1, m2, m3, m4, m5) END) END AS parent
+FROM p
+"""
+        ).fetchall()
+    )
+    want = sorted(
+        (u, s, l, h, None if (p is None or p < 0) else p)
+        for (u, s, l, h, p) in want
+    )
+    assert got == want
