@@ -4042,6 +4042,49 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("outline").alias("algo"),
     )
 
+    # --- titled-section leg (extract_sections): bodies + breadcrumbs.
+    # Even docs are a clean h1→h2→h3 ladder whose first body carries the
+    # doc's own 20-char text slice; odd docs exercise the preamble row AND
+    # the staircase exclusion (their leading h2 precedes the late h1 root,
+    # so the h3's crumb is 'Root' alone). Ground-truth oracle.
+    from edspdf_spark.operators.extract_html import extract_sections
+
+    s_even = F.concat(
+        F.lit("<h1>Top "),
+        did_s,
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 20),
+        F.lit("</p><h2>Mid</h2>intro words<h3>Leaf</h3><p>tail "),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("</p>"),
+    )
+    s_odd = F.concat(
+        F.lit("preamble "),
+        did_s,
+        F.lit("<h2>A</h2><p>one</p><h1>Root</h1><h3>C</h3>two"),
+    )
+    sec_pages = docs.select(
+        did_s.alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, s_even)
+        .otherwise(s_odd)
+        .cast("binary")
+        .alias("html"),
+    )
+    sec = extract_sections(sec_pages).select(
+        "url",
+        F.concat(F.lit("section:"), F.col("seq").cast("string")).alias(
+            "label"
+        ),
+        F.concat_ws(
+            "|",
+            F.col("level").cast("string"),
+            F.coalesce(F.col("heading"), F.lit("-")),
+            F.col("crumb"),
+            F.col("body"),
+        ).alias("text"),
+        F.lit("sections").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
@@ -4057,6 +4100,7 @@ def _q_html_boilerplate(spark, sf_dir):
         .unionByName(cap)
         .unionByName(sch)
         .unionByName(ol)
+        .unionByName(sec)
     )
 
 
@@ -4371,6 +4415,45 @@ FROM documents WHERE doc_id % 2 = 1
 UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'outline:2' AS label,
        '1|-1|Late root' AS text, 'outline' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+-- sections: even docs — h1→h2→h3 ladder, first body = the doc's own
+-- 20-char text slice (whitespace-collapsed like the extractor cleanup)
+SELECT CAST(doc_id AS VARCHAR) AS url, 'section:0' AS label,
+       '1|Top ' || CAST(doc_id AS VARCHAR) || '||'
+         || trim(regexp_replace(substr(text, 1, 20), '\\s+', ' ', 'g'))
+         AS text,
+       'sections' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'section:1' AS label,
+       '2|Mid|Top ' || CAST(doc_id AS VARCHAR) || '|intro words' AS text,
+       'sections' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'section:2' AS label,
+       '3|Leaf|Top ' || CAST(doc_id AS VARCHAR) || ' > Mid|tail '
+         || CAST(doc_id % 9 AS VARCHAR) AS text,
+       'sections' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+-- sections: odd docs — preamble row; leading h2 precedes the late h1
+-- root, so the h3 crumb is 'Root' alone (staircase exclusion)
+SELECT CAST(doc_id AS VARCHAR) AS url, 'section:-1' AS label,
+       '0|-||preamble ' || CAST(doc_id AS VARCHAR) AS text,
+       'sections' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'section:0' AS label,
+       '2|A||one' AS text, 'sections' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'section:1' AS label,
+       '1|Root||' AS text, 'sections' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'section:2' AS label,
+       '3|C|Root|two' AS text, 'sections' AS algo
 FROM documents WHERE doc_id % 2 = 1
 """
 

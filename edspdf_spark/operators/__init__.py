@@ -2,6 +2,7 @@ from edspdf_spark.operators.extract import extract_blocs
 from edspdf_spark.operators.extract_html import (
     extract_blocs_html,
     extract_outline,
+    extract_sections,
     extract_tables,
 )
 from edspdf_spark.operators.classify import (
@@ -35,6 +36,7 @@ __all__ = [
     "extract_blocs",
     "extract_blocs_html",
     "extract_outline",
+    "extract_sections",
     "extract_tables",
     "align_labels",
     "classify_mask",

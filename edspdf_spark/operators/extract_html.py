@@ -1182,3 +1182,114 @@ def extract_outline(
         )
         .drop(*[f"_m{k}" for k in range(1, 6)])
     )
+
+
+def extract_sections(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Titled section chunks: one row per heading — ``(url, seq, level,
+    heading, crumb, body)`` where ``body`` is the cleaned text between
+    this heading and the next (any level) and ``crumb`` is the ancestor
+    breadcrumb (``"H1 > H2"``-style, own heading excluded) — the shape
+    titled-chunk training corpora want (section text + its hierarchy
+    context). A non-empty preamble (text before the first heading) gets
+    ``seq = -1, level = 0, heading = NULL, crumb = ''``.
+
+    Mechanics: the SAME heading pattern as :func:`extract_outline` drives
+    both ``regexp_extract_all`` (headings) and ``split`` (the n+1
+    between-heading fragments; fragment ``i+1`` is heading ``i``'s body),
+    so the two stay aligned by construction. Ancestors come from
+    per-level running-max/last windows over one ``(url, seq)`` exchange:
+    level ``k < L`` is an ancestor iff its last seq exceeds every
+    smaller level's last seq (the prefix-max staircase — a level-2
+    heading that precedes the current level-1 root is correctly NOT in
+    the crumb). Zero UDFs; the one shuffle is url-keyed.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = F.col(html_col).cast("string")
+    for pat in (
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        s = F.regexp_replace(s, pat, " ")
+
+    pat = r"(?is)<h([1-6])\b[^>]*>(.*?)</h[1-6]\s*>"
+    levels = F.regexp_extract_all(s, F.lit(pat), 1)
+    bodies = F.regexp_extract_all(s, F.lit(pat), 2)
+    pieces = F.split(s, pat)
+
+    def clean(col):
+        txt = F.regexp_replace(col, r"<[^>]+>", " ")
+        for ent, rep in (
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+        ):
+            txt = F.replace(txt, F.lit(ent), F.lit(rep))
+        txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))
+        return F.trim(F.regexp_replace(txt, r"\s+", " "))
+
+    with_arrays = pages.select(
+        url_col,
+        levels.alias("_lv"),
+        bodies.alias("_bd"),
+        pieces.alias("_pc"),
+    )
+    pre = with_arrays.select(
+        url_col,
+        F.lit(-1).alias("seq"),
+        F.lit(0).alias("level"),
+        F.lit(None).cast("string").alias("heading"),
+        F.lit("").alias("crumb"),
+        clean(F.element_at(F.col("_pc"), 1)).alias("body"),
+    ).filter(F.length("body") > 0)
+
+    h = with_arrays.select(
+        url_col,
+        F.col("_pc"),
+        F.posexplode(F.arrays_zip("_lv", "_bd")).alias("seq", "_h"),
+    ).select(
+        url_col,
+        "seq",
+        F.col("_h").getField("_lv").cast("int").alias("level"),
+        clean(F.col("_h").getField("_bd")).alias("heading"),
+        clean(F.element_at(F.col("_pc"), F.col("seq") + 2)).alias("body"),
+    )
+
+    w = (
+        Window.partitionBy(url_col)
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("level") == k, F.col("seq"))).over(w),
+            F.lit(-1),
+        ).alias(f"_m{k}")
+        for k in range(1, 6)
+    ]
+    txt_cols = [
+        F.last(
+            F.when(F.col("level") == k, F.col("heading")), ignorenulls=True
+        ).over(w).alias(f"_t{k}")
+        for k in range(1, 6)
+    ]
+    staged = h.select(url_col, "seq", "level", "heading", "body", *seq_cols, *txt_cols)
+
+    # prefix-max staircase: level k is an ancestor iff k < level and
+    # _mk beats every smaller level's last seq
+    crumb_parts = []
+    for k in range(1, 6):
+        smaller = [F.col(f"_m{j}") for j in range(1, k)]
+        beats = F.lit(True)
+        for sm in smaller:
+            beats = beats & (F.col(f"_m{k}") > sm)
+        keep = (F.col("level") > k) & (F.col(f"_m{k}") >= 0) & beats
+        crumb_parts.append(F.when(keep, F.col(f"_t{k}")))
+    crumb = F.concat_ws(" > ", F.array_compact(F.array(*crumb_parts)))
+
+    out = staged.select(
+        url_col, "seq", "level", "heading", crumb.alias("crumb"), "body"
+    )
+    return out.unionByName(pre)

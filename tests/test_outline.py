@@ -143,3 +143,71 @@ FROM p
         for (u, s, l, h, p) in want
     )
     assert got == want
+
+
+# --- extract_sections -------------------------------------------------------
+
+from edspdf_spark.operators.extract_html import extract_sections
+
+
+def test_sections_bodies_and_crumbs(spark):
+    html = (
+        "lead-in text"
+        "<h1>Top</h1><p>alpha beta</p>"
+        "<h2>Mid</h2>gamma"
+        "<h3>Leaf</h3><p>delta</p>"
+        "<h2>Mid2</h2>"
+    )
+    got = (
+        extract_sections(_pages(spark, [("u", html)]))
+        .orderBy("seq")
+        .collect()
+    )
+    rows = [(r.seq, r.level, r.heading, r.crumb, r.body) for r in got]
+    assert rows == [
+        (-1, 0, None, "", "lead-in text"),
+        (0, 1, "Top", "", "alpha beta"),
+        (1, 2, "Mid", "Top", "gamma"),
+        (2, 3, "Leaf", "Top > Mid", "delta"),
+        (3, 2, "Mid2", "Top", ""),
+    ]
+
+
+def test_sections_staircase_excludes_preceding_deeper_levels(spark):
+    # an h2 BEFORE the h1 root must not appear in crumbs after the h1
+    html = "<h2>A</h2><p>one</p><h1>Root</h1><h3>C</h3>two"
+    got = (
+        extract_sections(_pages(spark, [("u", html)]))
+        .orderBy("seq")
+        .collect()
+    )
+    rows = [(r.seq, r.level, r.heading, r.crumb, r.body) for r in got]
+    assert rows == [
+        (0, 2, "A", "", "one"),
+        (1, 1, "Root", "", ""),
+        (2, 3, "C", "Root", "two"),
+    ]
+
+
+def test_sections_nearer_mid_level_wins_crumb(spark):
+    # h3 then h2 then h4: the crumb of the h4 is the h2 (nearest), and the
+    # earlier h3 is excluded by the staircase
+    html = "<h3>Old</h3><h2>New</h2><h4>Deep</h4>x"
+    got = extract_sections(_pages(spark, [("u", html)])).collect()
+    by = {r.seq: (r.crumb, r.body) for r in got}
+    assert by[2] == ("New", "x")
+
+
+def test_sections_empty_preamble_skipped(spark):
+    html = "<h1>T</h1>body"
+    got = extract_sections(_pages(spark, [("u", html)])).collect()
+    assert sorted(r.seq for r in got) == [0]
+
+
+def test_sections_no_headings_only_preamble(spark):
+    got = extract_sections(
+        _pages(spark, [("u", "<p>just text</p>")])
+    ).collect()
+    assert [(r.seq, r.level, r.heading, r.crumb, r.body) for r in got] == [
+        (-1, 0, None, "", "just text")
+    ]
