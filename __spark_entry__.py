@@ -4085,6 +4085,67 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("sections").alias("algo"),
     )
 
+    # --- publication-date leg (discover.with_pub_date): doc_id%4 picks
+    # the carrier (meta+conflicting-time / JSON-LD / <time> / URL path via
+    # source_url_col), dates are pure functions of doc_id; every third
+    # JSON-LD doc carries a malformed date and must resolve to NULL
+    # (fall-through with no later carrier). Ground-truth oracle.
+    from edspdf_spark.functions.discover import with_pub_date
+
+    yy = (F.lit(2015) + F.col("doc_id") % 9).cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+    iso = F.concat_ws("-", yy, mm, dd)
+    m4 = F.col("doc_id") % 4
+    ld_date = F.when(F.col("doc_id") % 3 == 0, F.lit("not-a-date")).otherwise(
+        iso
+    )
+    pd_html = (
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="'),
+                iso,
+                F.lit('T08:00:00Z"><time datetime="1999-01-01">x</time>'),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"@type":"Article","datePublished":"'
+                ),
+                ld_date,
+                F.lit('"}</script>'),
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.concat(F.lit('<p><time datetime="'), iso, F.lit('T23:00:00">x</time></p>')),
+        )
+        .otherwise(F.lit("<p>none</p>"))
+    )
+    pd_web = F.when(
+        m4 == 3,
+        F.concat(F.lit("https://e.com/"), yy, F.lit("/"), mm, F.lit("/"), dd, F.lit("/p")),
+    ).otherwise(F.concat(F.lit("https://e.com/p/"), did_s))
+    pd_pages = docs.select(
+        did_s.alias("url"),
+        pd_web.alias("web_url"),
+        pd_html.cast("binary").alias("html"),
+    )
+    pdd = with_pub_date(pd_pages, source_url_col="web_url").select(
+        "url",
+        F.lit("pd").alias("label"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("pub_date_source"), F.lit("-")),
+            F.coalesce(F.col("pub_date").cast("string"), F.lit("-")),
+        ).alias("text"),
+        F.lit("pubdate").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
@@ -4101,6 +4162,7 @@ def _q_html_boilerplate(spark, sf_dir):
         .unionByName(sch)
         .unionByName(ol)
         .unionByName(sec)
+        .unionByName(pdd)
     )
 
 
@@ -4455,6 +4517,25 @@ UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'section:2' AS label,
        '3|C|Root|two' AS text, 'sections' AS algo
 FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+-- pubdate: doc_id%4 picks the carrier; ISO date is a pure function of
+-- doc_id; every third JSON-LD doc is malformed → NULL resolution
+SELECT CAST(doc_id AS VARCHAR) AS url, 'pd' AS label,
+       CASE
+         WHEN doc_id % 4 = 0 THEN 'meta|' || iso
+         WHEN doc_id % 4 = 1 AND doc_id % 3 = 0 THEN '-|-'
+         WHEN doc_id % 4 = 1 THEN 'jsonld|' || iso
+         WHEN doc_id % 4 = 2 THEN 'time|' || iso
+         ELSE 'url|' || iso
+       END AS text,
+       'pubdate' AS algo
+FROM (
+  SELECT doc_id,
+         CAST(2015 + doc_id % 9 AS VARCHAR) || '-'
+           || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+           || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') AS iso
+  FROM documents
+)
 """
 
 

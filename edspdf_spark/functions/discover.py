@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_sitemap",
+    "with_pub_date",
     "discover_feeds",
     "parse_feed",
     "extract_jsonld",
@@ -268,3 +269,77 @@ def extract_jsonld(
         ),
         j.alias("jsonld"),
     )
+
+
+def with_pub_date(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    source_url_col: str | None = None,
+    charset: str = "utf-8",
+) -> DataFrame:
+    """Resolve a page's publication date from its four usual carriers,
+    first-wins by trustworthiness: ``<meta property="article:
+    published_time">`` → JSON-LD ``datePublished`` → ``<time datetime>``
+    → a ``/YYYY/MM/DD/`` URL-path segment. Appends ``pub_date``
+    (DATE, NULL if nothing parses) and ``pub_date_source``
+    (``'meta'|'jsonld'|'time'|'url'|NULL``) — the recency signal
+    freshness-weighted corpus cuts key on.
+
+    All four probes are scan-stage regex/JSON-path projections (zero
+    UDFs, zero shuffle); values run through ``try_to_date`` on their
+    first 10 chars, so ISO timestamps parse, garbage and out-of-range
+    months/days go NULL instead of erroring under ANSI mode, and a
+    malformed higher-precedence carrier FALLS THROUGH to the next one.
+    ``source_url_col`` lets the path-date probe read a different column
+    than the row key (crawl frames often key rows by doc id).
+    """
+    h = _decoded(pages, html_col, charset)
+    u = F.col(source_url_col or url_col)
+
+    def _ex(col, pat):
+        # regexp_extract yields '' on no-match; NULL is what coalesce needs
+        return F.nullif(F.regexp_extract(col, pat, 1), F.lit(""))
+
+    meta_raw = F.coalesce(
+        _ex(
+            h,
+            r'(?is)<meta\b[^>]*property\s*=\s*["\x27]article:published_time["\x27][^>]*content\s*=\s*["\x27]([^"\x27>]+)',
+        ),
+        _ex(
+            h,
+            r'(?is)<meta\b[^>]*content\s*=\s*["\x27]([^"\x27>]+)["\x27][^>]*property\s*=\s*["\x27]article:published_time',
+        ),
+    )
+    ld_block = F.regexp_extract(h, _JSONLD_RE, 1)
+    ld_raw = F.coalesce(
+        F.get_json_object(ld_block, "$.datePublished"),
+        F.get_json_object(ld_block, "$[0].datePublished"),
+    )
+    time_raw = _ex(h, r'(?is)<time\b[^>]*datetime\s*=\s*["\x27]([^"\x27>]+)')
+    url_raw = F.regexp_extract(u, r"/((?:19|20)\d{2})/(\d{2})/(\d{2})(?:/|$)", 0)
+    url_iso = F.when(
+        url_raw != "",
+        F.concat_ws(
+            "-",
+            F.regexp_extract(u, r"/((?:19|20)\d{2})/(\d{2})/(\d{2})(?:/|$)", 1),
+            F.regexp_extract(u, r"/((?:19|20)\d{2})/(\d{2})/(\d{2})(?:/|$)", 2),
+            F.regexp_extract(u, r"/((?:19|20)\d{2})/(\d{2})/(\d{2})(?:/|$)", 3),
+        ),
+    )
+
+    def parsed(raw: Column) -> Column:
+        return F.try_to_date(F.substring(F.nullif(raw, F.lit("")), 1, 10))
+
+    d_meta = parsed(meta_raw)
+    d_ld = parsed(ld_raw)
+    d_time = parsed(time_raw)
+    d_url = parsed(url_iso)
+    pub = F.coalesce(d_meta, d_ld, d_time, d_url)
+    src = (
+        F.when(d_meta.isNotNull(), "meta")
+        .when(d_ld.isNotNull(), "jsonld")
+        .when(d_time.isNotNull(), "time")
+        .when(d_url.isNotNull(), "url")
+    )
+    return pages.withColumn("pub_date", pub).withColumn("pub_date_source", src)

@@ -248,3 +248,74 @@ def test_duckdb_differential_jsonld(jsonld_rows):
         assert dk(".datePublished") == row["date_published"]
         author = dk(".author.name") or dk(".author[0].name")
         assert author == row["author_name"]
+
+
+# --- with_pub_date -----------------------------------------------------------
+
+from edspdf_spark.functions.discover import with_pub_date
+
+
+def _pd_pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary"
+    )
+
+
+def test_pub_date_precedence_and_sources(spark):
+    rows = [
+        # meta wins over a conflicting <time>
+        ("https://a.com/x", '<meta property="article:published_time" '
+         'content="2023-04-05T08:00:00Z"><time datetime="2020-01-01">old</time>'),
+        # attribute order flipped
+        ("https://b.com/x", '<meta content="2022-11-30" '
+         'property="article:published_time">'),
+        # JSON-LD
+        ("https://c.com/x", '<script type="application/ld+json">'
+         '{"@type":"Article","datePublished":"2021-07-09T12:00:00+02:00"}'
+         "</script>"),
+        # <time>
+        ("https://d.com/x", '<p><time datetime="2019-02-28T23:59:00">x</time></p>'),
+        # URL path only
+        ("https://e.com/blog/2018/12/01/post", "<p>no markup</p>"),
+        # nothing
+        ("https://f.com/x", "<p>nothing</p>"),
+    ]
+    got = {
+        r.url: (str(r.pub_date) if r.pub_date else None, r.pub_date_source)
+        for r in with_pub_date(_pd_pages(spark, rows)).collect()
+    }
+    assert got["https://a.com/x"] == ("2023-04-05", "meta")
+    assert got["https://b.com/x"] == ("2022-11-30", "meta")
+    assert got["https://c.com/x"] == ("2021-07-09", "jsonld")
+    assert got["https://d.com/x"] == ("2019-02-28", "time")
+    assert got["https://e.com/blog/2018/12/01/post"] == ("2018-12-01", "url")
+    assert got["https://f.com/x"] == (None, None)
+
+
+def test_pub_date_malformed_falls_through(spark):
+    rows = [
+        # garbage meta → falls to the valid time tag
+        ("https://a.com/x", '<meta property="article:published_time" '
+         'content="not-a-date"><time datetime="2020-06-15">x</time>'),
+        # out-of-range month in meta → falls through to URL date
+        ("https://b.com/2017/03/09/x", '<meta property="article:published_time" '
+         'content="2020-13-40">'),
+        # out-of-range URL day → NULL
+        ("https://c.com/2017/02/31/x", "<p>n</p>"),
+    ]
+    got = {
+        r.url: (str(r.pub_date) if r.pub_date else None, r.pub_date_source)
+        for r in with_pub_date(_pd_pages(spark, rows)).collect()
+    }
+    assert got["https://a.com/x"] == ("2020-06-15", "time")
+    assert got["https://b.com/2017/03/09/x"] == ("2017-03-09", "url")
+    assert got["https://c.com/2017/02/31/x"] == (None, None)
+
+
+def test_pub_date_separate_source_url_col(spark):
+    df = spark.createDataFrame(
+        [("42", "https://s.com/2015/05/06/p", b"<p>n</p>")],
+        "url string, web_url string, html binary",
+    )
+    r = with_pub_date(df, source_url_col="web_url").first()
+    assert str(r.pub_date) == "2015-05-06" and r.pub_date_source == "url"
