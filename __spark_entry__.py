@@ -1030,6 +1030,34 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("keep_id"),
         F.size(F.split("text", "\n")).cast("long").alias("n_dups"),
     )
+    # robots Sitemap: directive probe — even hosts carry two live
+    # directives (one mixed-case) plus a commented-out one that must NOT
+    # leak; odd hosts carry none
+    from edspdf_spark.functions.robots import parse_robots_sitemaps
+
+    rsm_df = spark.createDataFrame(
+        [
+            (
+                f"h{i}",
+                (
+                    "User-agent: *\nDisallow: /x\n"
+                    f"Sitemap: https://h{i}.com/sm1.xml\n"
+                    f"# Sitemap: https://h{i}.com/no.xml\n"
+                    f"sitemap: https://h{i}.com/sm2.xml\n"
+                )
+                if i % 2 == 0
+                else "User-agent: *\nAllow: /\n",
+            )
+            for i in range(7)
+        ],
+        "host string, robots_txt string",
+    )
+    rsm_leg = parse_robots_sitemaps(rsm_df).select(
+        F.lit("rsm").alias("probe"),
+        F.col("sitemap_url").alias("content_hash"),
+        F.regexp_extract("host", r"h(\d+)", 1).cast("long").alias("keep_id"),
+        F.lit(1).cast("long").alias("n_dups"),
+    )
     return (
         exact.unionAll(norm)
         .unionAll(url_probe)
@@ -1043,6 +1071,7 @@ def _q_dedup_exact_normalized(spark, sf_dir):
         .unionAll(inc_leg)
         .unionAll(hosttmpl_tbl)
         .unionAll(hosttmpl_strip)
+        .unionAll(rsm_leg)
     )
 
 
@@ -2157,6 +2186,12 @@ UNION ALL
 SELECT 'hosttmpl', md5(text), doc_id,
        CAST(len(string_split(text, chr(10))) AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'rsm',
+       'https://h' || CAST(i AS VARCHAR) || '.com/sm' || CAST(j AS VARCHAR)
+         || '.xml',
+       CAST(i AS BIGINT), CAST(1 AS BIGINT)
+FROM (SELECT unnest([0, 2, 4, 6]) AS i), (SELECT unnest([1, 2]) AS j)
 """
 
 
@@ -2599,7 +2634,35 @@ def _q_relational_aggs(spark, sf_dir):
         F.col("code").cast("double").alias("num"),
         F.lit(None).cast("string").alias("txt"),
     )
-    return run.unionAll(roll).unionAll(med).unionAll(hist).unionAll(fact)
+    # corpus datacard: per-(lang, source) doc/token accounting with exact
+    # integer milli-shares (functions/quality.corpus_report) — the table
+    # every training-mixture decision reads first
+    from edspdf_spark.functions.quality import corpus_report
+
+    dc = corpus_report(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "lang", "source", "text"
+        ),
+        ["lang", "source"],
+    ).select(
+        F.lit("datacard").alias("probe"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("token_milli_share").cast("double").alias("num"),
+        F.concat_ws(
+            "|",
+            F.col("n_docs").cast("string"),
+            F.col("n_tokens").cast("string"),
+            F.col("doc_milli_share").cast("string"),
+        ).alias("txt"),
+    )
+    return (
+        run.unionAll(roll)
+        .unionAll(med)
+        .unionAll(hist)
+        .unionAll(fact)
+        .unionAll(dc)
+    )
 
 
 def _relational_aggs_oracle() -> str:
@@ -2624,6 +2687,20 @@ FROM ({_PRICE_HISTOGRAM_ORACLE})
 UNION ALL
 SELECT 'factorize', event_type, NULL, CAST(code AS DOUBLE), NULL
 FROM ({eq.LABEL_FACTORIZE_ORACLE})
+UNION ALL
+SELECT 'datacard', lang, source,
+       CAST(n_tokens * 1000 // tt AS DOUBLE),
+       CAST(n_docs AS VARCHAR) || '|' || CAST(n_tokens AS VARCHAR) || '|'
+         || CAST(n_docs * 1000 // td AS VARCHAR)
+FROM (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY lang, source
+), (
+  SELECT COUNT(*) AS td,
+         SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS tt
+  FROM documents
+)
 """
 
 

@@ -863,3 +863,52 @@ def with_ccn_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "pii_ccn_count", F.size(valid).cast("long")
     ).withColumn("ccn_redacted_md5", F.md5(red))
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: "list[str]" = None,
+    token_col: str = "n_tokens",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus datacard rollup: per group (default ``[lang]``; pass e.g.
+    ``["lang", "split"]``) — ``n_docs``, ``n_tokens``, and exact integer
+    ``token_milli_share`` / ``doc_milli_share`` (floor-divided
+    milli-points of the corpus totals, so the report is
+    partitioning-invariant and SQL-replayable; shares can sum to
+    slightly under 1000 by construction). The accounting table every
+    training-mixture decision reads first.
+
+    ``token_col`` missing from ``df`` falls back to a whitespace token
+    count over ``text_col``. Plan: one map-side-combinable groupBy over
+    the group keys + one single-row total broadcast-joined back — the
+    groups table is tiny (languages × splits), the corpus is scanned
+    once.
+    """
+    if group_cols is None:
+        group_cols = ["lang"]
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col in df.columns
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    )
+    per = df.select(*group_cols, toks.alias("_t")).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs AS BIGINT) * 1000 DIV _td").alias(
+                "doc_milli_share"
+            ),
+            F.expr("CAST(n_tokens AS BIGINT) * 1000 DIV _tt").alias(
+                "token_milli_share"
+            ),
+        )
+    )

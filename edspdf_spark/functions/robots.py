@@ -207,3 +207,29 @@ def robots_filter(
         .where(F.col("robots_allowed"))
         .select(*urls.columns)
     )
+
+
+def parse_robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, robots_txt)`` → ``(host, sitemap_url)``: the ``Sitemap:``
+    directives (RFC 9309 §2.3 / sitemaps.org) — the crawl loop's missing
+    edge from :func:`parse_robots` (may-I-fetch) to
+    :func:`edspdf_spark.functions.discover.parse_sitemap` (what-to-fetch).
+
+    Per the spec the directive is group-independent (it may appear
+    anywhere in the file), its key is case-insensitive, and its value is
+    an absolute URL. One scan-stage ``regexp_extract_all`` + explode,
+    zero UDFs, zero shuffles; comments (``#`` to end-of-line) are
+    stripped first so a commented-out directive cannot leak through.
+    """
+    txt = F.regexp_replace(F.col(robots_col), r"#[^\n]*", "")
+    urls = F.regexp_extract_all(
+        txt, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(https?://\S+)"), 1
+    )
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(urls).alias("sitemap_url"),
+    )

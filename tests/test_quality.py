@@ -1083,3 +1083,32 @@ def test_shuffle_order_is_seeded_permutation(spark):
     assert max(counts.values()) < 3 * (2000 / 16)
     # rank collisions are possible in principle (60-bit hash) but not here
     assert len({(r.shuffle_shard, r.shuffle_rank) for r in a}) == 2000
+
+
+# --- corpus_report -----------------------------------------------------------
+
+from edspdf_spark.functions.quality import corpus_report
+
+
+def test_corpus_report_hand_values(spark):
+    df = spark.createDataFrame(
+        [("en", "a", 70), ("en", "a", 20), ("fr", "b", 10)],
+        "lang string, split string, n_tokens long",
+    )
+    got = {
+        (r.lang, r.split): (
+            r.n_docs, r.n_tokens, r.doc_milli_share, r.token_milli_share
+        )
+        for r in corpus_report(df, ["lang", "split"]).collect()
+    }
+    assert got[("en", "a")] == (2, 90, 666, 900)
+    assert got[("fr", "b")] == (1, 10, 333, 100)
+
+
+def test_corpus_report_text_fallback_and_partitioning(spark):
+    rows = [("en", "one two three"), ("en", "four"), ("de", "fünf sechs")]
+    a = spark.createDataFrame(rows, "lang string, text string")
+    b = a.repartition(7)
+    ra = {r.lang: (r.n_docs, r.n_tokens) for r in corpus_report(a).collect()}
+    rb = {r.lang: (r.n_docs, r.n_tokens) for r in corpus_report(b).collect()}
+    assert ra == rb == {"en": (2, 4), "de": (1, 2)}

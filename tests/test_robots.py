@@ -128,3 +128,30 @@ def test_robots_filter_keeps_columns(spark):
     kept = robots_filter(urls, _robots(spark), agent="mybot")
     assert kept.columns == ["doc_id", "url"]
     assert [r.doc_id for r in kept.collect()] == [2]
+
+
+# --- Sitemap: directives ------------------------------------------------------
+
+from edspdf_spark.functions.robots import parse_robots_sitemaps
+
+
+def test_robots_sitemap_directives(spark):
+    txt_a = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://a.com/sitemap.xml\n"
+        "sitemap: https://a.com/news.xml\n"          # case-insensitive key
+        "# Sitemap: https://a.com/commented.xml\n"   # commented out
+        "Sitemap: https://a.com/tail.xml # trailing comment\n"
+    )
+    txt_b = "User-agent: x\nAllow: /\n"  # none
+    df = spark.createDataFrame(
+        [("a.com", txt_a), ("b.com", txt_b)], "host string, robots_txt string"
+    )
+    got = sorted(
+        (r.host, r.sitemap_url) for r in parse_robots_sitemaps(df).collect()
+    )
+    assert got == [
+        ("a.com", "https://a.com/news.xml"),
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://a.com/tail.xml"),
+    ]
