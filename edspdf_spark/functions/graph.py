@@ -408,3 +408,24 @@ def pagerank_oracle_sql(
         + f"\nSELECT node, rank_micro, rank_micro / {float(SCALE)} AS rank"
         f" FROM r{iterations}"
     )
+
+
+def extract_text_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bare http(s) URLs in PLAIN text → one ``(id_col, url)`` row each —
+    the link-graph feed for non-HTML corpora (markdown, chat logs,
+    extracted body text) where :func:`extract_links` has no ``href`` to
+    read. Scan-stage ``regexp_extract_all`` + explode (Java∩RE2∩DuckDB
+    dialect), with the conventional trailing-punctuation trim
+    (``. , ; : ! ?``) so sentence-final URLs come out clean.
+    """
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?i)\bhttps?://[^\s<>\"')\]}]+"), 0
+    )
+    trimmed = F.transform(
+        urls, lambda u: F.regexp_replace(u, r"[.,;:!?]+$", "")
+    )
+    return df.select(
+        id_col, F.explode(trimmed).alias("url")
+    )

@@ -912,3 +912,57 @@ def corpus_report(
             ),
         )
     )
+
+
+def with_compress_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal: appends ``compressed_len``
+    (zlib-deflate byte length of the UTF-8 text) and
+    ``compress_ratio_milli`` (``compressed_len * 1000 DIV raw_len``,
+    exact integer; 0 for empty text) — the classic repetitiveness
+    heuristic (boilerplate/spam compresses far better than prose; prose
+    lands ~400–700‰, degenerate repetition under ~100‰).
+
+    zlib is not expressible in Catalyst, so this is one Arrow-batched
+    ``mapInPandas`` stage (the :func:`minhash_signatures_arrow` shape):
+    ZERO shuffle, per-batch Python cost is one ``zlib.compress`` per doc
+    on bytes already in memory. Deterministic for a fixed zlib level —
+    pytest-validated against local zlib plus partitioning invariance.
+    """
+    import zlib
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("compressed_len", T.LongType(), False),
+            T.StructField("compress_ratio_milli", T.LongType(), False),
+        ]
+    )
+
+    def add_ratio(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            comp = []
+            ratio = []
+            for t in pdf[text_col]:
+                raw = ("" if t is None else str(t)).encode("utf-8")
+                c = len(zlib.compress(raw, level))
+                comp.append(c)
+                ratio.append(c * 1000 // len(raw) if raw else 0)
+            out = pdf.copy()
+            out["compressed_len"] = pd.Series(comp, index=pdf.index, dtype="int64")
+            out["compress_ratio_milli"] = pd.Series(
+                ratio, index=pdf.index, dtype="int64"
+            )
+            yield out
+
+    return df.mapInPandas(add_ratio, schema=out_schema)

@@ -207,3 +207,50 @@ def test_hits_deterministic_across_partitioning(spark):
         for r in hits(spark.createDataFrame(rows, "src int, dst int").repartition(7), 2).collect()
     )
     assert a == b
+
+
+# --- extract_text_urls ---------------------------------------------------------
+
+from edspdf_spark.functions.graph import extract_text_urls
+
+
+def test_extract_text_urls_basic_and_trim(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "see https://a.com/x. and HTTP://B.com/y?q=1, ok"),
+            (1, "(https://c.com/p) [https://d.com/q] none-here"),
+            (2, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted((r.doc_id, r.url) for r in extract_text_urls(df).collect())
+    assert got == [
+        (0, "HTTP://B.com/y?q=1"),
+        (0, "https://a.com/x"),
+        (1, "https://c.com/p"),
+        (1, "https://d.com/q"),
+    ]
+
+
+def test_extract_text_urls_duckdb_replay(spark):
+    import duckdb
+
+    rows = [(i, f"intro https://h{i % 3}.com/p/{i}. tail http://x.org/{i}?a=b;")
+            for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.url) for r in extract_text_urls(df).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join("(?, ?)" for _ in rows) + ") v(doc_id, text)",
+        [x for row in rows for x in row],
+    )
+    want = sorted(tuple(r) for r in con.execute(r"""
+SELECT doc_id, regexp_replace(u, '[.,;:!?]+$', '') AS url
+FROM (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '(?i)\bhttps?://[^\s<>"'')\]}]+', 0)) AS u
+  FROM t
+)
+""").fetchall())
+    assert got == want

@@ -1112,3 +1112,39 @@ def test_corpus_report_text_fallback_and_partitioning(spark):
     ra = {r.lang: (r.n_docs, r.n_tokens) for r in corpus_report(a).collect()}
     rb = {r.lang: (r.n_docs, r.n_tokens) for r in corpus_report(b).collect()}
     assert ra == rb == {"en": (2, 4), "de": (1, 2)}
+
+
+# --- with_compress_ratio -------------------------------------------------------
+
+import zlib
+
+from edspdf_spark.functions.quality import with_compress_ratio
+
+
+def test_compress_ratio_matches_local_zlib(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog " * 3),
+        (1, "ab" * 500),             # degenerate repetition → tiny ratio
+        (2, ""),                      # empty → 0
+        (3, None),                    # null behaves like empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.compressed_len, r.compress_ratio_milli)
+           for r in with_compress_ratio(df).collect()}
+    for i, t in rows:
+        raw = ("" if t is None else t).encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        want_ratio = c * 1000 // len(raw) if raw else 0
+        assert got[i] == (c, want_ratio), i
+    assert got[1][1] < 100 < got[0][1]  # repetition vs prose ordering
+
+
+def test_compress_ratio_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i} " * (1 + i % 5)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.compress_ratio_milli for r in with_compress_ratio(df).collect()}
+    b = {r.doc_id: r.compress_ratio_milli
+         for r in with_compress_ratio(df.repartition(13)).collect()}
+    assert a == b
