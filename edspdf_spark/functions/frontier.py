@@ -223,3 +223,85 @@ def schedule_frontier(
         )
         .drop("_sched_delay")
     )
+
+
+def frontier_recipe(
+    candidates: DataFrame,
+    robots: Optional[DataFrame] = None,
+    agent: str = "*",
+    blockwords: Optional[Sequence[str]] = None,
+    keep_threshold_milli: int = 500,
+    per_host_cap: int = 1000,
+    max_per_cycle: int = 100,
+    default_delay_ms: int = 1000,
+    priority_col: Optional[str] = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The whole crawl-frontier loop as one call — discovery output in,
+    polite fetch schedule out:
+
+    1. :func:`url_quality_filter` — the pre-fetch URL-shape gate (the
+       cheapest filter runs first; zero shuffle);
+    2. :func:`~edspdf_spark.functions.robots.robots_filter` — drop what
+       robots.txt forbids for ``agent`` (skipped when ``robots=None``);
+    3. :func:`cap_per_host` — per-registered-domain document cap, scored
+       by ``priority_col`` (or by the URL-quality milli-score when no
+       priority is given, so cleaner URLs survive the cap);
+    4. :func:`schedule_frontier` — per-host fetch slots/cycles, slot
+       spacing from the hosts' own ``Crawl-delay`` directives
+       (:func:`~edspdf_spark.functions.robots.parse_robots_delays`,
+       re-keyed to registered domains with the conservative MAX when
+       several full hosts collapse into one domain), falling back to
+       ``default_delay_ms``.
+
+    Output columns: the input's plus ``host``/``fetch_slot``/
+    ``fetch_cycle``/``fetch_offset_ms``. Every stage is the documented
+    scale shape of its operator; the recipe adds no shuffles of its own.
+    """
+    d = with_url_quality(
+        candidates, url_col, blockwords, keep_threshold_milli
+    )
+    prio = priority_col or "url_quality_milli"
+    gated = d.where(F.col("url_keep"))
+    if robots is not None:
+        from edspdf_spark.functions.robots import (
+            parse_robots_delays,
+            robots_filter,
+        )
+
+        gated = robots_filter(gated, robots, agent=agent, url_col=url_col)
+        delays = (
+            parse_robots_delays(robots, agent=agent)
+            .withColumn(
+                "host",
+                registered_domain(F.concat(F.lit("http://"), F.col("host"))),
+            )
+            .groupBy("host")
+            .agg(F.max("delay_ms").alias("delay_ms"))
+        )
+    else:
+        delays = None
+    capped = cap_per_host(
+        gated, per_host_cap, prio, url_col=url_col, id_col=id_col
+    )
+    signal_cols = [
+        c
+        for c in (
+            "host_len", "subdomain_depth", "path_depth",
+            "host_digit_milli", "is_ip_host", "url_block_hits",
+            "url_keep", "host",
+        )
+        if c in capped.columns and c not in candidates.columns
+    ]
+    scheduled = schedule_frontier(
+        capped.drop(*signal_cols),
+        prio,
+        delays=delays,
+        default_delay_ms=default_delay_ms,
+        max_per_cycle=max_per_cycle,
+        url_col=url_col,
+    )
+    if priority_col is None:
+        scheduled = scheduled.drop("url_quality_milli")
+    return scheduled

@@ -233,3 +233,84 @@ def parse_robots_sitemaps(
         F.col(host_col).alias("host"),
         F.explode(urls).alias("sitemap_url"),
     )
+
+
+def parse_robots_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    default_delay_ms: "int | None" = None,
+) -> DataFrame:
+    """``(host, robots_txt)`` → ``(host, delay_ms)``: the ``Crawl-delay``
+    directive (de-facto standard outside RFC 9309; seconds, possibly
+    fractional), group-scoped exactly like allow/disallow — the named
+    agent's group wins over the ``*`` group, and within a class the MAX
+    delay is kept (the politeness-conservative read of a contradictory
+    file). Hosts with no parseable directive are omitted (or emitted
+    with ``default_delay_ms`` when given) — feed the result straight
+    into :func:`edspdf_spark.functions.frontier.schedule_frontier`.
+
+    Same relational group assembly as :func:`parse_robots` (one lag+sum
+    window per host), then a two-column conditional max — no UDFs.
+    """
+    agent = agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("idx", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    directive = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
+    parsed = (
+        lines.select(
+            "host",
+            "idx",
+            F.when(directive == "user-agent", F.lit("ua"))
+            .when(directive == "crawl-delay", F.lit("delay"))
+            .alias("kind"),
+            value.alias("value"),
+        )
+        .where(F.col("kind").isNotNull())
+        .where(F.col("value") != "")
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    starts_group = (F.col("kind") == "ua") & (
+        F.coalesce(F.lag("kind").over(w), F.lit("")) != "ua"
+    )
+    grouped = parsed.withColumn(
+        "grp", F.sum(starts_group.cast("int")).over(w)
+    ).where(F.col("grp") > 0)
+    agents = grouped.where(F.col("kind") == "ua").select(
+        "host", "grp", F.lower(F.col("value")).alias("agent")
+    )
+    secs = F.col("value").try_cast("double")
+    delays = (
+        grouped.where(F.col("kind") == "delay")
+        .withColumn("_s", secs)
+        .where(F.col("_s").isNotNull() & (F.col("_s") >= 0))
+        .select("host", "grp", "_s")
+    )
+    joined = agents.join(delays, on=["host", "grp"])
+    per_host = joined.groupBy("host").agg(
+        F.max(F.when(F.col("agent") == agent, F.col("_s"))).alias("_own"),
+        F.max(F.when(F.col("agent") == "*", F.col("_s"))).alias("_star"),
+    )
+    picked = F.coalesce(F.col("_own"), F.col("_star"))
+    out = (
+        per_host.where(picked.isNotNull())
+        .select("host", (picked * 1000).cast("long").alias("delay_ms"))
+    )
+    if default_delay_ms is None:
+        return out
+    return (
+        robots.select(F.col(host_col).alias("host"))
+        .distinct()
+        .join(out, on="host", how="left")
+        .select(
+            "host",
+            F.coalesce(
+                F.col("delay_ms"), F.lit(int(default_delay_ms))
+            ).alias("delay_ms"),
+        )
+    )

@@ -215,3 +215,80 @@ def test_schedule_partitioning_invariance(spark):
         for r in schedule_frontier(df.coalesce(1), "prio").collect()
     }
     assert a == b
+
+
+# --- frontier_recipe (the composed crawl loop) --------------------------------
+
+from edspdf_spark.functions.frontier import frontier_recipe
+from edspdf_spark.functions.robots import parse_robots_delays
+
+
+def test_parse_robots_delays_precedence_and_max(spark):
+    txt_a = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+        "User-agent: mybot\nCrawl-delay: 0.5\nCrawl-delay: 1.5\n"  # max wins
+    )
+    txt_b = "User-agent: *\nCrawl-delay: junk\n"   # unparseable → omitted
+    txt_c = "User-agent: other\nCrawl-delay: 9\n"  # no matching group
+    df = spark.createDataFrame(
+        [("a.com", txt_a), ("b.com", txt_b), ("c.com", txt_c)],
+        "host string, robots_txt string",
+    )
+    own = {r.host: r.delay_ms for r in parse_robots_delays(df, "MyBot").collect()}
+    assert own == {"a.com": 1500}  # own group (max 1.5s) beats * (2s)
+    star = {r.host: r.delay_ms for r in parse_robots_delays(df, "*").collect()}
+    assert star == {"a.com": 2000}
+    filled = {r.host: r.delay_ms
+              for r in parse_robots_delays(df, "MyBot", default_delay_ms=777).collect()}
+    assert filled == {"a.com": 1500, "b.com": 777, "c.com": 777}
+
+
+def test_frontier_recipe_end_to_end(spark):
+    cand = spark.createDataFrame(
+        [
+            (0, "https://good.com/a"),
+            (1, "https://good.com/b"),
+            (2, "https://good.com/c"),          # capped out (cap=2)
+            (3, "https://10.1.2.3/x"),           # quality gate drops IP host
+            (4, "https://blocked.com/casino/1"),  # robots disallows /casino
+            (5, "https://blocked.com/fine"),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("good.com", "User-agent: *\nCrawl-delay: 3\nAllow: /\n"),
+            ("blocked.com", "User-agent: *\nDisallow: /casino\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = frontier_recipe(
+        cand, robots, per_host_cap=2, default_delay_ms=100
+    ).collect()
+    by_url = {r.url: r for r in got}
+    # survivors: good.com a,b (cap 2, tie-broken by doc_id) + blocked.com/fine
+    assert set(by_url) == {
+        "https://good.com/a", "https://good.com/b", "https://blocked.com/fine"
+    }
+    # good.com slots spaced by its Crawl-delay (3s); equal quality → url order
+    a, b = by_url["https://good.com/a"], by_url["https://good.com/b"]
+    assert (a.fetch_slot, a.fetch_offset_ms) == (0, 0)
+    assert (b.fetch_slot, b.fetch_offset_ms) == (1, 3000)
+    # blocked.com has no Crawl-delay → default
+    f = by_url["https://blocked.com/fine"]
+    assert (f.fetch_slot, f.fetch_offset_ms) == (0, 0)
+    # schema: input columns + schedule columns, no leaked signal columns
+    assert set(got[0].asDict()) == {
+        "doc_id", "url", "host", "fetch_slot", "fetch_cycle",
+        "fetch_offset_ms",
+    }
+
+
+def test_frontier_recipe_no_robots_and_priority(spark):
+    cand = spark.createDataFrame(
+        [(0, "https://h.com/a", 5), (1, "https://h.com/b", 9)],
+        "doc_id long, url string, prio long",
+    )
+    got = {r.url: r.fetch_slot
+           for r in frontier_recipe(cand, priority_col="prio").collect()}
+    assert got == {"https://h.com/b": 0, "https://h.com/a": 1}
