@@ -376,3 +376,57 @@ def with_line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
             "long"
         ),
     )
+
+
+def sections_to_chunks(
+    sections: DataFrame,
+    window: int = 128,
+    stride: int = 128,
+    url_col: str = "url",
+    min_tokens: int = 1,
+    sep: str = " — ",
+) -> DataFrame:
+    """Turn :func:`edspdf_spark.operators.extract_html.extract_sections`
+    output into titled training chunks: each section's text becomes
+    ``"crumb > heading — body"`` (crumb/heading omitted when absent, so a
+    preamble chunk is just its text), then :func:`chunk_tokens` windows
+    it. One row per chunk — ``(url, seq, chunk_idx, chunk_n_tokens,
+    chunk_text)`` — ready for :func:`pack_chunks` keyed on a composite
+    ``(url, seq)`` id or for direct shard writing.
+
+    Sections with an empty body and no heading are dropped (nothing to
+    train on); a heading with an empty body still yields its title line
+    (section stubs carry signal for retrieval-style corpora). Pure
+    projections on top of two zero-shuffle operators.
+    """
+    title = F.concat_ws(
+        " > ",
+        F.array_compact(
+            F.array(F.nullif(F.col("crumb"), F.lit("")), F.col("heading"))
+        ),
+    )
+    text = F.when(
+        (title == "") | title.isNull(), F.col("body")
+    ).otherwise(
+        F.when(
+            F.nullif(F.col("body"), F.lit("")).isNull(), title
+        ).otherwise(F.concat(title, F.lit(sep), F.col("body")))
+    )
+    base = sections.select(
+        url_col, "seq", text.alias("_sect_text")
+    ).where(F.nullif(F.col("_sect_text"), F.lit("")).isNotNull())
+    chunked = chunk_tokens(
+        base.withColumn("_sid", F.concat_ws("#", url_col, F.col("seq"))),
+        window=window,
+        stride=stride,
+        text_col="_sect_text",
+        id_col="_sid",
+        min_tokens=min_tokens,
+    )
+    return chunked.select(
+        F.regexp_extract("_sid", r"^(.*)#-?\d+$", 1).alias(url_col),
+        F.regexp_extract("_sid", r"#(-?\d+)$", 1).cast("int").alias("seq"),
+        "chunk_idx",
+        "chunk_n_tokens",
+        "chunk_text",
+    )

@@ -211,3 +211,36 @@ def test_sections_no_headings_only_preamble(spark):
     assert [(r.seq, r.level, r.heading, r.crumb, r.body) for r in got] == [
         (-1, 0, None, "", "just text")
     ]
+
+
+# --- sections_to_chunks --------------------------------------------------------
+
+from edspdf_spark.functions.text import sections_to_chunks
+
+
+def test_sections_to_chunks_titles_and_windows(spark):
+    html = (
+        "lead words here"
+        "<h1>Top</h1><p>" + " ".join(f"w{i}" for i in range(10)) + "</p>"
+        "<h2>Empty Stub</h2>"
+    )
+    secs = extract_sections(_pages(spark, [("u", html)]))
+    got = sorted(
+        (r.seq, r.chunk_idx, r.chunk_n_tokens, r.chunk_text)
+        for r in sections_to_chunks(secs, window=6, stride=6).collect()
+    )
+    # preamble: plain text, no title prefix
+    assert got[0] == (-1, 0, 3, "lead words here")
+    # h1 section: "Top — w0..." windowed at 6 tokens
+    assert got[1][:3] == (0, 0, 6) and got[1][3].startswith("Top — w0")
+    assert got[2][:3] == (0, 1, 6)
+    # stub heading yields its title line (crumb > heading)
+    assert got[3] == (1, 0, 4, "Top > Empty Stub")
+
+
+def test_sections_to_chunks_urls_with_hash(spark):
+    # a url containing '#' must round-trip through the composite id
+    html = "<h1>T</h1>body text"
+    secs = extract_sections(_pages(spark, [("https://a.com/p#frag", html)]))
+    got = sections_to_chunks(secs).collect()
+    assert [(r.url, r.seq) for r in got] == [("https://a.com/p#frag", 0)]
