@@ -601,6 +601,87 @@ def main() -> None:
                 _s.build_text_index(docs.select("doc_id", "text")), k=3
             ))(__import__("edspdf_spark.functions.search", fromlist=["x"])),
         ),
+        (
+            "extract_outline (heading hierarchy)",
+            "h1-h6 parse is a scan-stage regexp projection (zero UDFs); "
+            "the parent pointers are per-level running-max windows, so the "
+            "ONLY exchange is the (url)-keyed window partitioning — the "
+            "same key any downstream per-document stage reuses. Expected: "
+            "1 scan, 1 hashpartitioning(url) exchange, no UDF stages.",
+            (lambda _m: _m.extract_outline(
+                docs.selectExpr(
+                    "CAST(doc_id AS STRING) AS url",
+                    "CAST(concat('<h1>', text, '</h1>') AS BINARY) AS html",
+                )
+            ))(__import__(
+                "edspdf_spark.operators.extract_html", fromlist=["x"]
+            )),
+        ),
+        (
+            "extract_sections (titled chunks)",
+            "Same parse feeding both the heading arrays and the aligned "
+            "between-heading split; breadcrumbs ride the SAME (url)-keyed "
+            "window exchange as the outline, and the preamble leg is a "
+            "zero-shuffle projection unioned in. Expected: scans + ONE "
+            "hashpartitioning(url) exchange, no UDF stages.",
+            (lambda _m: _m.extract_sections(
+                docs.selectExpr(
+                    "CAST(doc_id AS STRING) AS url",
+                    "CAST(concat('<h1>t</h1>', text) AS BINARY) AS html",
+                )
+            ))(__import__(
+                "edspdf_spark.operators.extract_html", fromlist=["x"]
+            )),
+        ),
+        (
+            "frontier_recipe (composed crawl loop)",
+            "quality gate = zero-shuffle scan-stage filter. Exchange "
+            "census (AQE off, so nothing is hidden): the CORPUS crosses "
+            "the wire exactly six times — robots host-join, url-keyed "
+            "max_by agg, verdict join-back (with_robots_verdict's "
+            "documented shape: a web-scale rules table is host-cardinality "
+            "— ~10^8 hosts — so it must NOT broadcast; hot hosts are "
+            "AQE-splittable skew), cap's host-count partials, the "
+            "heavy-tail cap window, and the schedule window. Every other "
+            "exchange in the audit below partitions the host-cardinality "
+            "robots/delay frames (parse_robots windows + group joins + "
+            "the delay max agg) — rows-per-host-sized, not corpus-sized. "
+            "No crossJoin, no corpus-sized broadcast, nothing added by "
+            "the composition itself.",
+            (lambda _f, _r: _f.frontier_recipe(
+                docs.selectExpr(
+                    "doc_id",
+                    "concat('https://site', CAST(doc_id % 5 AS STRING), "
+                    "'.com/p/', CAST(doc_id AS STRING)) AS url",
+                ),
+                spark.createDataFrame(
+                    [("site0.com", "User-agent: *\nCrawl-delay: 1\nAllow: /")],
+                    "host string, robots_txt string",
+                ),
+            ))(
+                __import__("edspdf_spark.functions.frontier", fromlist=["x"]),
+                None,
+            ),
+        ),
+        (
+            "mine_hard_negatives (exact production path)",
+            "cosine_topk's mapInPandas BLAS stage (partition-local top-k) "
+            "+ ONE query_id-keyed window exchange for the global top-k; the "
+            "positives anti-join BROADCASTS (per-query labels are query-"
+            "batch-sized). Expected: scan -> ArrowEvalPython/mapInPandas -> "
+            "one hashpartitioning(query_id) exchange + broadcast anti-join; "
+            "the corpus is never broadcast.",
+            (lambda _m: _m.mine_hard_negatives(
+                emb,
+                emb.filter("vec_id % 31 = 0"),
+                emb.filter("vec_id % 31 = 0").selectExpr(
+                    "vec_id AS query_id", "vec_id + 1 AS pos_id"
+                ),
+                k=3,
+            ))(__import__(
+                "edspdf_spark.functions.similarity", fromlist=["x"]
+            )),
+        ),
     ]
 
     sections = []
