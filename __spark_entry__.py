@@ -4223,6 +4223,58 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("pubdate").alias("algo"),
     )
 
+    # --- list/code structure leg (extract_lists + extract_code_blocks):
+    # even docs get an <ol> (one item = the doc's 10-char text slice) and
+    # a language-hinted <pre><code>; odd docs get the wild-web unclosed
+    # <li> idiom and a bare <code>. Ground-truth oracle.
+    from edspdf_spark.operators.extract_html import (
+        extract_code_blocks,
+        extract_lists,
+    )
+
+    st_even = F.concat(
+        F.lit("<ol><li>step "),
+        did_s,
+        F.lit("</li><li>"),
+        F.substring(F.col("text"), 1, 10),
+        F.lit('</li></ol><pre><code class="language-python">x = '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</code></pre>"),
+    )
+    st_odd = F.concat(
+        F.lit("<ul><li>item A<li>item B</ul><code>call("),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(")</code>"),
+    )
+    st_pages = docs.select(
+        did_s.alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, st_even)
+        .otherwise(st_odd)
+        .cast("binary")
+        .alias("html"),
+    )
+    li = extract_lists(st_pages).select(
+        "url",
+        F.concat_ws(
+            ":",
+            F.lit("list"),
+            F.col("list_idx").cast("string"),
+            F.col("item_idx").cast("string"),
+        ).alias("label"),
+        F.concat_ws(
+            "|", F.col("ordered").cast("string"), F.col("item")
+        ).alias("text"),
+        F.lit("structure").alias("algo"),
+    )
+    cb = extract_code_blocks(st_pages).select(
+        "url",
+        F.concat(F.lit("code:"), F.col("block_idx").cast("string")).alias(
+            "label"
+        ),
+        F.concat_ws("|", F.col("lang_hint"), F.col("code")).alias("text"),
+        F.lit("structure").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
@@ -4240,6 +4292,8 @@ def _q_html_boilerplate(spark, sf_dir):
         .unionByName(ol)
         .unionByName(sec)
         .unionByName(pdd)
+        .unionByName(li)
+        .unionByName(cb)
     )
 
 
@@ -4613,6 +4667,37 @@ FROM (
            || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') AS iso
   FROM documents
 )
+UNION ALL
+-- structure: even docs — ordered list (item 1 = the doc's 10-char slice,
+-- whitespace-collapsed) + language-hinted code block (whitespace kept)
+SELECT CAST(doc_id AS VARCHAR) AS url, 'list:0:0' AS label,
+       'true|step ' || CAST(doc_id AS VARCHAR) AS text, 'structure' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'list:0:1' AS label,
+       'true|' || trim(regexp_replace(substr(text, 1, 10), '\\s+', ' ', 'g'))
+         AS text,
+       'structure' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'code:0' AS label,
+       'python|x = ' || CAST(doc_id % 7 AS VARCHAR) AS text,
+       'structure' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+-- structure: odd docs — unclosed-<li> idiom + bare <code> (no hint)
+SELECT CAST(doc_id AS VARCHAR) AS url, 'list:0:0' AS label,
+       'false|item A' AS text, 'structure' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'list:0:1' AS label,
+       'false|item B' AS text, 'structure' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'code:0' AS label,
+       '|call(' || CAST(doc_id % 5 AS VARCHAR) || ')' AS text,
+       'structure' AS algo
+FROM documents WHERE doc_id % 2 = 1
 """
 
 

@@ -1,6 +1,8 @@
 from edspdf_spark.operators.extract import extract_blocs
 from edspdf_spark.operators.extract_html import (
     extract_blocs_html,
+    extract_code_blocks,
+    extract_lists,
     extract_outline,
     extract_sections,
     extract_tables,
@@ -35,6 +37,8 @@ from edspdf_spark.operators.features import with_layout_features, FEATURE_COLS
 __all__ = [
     "extract_blocs",
     "extract_blocs_html",
+    "extract_code_blocks",
+    "extract_lists",
     "extract_outline",
     "extract_sections",
     "extract_tables",

@@ -1293,3 +1293,119 @@ def extract_sections(
         url_col, "seq", "level", "heading", crumb.alias("crumb"), "body"
     )
     return out.unionByName(pre)
+
+
+def extract_lists(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """HTML list extraction: one row per ``<li>`` —
+    ``(url, list_idx, item_idx, ordered, item)`` — instructional/step
+    corpora are list-shaped, and serialized items feed the same dedup/
+    quality gates as table cells. Same zero-UDF regexp projection chain
+    as :func:`extract_tables` (strip script containers → ul/ol → li),
+    same RE2/DuckDB-safe dialect, same entity/tag cleanup. Nested lists
+    parse to the first closing tag (non-nested assumption, documented
+    like the tables operator).
+    """
+    from pyspark.sql import functions as F
+
+    s = F.col(html_col).cast("string")
+    for pat in (
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        s = F.regexp_replace(s, pat, " ")
+
+    pat = r"(?is)<(ul|ol)\b[^>]*>(.*?)</(?:ul|ol)\s*>"
+    kinds = F.regexp_extract_all(s, F.lit(pat), 1)
+    bodies = F.regexp_extract_all(s, F.lit(pat), 2)
+    l = pages.select(
+        url_col,
+        F.posexplode(F.arrays_zip(kinds, bodies)).alias("list_idx", "_l"),
+    ).select(
+        url_col,
+        "list_idx",
+        (F.lower(F.col("_l").getField("0")) == "ol").alias("ordered"),
+        F.col("_l").getField("1").alias("_body"),
+    )
+    # items split on <li> OPENERS (the wild web rarely closes them; RE2 —
+    # the oracle dialect — has no lookahead, so a closer-or-next-item
+    # pattern is out). Piece 0 is pre-first-item junk and is dropped; a
+    # trailing </li> in a piece is markup the tag cleanup removes anyway.
+    pieces = F.split(F.col("_body"), r"(?i)<li\b[^>]*>")
+    items = F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0)))
+    it = l.select(
+        url_col, "list_idx", "ordered",
+        F.posexplode(items).alias("item_idx", "_item"),
+    )
+    txt = F.regexp_replace(F.col("_item"), r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return it.select(
+        url_col, "list_idx", "item_idx", "ordered", txt.alias("item")
+    )
+
+
+def extract_code_blocks(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Code-block extraction: one row per ``<pre>``/``<code>`` block —
+    ``(url, block_idx, lang_hint, code)`` — the code-corpus face of the
+    structure extractors. ``lang_hint`` comes from the conventional
+    ``class="language-xyz"`` / ``class="lang-xyz"`` marker (empty when
+    absent). Unlike the text extractors, WHITESPACE IS PRESERVED
+    (indentation is code signal): only tags are stripped and entities
+    decoded; the one normalization is CRLF→LF. ``<pre><code>`` nesting
+    yields the outer ``pre`` block only (the inner ``code`` tag is
+    stripped as markup). Same scan-stage zero-UDF dialect as the other
+    structure extractors.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.col(html_col).cast("string")
+    for pat in (
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        s = F.regexp_replace(s, pat, " ")
+    # pre blocks first; standalone <code> outside <pre> second — remove
+    # pre spans before scanning for bare code tags so nothing double-counts
+    pre_pat = r"(?is)<pre\b[^>]*>(.*?)</pre\s*>"
+    pres = F.regexp_extract_all(s, F.lit(pre_pat), 0)
+    no_pre = F.regexp_replace(s, pre_pat, " ")
+    codes = F.regexp_extract_all(
+        no_pre, F.lit(r"(?is)<code\b[^>]*>(.*?)</code\s*>"), 0
+    )
+    b = pages.select(
+        url_col,
+        F.posexplode(F.concat(pres, codes)).alias("block_idx", "_raw"),
+    )
+    hint = F.lower(
+        F.regexp_extract(
+            F.col("_raw"),
+            r'(?is)class\s*=\s*["\x27][^"\x27]*\blang(?:uage)?-([\w+#.-]+)',
+            1,
+        )
+    )
+    body = F.regexp_replace(
+        F.col("_raw"), r"(?is)^<(?:pre|code)\b[^>]*>|</(?:pre|code)\s*>$", ""
+    )
+    code = F.regexp_replace(body, r"<[^>]+>", "")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ):
+        code = F.replace(code, F.lit(ent), F.lit(rep))
+    code = F.replace(code, F.lit("&amp;"), F.lit("&"))
+    code = F.regexp_replace(code, r"\r\n", "\n")
+    return b.select(
+        url_col,
+        "block_idx",
+        hint.alias("lang_hint"),
+        code.alias("code"),
+    )

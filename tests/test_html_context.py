@@ -151,3 +151,73 @@ def test_extract_tables_cells(spark):
     assert ("u1", 0, 0, 1) in got and got[("u1", 0, 0, 1)][0] is True
     assert not any(u == "u2" for (u, *_), _ in got.items())
     assert not any(v[1] == "fake" for v in got.values())  # script stripped
+
+
+# --- extract_lists / extract_code_blocks ---------------------------------------
+
+from edspdf_spark.operators.extract_html import (
+    extract_code_blocks,
+    extract_lists,
+)
+
+
+def _struct_pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary"
+    )
+
+
+def test_extract_lists_ordered_and_cleanup(spark):
+    html = (
+        "<ul><li>alpha <b>bold</b></li><li>beta &amp; co</li></ul>"
+        "<p>x</p>"
+        "<ol class='steps'><li>first</li><li>second</li><li>third</li></ol>"
+        "<script><ul><li>fake</li></ul></script>"
+    )
+    got = sorted(
+        (r.list_idx, r.item_idx, r.ordered, r.item)
+        for r in extract_lists(_struct_pages(spark, [("u", html)])).collect()
+    )
+    assert got == [
+        (0, 0, False, "alpha bold"),
+        (0, 1, False, "beta & co"),
+        (1, 0, True, "first"),
+        (1, 1, True, "second"),
+        (1, 2, True, "third"),
+    ]
+
+
+def test_extract_lists_unclosed_last_item(spark):
+    # the wild-web idiom: <li> items never closed
+    html = "<ul><li>one<li>two<li>three</ul>"
+    got = [
+        r.item
+        for r in extract_lists(_struct_pages(spark, [("u", html)]))
+        .orderBy("item_idx")
+        .collect()
+    ]
+    assert got == ["one", "two", "three"]
+
+
+def test_extract_code_blocks_whitespace_and_hint(spark):
+    html = (
+        '<pre><code class="language-python">def f():\n    return 1</code></pre>'
+        "<p>prose with <code>inline_call()</code> here</p>"
+        "<pre>  plain\r\n  block</pre>"
+    )
+    got = {
+        r.block_idx: (r.lang_hint, r.code)
+        for r in extract_code_blocks(
+            _struct_pages(spark, [("u", html)])
+        ).collect()
+    }
+    assert got[0] == ("python", "def f():\n    return 1")
+    assert got[1] == ("", "  plain\n  block")   # CRLF→LF, indent preserved
+    assert got[2] == ("", "inline_call()")      # bare <code> outside pre
+    assert len(got) == 3
+
+
+def test_extract_code_blocks_entities_and_no_double_count(spark):
+    html = "<pre>if a &lt; b &amp;&amp; c &gt; d:</pre>"
+    got = extract_code_blocks(_struct_pages(spark, [("u", html)])).collect()
+    assert [r.code for r in got] == ["if a < b && c > d:"]
