@@ -171,6 +171,24 @@ def bench_cetr_extract(spark, corpus_path):
     materialize(extract_blocs_cetr(pages))
 
 
+def bench_structure_extract(spark, corpus_path):
+    """Structure extraction sweep: outline+sections+lists+code over one
+    HTML corpus — four zero/one-exchange regexp projection chains priced
+    together (the scan dominates; per-op marginal cost is the point)."""
+    from edspdf_spark.operators.extract_html import (
+        extract_code_blocks,
+        extract_lists,
+        extract_outline,
+        extract_sections,
+    )
+
+    pages = spark.read.parquet(corpus_path).select("url", "html")
+    materialize(extract_outline(pages))
+    materialize(extract_sections(pages))
+    materialize(extract_lists(pages))
+    materialize(extract_code_blocks(pages))
+
+
 def bench_pagerank(spark, sf_dir):
     """Link-graph authority: deterministic hrefs from the documents corpus
     → extract_links (one regexp projection) → 5 rounds of exact
@@ -427,7 +445,7 @@ def main():
     # texts → deterministic chrome+article pages); only the extract side
     # is benched
     html_docs = int(os.environ.get("BENCH_HTML_DOCS", "24000"))
-    html_corpus = f"/tmp/edspdf_bench_html_{html_docs}"
+    html_corpus = f"/tmp/edspdf_bench_html_{html_docs}_v2"  # _v2: structure tags in the fixture
     if not os.path.exists(html_corpus + "/_SUCCESS"):
         from edspdf_spark.fixtures import html_pages_from_documents
 
@@ -439,7 +457,7 @@ def main():
     # pre-generate the WARC corpus once: the HTML pages wrapped into
     # member-per-record .warc.gz files (2 files per core so the binary
     # scan saturates); generation is a producer, only ingest is benched
-    warc_corpus = f"/tmp/edspdf_bench_warc_{html_docs}_f{CPUS * 2}"
+    warc_corpus = f"/tmp/edspdf_bench_warc_{html_docs}_f{CPUS * 2}_v2"
     if not os.path.exists(warc_corpus + "/crawl-00000.warc.gz"):
         from pyspark.sql import functions as F
 
@@ -479,6 +497,7 @@ def main():
         "html_extract": lambda: bench_html_extract(spark, html_corpus),
         "consensus_extract": lambda: bench_consensus_extract(spark, html_corpus),
         "cetr_extract": lambda: bench_cetr_extract(spark, html_corpus),
+        "structure_extract": lambda: bench_structure_extract(spark, html_corpus),
         "pagerank_links": lambda: bench_pagerank(spark, SF_DIR),
         "warc_ingest": lambda: bench_warc_ingest(spark, warc_corpus),
         "warc_selective": lambda: bench_warc_selective(spark, cdx_path),

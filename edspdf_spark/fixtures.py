@@ -173,13 +173,18 @@ def _doc_to_html(doc_id: int, text: str) -> bytes:
     links = " ".join(
         f"<a href='/t/{(doc_id + k) % 97}'>tag{k}</a>" for k in range(6)
     )
-    body = "<p>Read on</p>".join(f"<p>{p}</p>" for p in paras)
+    body = "<p>Read on</p>".join(
+        f"<h2>Part {j}</h2><p>{p}</p>" for j, p in enumerate(paras)
+    )
     return (
         f"<html><head><title>doc {doc_id}</title></head><body>"
         "<nav><a href='/'>Home</a> <a href='/a'>Archive</a>"
         " <a href='/c'>Contact</a></nav>"
         f"<div>{links}</div>"
-        f"<article>{body}</article>"
+        f"<article><h1>Doc {doc_id}</h1>{body}"
+        f"<ul><li>point {doc_id % 11}<li>point {(doc_id + 1) % 11}</ul>"
+        f"<pre><code class='language-python'>v = {doc_id % 13}</code></pre>"
+        "</article>"
         "<aside><a href='/x'>More</a> <a href='/y'>Related</a></aside>"
         "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
         "</body></html>"

@@ -76,3 +76,52 @@ def test_small_dim_join_broadcasts(spark):
     masks = masks_df(spark, [("body", 0.0, 0.0, 1.0, 0.6)])
     labeled = align_labels(blocs, masks, threshold=0.1)
     assert "BroadcastNestedLoopJoin" in plan_of(labeled) or "BroadcastHashJoin" in plan_of(labeled)
+
+
+def test_outline_and_sections_single_url_exchange(spark, pages_parquet):
+    """extract_outline/extract_sections: the heading parse is a scan-stage
+    projection; the ONLY shuffle is the (url)-keyed window for parent
+    pointers / breadcrumbs. No Python stages (zero-UDF contract)."""
+    from edspdf_spark.operators import extract_outline, extract_sections
+
+    pages = spark.read.parquet(pages_parquet).select("url", "html")
+    for op in (extract_outline, extract_sections):
+        plan = plan_of(op(pages))
+        assert plan.count("Exchange hashpartitioning") == 1, op.__name__
+        assert "url" in next(
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_structure_extractors_zero_shuffle(spark, pages_parquet):
+    """extract_tables / extract_lists / extract_code_blocks are pure
+    scan-stage projection chains — any Exchange is a regression."""
+    from edspdf_spark.operators import (
+        extract_code_blocks,
+        extract_lists,
+        extract_tables,
+    )
+
+    pages = spark.read.parquet(pages_parquet).select("url", "html")
+    for op in (extract_tables, extract_lists, extract_code_blocks):
+        assert "Exchange" not in plan_of(op(pages)), op.__name__
+
+
+def test_hard_negatives_exact_single_query_exchange(spark):
+    """mine_hard_negatives(exact): partition-local BLAS top-k, then ONE
+    query_id-keyed exchange for the global ranking; the positives
+    anti-join must broadcast (never shuffle the candidate stream)."""
+    import numpy as np
+
+    from edspdf_spark.functions.similarity import mine_hard_negatives
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    positives = spark.createDataFrame([(0, 1)], "query_id long, pos_id long")
+    plan = plan_of(
+        mine_hard_negatives(corpus, corpus.filter("vec_id = 0"), positives, k=3)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
