@@ -6,6 +6,7 @@ from edspdf_spark.operators.extract_html import (
     extract_outline,
     extract_sections,
     extract_tables,
+    sections_to_markdown,
 )
 from edspdf_spark.operators.classify import (
     align_labels,
@@ -41,6 +42,7 @@ __all__ = [
     "extract_lists",
     "extract_outline",
     "extract_sections",
+    "sections_to_markdown",
     "extract_tables",
     "align_labels",
     "classify_mask",

@@ -1409,3 +1409,40 @@ def extract_code_blocks(
         hint.alias("lang_hint"),
         code.alias("code"),
     )
+
+
+def sections_to_markdown(
+    sections: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Reconstitute one markdown document per url from
+    :func:`extract_sections` output — ``(url, markdown)`` with
+    ``#``-per-level heading lines and blank-line-separated bodies, in
+    section order (preamble first) — the web-face twin of the PDF
+    markdown aggregator (same consumer: markdown-formatted training
+    text). One url-keyed aggregation (``sort_array`` of (seq, fragment)
+    structs → ordered concat), map-side combinable, no window."""
+    from pyspark.sql import functions as F
+
+    hashes = F.when(
+        F.col("heading").isNotNull() & (F.col("level") > 0),
+        F.concat(
+            F.expr("repeat('#', level)"), F.lit(" "), F.col("heading")
+        ),
+    )
+    frag = F.concat_ws(
+        "\n\n",
+        F.array_compact(
+            F.array(hashes, F.nullif(F.col("body"), F.lit("")))
+        ),
+    )
+    rows = sections.select(
+        url_col, F.struct(F.col("seq"), frag.alias("frag")).alias("_sf")
+    )
+    return rows.groupBy(url_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("_sf")), lambda s: s["frag"]
+            ),
+            "\n\n",
+        ).alias("markdown")
+    )

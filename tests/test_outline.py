@@ -244,3 +244,36 @@ def test_sections_to_chunks_urls_with_hash(spark):
     secs = extract_sections(_pages(spark, [("https://a.com/p#frag", html)]))
     got = sections_to_chunks(secs).collect()
     assert [(r.url, r.seq) for r in got] == [("https://a.com/p#frag", 0)]
+
+
+# --- sections_to_markdown -------------------------------------------------------
+
+from edspdf_spark.operators.extract_html import sections_to_markdown
+
+
+def test_sections_to_markdown_roundtrip(spark):
+    html = (
+        "intro line"
+        "<h1>Guide</h1><p>alpha</p>"
+        "<h2>Install</h2>beta gamma"
+        "<h2>Use</h2>"
+    )
+    secs = extract_sections(_pages(spark, [("u", html)]))
+    got = sections_to_markdown(secs).collect()
+    assert len(got) == 1
+    assert got[0].markdown == (
+        "intro line\n\n"
+        "# Guide\n\nalpha\n\n"
+        "## Install\n\nbeta gamma\n\n"
+        "## Use"
+    )
+
+
+def test_sections_to_markdown_partitioning_invariant(spark):
+    pages = [(f"u{i}", f"<h1>T{i}</h1>body {i}<h3>S</h3>tail") for i in range(12)]
+    secs = extract_sections(_pages(spark, pages))
+    a = {r.url: r.markdown for r in sections_to_markdown(secs).collect()}
+    b = {r.url: r.markdown
+         for r in sections_to_markdown(secs.repartition(7)).collect()}
+    assert a == b
+    assert a["u3"] == "# T3\n\nbody 3\n\n### S\n\ntail"
