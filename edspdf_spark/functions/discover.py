@@ -294,7 +294,18 @@ def with_pub_date(
     ``source_url_col`` lets the path-date probe read a different column
     than the row key (crawl frames often key rows by doc id).
     """
-    h = _decoded(pages, html_col, charset)
+    raw = _decoded(pages, html_col, charset)
+    # comments are stripped for EVERY probe (a commented-out carrier must
+    # not fabricate a date); script-ish containers are stripped only for
+    # the meta/time probes — JSON-LD legitimately lives inside a <script
+    # type="application/ld+json"> block and is extracted from the
+    # comment-stripped text by its own typed pattern
+    no_comment = F.regexp_replace(raw, r"(?s)<!--.*?-->", " ")
+    h = F.regexp_replace(
+        no_comment,
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        " ",
+    )
     u = F.col(source_url_col or url_col)
 
     def _ex(col, pat):
@@ -311,7 +322,7 @@ def with_pub_date(
             r'(?is)<meta\b[^>]*content\s*=\s*["\x27]([^"\x27>]+)["\x27][^>]*property\s*=\s*["\x27]article:published_time',
         ),
     )
-    ld_block = F.regexp_extract(h, _JSONLD_RE, 1)
+    ld_block = F.regexp_extract(no_comment, _JSONLD_RE, 1)
     ld_raw = F.coalesce(
         F.get_json_object(ld_block, "$.datePublished"),
         F.get_json_object(ld_block, "$[0].datePublished"),

@@ -71,7 +71,9 @@ def with_url_quality(
       the RefinedWeb soft-score convention)
     - ``url_quality_milli`` — 1000 minus integer penalties (IP host
       400, 250 per block-word, 40 per subdomain level past 2, 5 per
-      host char past 30, 15 per path level past 6, digit-milli/5)
+      host char past 30, 15 per path level past 6, digit-milli/5);
+      a URL with NO parseable ``scheme://host`` scores 0 outright
+      (unfetchable junk must not sail through the cheapest gate)
     - ``url_keep`` — score ≥ ``keep_threshold_milli``
 
     Pure scan-stage projection: integer arithmetic only, so the score
@@ -111,7 +113,13 @@ def with_url_quality(
         .withColumn("is_ip_host", is_ip)
         .withColumn("url_block_hits", hits.cast("long"))
     )
-    score = (
+    score = F.when(
+        # no parseable scheme://host — relative hrefs, javascript:,
+        # garbage: unfetchable, so the cheapest gate hard-zeros it
+        # (otherwise every penalty is vacuously 0 and junk scores 1000)
+        F.col("host_len") == 0,
+        F.lit(0),
+    ).otherwise(
         F.lit(1000)
         - F.when(F.col("is_ip_host"), 400).otherwise(0)
         - F.col("url_block_hits") * 250
@@ -149,19 +157,22 @@ def cap_per_host(
     set is deterministic under any partitioning).
 
     Skew-aware two-phase plan: one host-keyed count with map-side
-    partials splits hosts into ≤k (pass through UNSORTED — at web scale
-    that is almost every host, Zipf guarantees it) and >k (per-host
-    top-k window over only the heavy tail). The count frame is
-    host-cardinality-sized, so both semi-joins broadcast; the window
-    never sees a host that fits under the cap.
+    partials finds the >k HEAVY tail (tiny under Zipf — it alone is
+    broadcast); light hosts pass through UNSORTED as the broadcast
+    ANTI-join complement, heavy hosts take the per-host top-k window.
+    The (almost-all-hosts) light list is never materialized or
+    broadcast; the window never sees a host that fits under the cap.
     """
     if k < 1:
         raise ValueError(f"cap_per_host needs k >= 1, got {k}")
     d = df.withColumn("_cap_host", registered_domain(F.col(url_col)))
     counts = d.groupBy("_cap_host").agg(F.count(F.lit(1)).alias("_cap_n"))
-    light_hosts = counts.where(F.col("_cap_n") <= k).select("_cap_host")
+    # only the HEAVY tail is ever broadcast: under Zipf almost every host
+    # is under-cap, so the light-host list is host-cardinality-sized
+    # (~10^8 rows at web scale) and must never hit the 8 GB broadcast /
+    # driver-collect path — light rows are the ANTI-join complement
     heavy_hosts = counts.where(F.col("_cap_n") > k).select("_cap_host")
-    light = d.join(F.broadcast(light_hosts), on="_cap_host", how="left_semi")
+    light = d.join(F.broadcast(heavy_hosts), on="_cap_host", how="left_anti")
     w = Window.partitionBy("_cap_host").orderBy(
         F.desc(score_col), F.asc(id_col)
     )
@@ -193,16 +204,32 @@ def schedule_frontier(
       polite fetch time relative to the host's first fetch
 
     ``delays`` is an optional (``host``, ``delay_ms``) frame — e.g. the
-    crawl-delay table :func:`~edspdf_spark.functions.robots.parse_robots`
-    produces; hosts absent from it use ``default_delay_ms``. The join is
-    host-keyed and the delay table is host-cardinality-sized, so Spark
-    broadcasts it. One host-keyed exchange for the window; run
-    :func:`cap_per_host` first so no host's sort exceeds the cap.
+    crawl-delay table
+    :func:`~edspdf_spark.functions.robots.parse_robots_delays` produces;
+    hosts absent from it use ``default_delay_ms``. Delay hosts are
+    RE-KEYED here to the same registered domain the schedule partitions
+    on (robots tables are keyed by full fetch host — www.example.com —
+    which would otherwise silently miss example.com and fall back to the
+    default), taking the conservative MAX when several full hosts
+    collapse into one domain. The join is host-keyed and the delay table
+    is host-cardinality-sized, so Spark broadcasts it. One host-keyed
+    exchange for the window; run :func:`cap_per_host` first so no host's
+    sort exceeds the cap.
     """
     if max_per_cycle < 1:
         raise ValueError(f"max_per_cycle must be >= 1, got {max_per_cycle}")
     d = df.withColumn("host", registered_domain(F.col(url_col)))
     if delays is not None:
+        delays = (
+            delays.withColumn(
+                "host",
+                registered_domain(
+                    F.concat(F.lit("http://"), F.col("host"))
+                ),
+            )
+            .groupBy("host")
+            .agg(F.max("delay_ms").alias("delay_ms"))
+        )
         d = d.join(F.broadcast(delays), on="host", how="left")
         delay = F.coalesce(F.col("delay_ms"), F.lit(int(default_delay_ms)))
         d = d.withColumn("_sched_delay", delay).drop("delay_ms")
@@ -250,10 +277,9 @@ def frontier_recipe(
        priority is given, so cleaner URLs survive the cap);
     4. :func:`schedule_frontier` — per-host fetch slots/cycles, slot
        spacing from the hosts' own ``Crawl-delay`` directives
-       (:func:`~edspdf_spark.functions.robots.parse_robots_delays`,
-       re-keyed to registered domains with the conservative MAX when
-       several full hosts collapse into one domain), falling back to
-       ``default_delay_ms``.
+       (:func:`~edspdf_spark.functions.robots.parse_robots_delays`;
+       :func:`schedule_frontier` re-keys full robots hosts to registered
+       domains itself), falling back to ``default_delay_ms``.
 
     Output columns: the input's plus ``host``/``fetch_slot``/
     ``fetch_cycle``/``fetch_offset_ms``. Every stage is the documented
@@ -271,27 +297,26 @@ def frontier_recipe(
         )
 
         gated = robots_filter(gated, robots, agent=agent, url_col=url_col)
-        delays = (
-            parse_robots_delays(robots, agent=agent)
-            .withColumn(
-                "host",
-                registered_domain(F.concat(F.lit("http://"), F.col("host"))),
-            )
-            .groupBy("host")
-            .agg(F.max("delay_ms").alias("delay_ms"))
-        )
+        # schedule_frontier re-keys delay hosts to registered domains
+        # itself (conservative MAX on collisions)
+        delays = parse_robots_delays(robots, agent=agent)
     else:
         delays = None
     capped = cap_per_host(
         gated, per_host_cap, prio, url_col=url_col, id_col=id_col
     )
+    drop_signals = [
+        "host_len", "subdomain_depth", "path_depth",
+        "host_digit_milli", "is_ip_host", "url_block_hits",
+        "url_keep", "host",
+    ]
+    if priority_col is not None:
+        # the quality score was only the cap fallback — it is a signal
+        # column too and must not leak into the documented output schema
+        drop_signals.append("url_quality_milli")
     signal_cols = [
         c
-        for c in (
-            "host_len", "subdomain_depth", "path_depth",
-            "host_digit_milli", "is_ip_host", "url_block_hits",
-            "url_keep", "host",
-        )
+        for c in drop_signals
         if c in capped.columns and c not in candidates.columns
     ]
     scheduled = schedule_frontier(

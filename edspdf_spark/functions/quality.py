@@ -222,11 +222,14 @@ def registered_domain(url_col: Column) -> Column:
     """Registered-domain heuristic from a canonical URL: host = authority
     of ``scheme://host/...`` lowered, registered domain = the last two
     dot-labels (``a.b.site0.com`` → ``site0.com``; a bare label passes
-    through). Pure string expressions — pairs with
+    through, and an IPv4-literal host passes through WHOLE — collapsing
+    10.0.3.7 and 20.9.3.7 to "3.7" would merge unrelated servers into
+    one cap/politeness bucket). Pure string expressions — pairs with
     ``functions.urls.canonicalize_url`` for crawl-frontier rollups."""
     host = F.lower(F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
     reg = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(reg == "", host).otherwise(reg)
+    return F.when(is_ip | (reg == ""), host).otherwise(reg)
 
 
 def domain_rollup(

@@ -80,6 +80,10 @@ def parse_robots(
             F.when(directive == "user-agent", F.lit("ua"))
             .when(directive == "allow", F.lit("allow"))
             .when(directive == "disallow", F.lit("disallow"))
+            # any OTHER directive (crawl-delay, sitemap, …) is kept ONLY
+            # to terminate a User-agent run — a UA line after it starts a
+            # NEW group, matching the reference parsers; it emits no rule
+            .when(directive != "", F.lit("other"))
             .alias("kind"),
             value.alias("value"),
         )
@@ -98,7 +102,7 @@ def parse_robots(
     agents = grouped.where(F.col("kind") == "ua").select(
         "host", "grp", F.lower(F.col("value")).alias("agent")
     )
-    rules = grouped.where(F.col("kind") != "ua").select(
+    rules = grouped.where(~F.col("kind").isin("ua", "other")).select(
         "host",
         "grp",
         F.col("kind").alias("rule_type"),
@@ -268,6 +272,11 @@ def parse_robots_delays(
             "idx",
             F.when(directive == "user-agent", F.lit("ua"))
             .when(directive == "crawl-delay", F.lit("delay"))
+            # rule/other directive lines are kept so they TERMINATE a
+            # User-agent run — without them "UA:*  Disallow:/  UA:bot
+            # Crawl-delay:30" would merge into one group and the delay
+            # would leak to every agent
+            .when(directive != "", F.lit("other"))
             .alias("kind"),
             value.alias("value"),
         )

@@ -1373,17 +1373,21 @@ def extract_code_blocks(
         r"(?s)<!--.*?-->",
     ):
         s = F.regexp_replace(s, pat, " ")
-    # pre blocks first; standalone <code> outside <pre> second — remove
-    # pre spans before scanning for bare code tags so nothing double-counts
-    pre_pat = r"(?is)<pre\b[^>]*>(.*?)</pre\s*>"
-    pres = F.regexp_extract_all(s, F.lit(pre_pat), 0)
-    no_pre = F.regexp_replace(s, pre_pat, " ")
-    codes = F.regexp_extract_all(
-        no_pre, F.lit(r"(?is)<code\b[^>]*>(.*?)</code\s*>"), 0
+    # ONE left-to-right alternation scan keeps block_idx in DOCUMENT
+    # order (pre-first-then-bare-code two-pass indexing would misorder a
+    # mid-document inline <code> against a later <pre>); at a <pre> start
+    # the first alternative swallows the whole pre span — including any
+    # inner <code> — so nothing double-counts
+    blocks = F.regexp_extract_all(
+        s,
+        F.lit(
+            r"(?is)(<pre\b[^>]*>.*?</pre\s*>|<code\b[^>]*>.*?</code\s*>)"
+        ),
+        1,
     )
     b = pages.select(
         url_col,
-        F.posexplode(F.concat(pres, codes)).alias("block_idx", "_raw"),
+        F.posexplode(blocks).alias("block_idx", "_raw"),
     )
     hint = F.lower(
         F.regexp_extract(

@@ -319,3 +319,17 @@ def test_pub_date_separate_source_url_col(spark):
     )
     r = with_pub_date(df, source_url_col="web_url").first()
     assert str(r.pub_date) == "2015-05-06" and r.pub_date_source == "url"
+
+
+def test_pub_date_ignores_commented_and_scripted_markup(spark):
+    rows = [
+        ("https://a.com/x",
+         '<!-- <meta property="article:published_time" content="1970-01-01"> -->'
+         '<time datetime="2024-05-06">real</time>'),
+        ("https://b.com/x",
+         '<script>x = \'<time datetime="1999-09-09">\'</script><p>none</p>'),
+    ]
+    got = {r.url: (str(r.pub_date) if r.pub_date else None, r.pub_date_source)
+           for r in with_pub_date(_pd_pages(spark, rows)).collect()}
+    assert got["https://a.com/x"] == ("2024-05-06", "time")
+    assert got["https://b.com/x"] == (None, None)

@@ -292,3 +292,58 @@ def test_frontier_recipe_no_robots_and_priority(spark):
     got = {r.url: r.fetch_slot
            for r in frontier_recipe(cand, priority_col="prio").collect()}
     assert got == {"https://h.com/b": 0, "https://h.com/a": 1}
+
+
+def test_url_quality_unparseable_host_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(0, "not a url at all"), (1, "javascript:void(0)"), (2, "/rel/path"),
+         (3, "https://ok.com/x")],
+        "doc_id long, url string",
+    )
+    from edspdf_spark.functions.frontier import with_url_quality
+
+    got = {r.doc_id: (r.url_quality_milli, r.url_keep)
+           for r in with_url_quality(df).collect()}
+    assert got[0] == (0, False)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)
+    assert got[3] == (1000, True)
+
+
+def test_schedule_rekeys_full_robots_hosts(spark):
+    # parse_robots_delays emits the FULL fetch host; the schedule
+    # partitions on registered domain — the delay must still apply
+    from edspdf_spark.functions.frontier import schedule_frontier
+
+    urls = spark.createDataFrame(
+        [(0, "https://www.example.com/a", 1), (1, "https://www.example.com/b", 0)],
+        "doc_id long, url string, prio long",
+    )
+    delays = spark.createDataFrame(
+        [("www.example.com", 10000), ("static.example.com", 4000)],
+        "host string, delay_ms long",
+    )
+    got = {r.fetch_slot: r.fetch_offset_ms
+           for r in schedule_frontier(urls, "prio", delays=delays).collect()}
+    assert got == {0: 0, 1: 10000}  # MAX of colliding full hosts, not default
+
+
+def test_cap_per_host_keeps_distinct_ip_hosts_apart(spark):
+    from edspdf_spark.functions.frontier import cap_per_host
+
+    df = spark.createDataFrame(
+        [(0, "https://10.0.3.7/a", 1), (1, "https://20.9.3.7/b", 1)],
+        "doc_id long, url string, s long",
+    )
+    assert cap_per_host(df, 1, "s").count() == 2  # two servers, two buckets
+
+
+def test_frontier_recipe_priority_schema_no_leak(spark):
+    cand = spark.createDataFrame(
+        [(0, "https://h.com/a", 5)], "doc_id long, url string, prio long"
+    )
+    row = frontier_recipe(cand, priority_col="prio").first()
+    assert set(row.asDict()) == {
+        "doc_id", "url", "prio", "host", "fetch_slot", "fetch_cycle",
+        "fetch_offset_ms",
+    }

@@ -211,9 +211,10 @@ def test_extract_code_blocks_whitespace_and_hint(spark):
             _struct_pages(spark, [("u", html)])
         ).collect()
     }
+    # DOCUMENT order: pre, inline code, second pre
     assert got[0] == ("python", "def f():\n    return 1")
-    assert got[1] == ("", "  plain\n  block")   # CRLF→LF, indent preserved
-    assert got[2] == ("", "inline_call()")      # bare <code> outside pre
+    assert got[1] == ("", "inline_call()")      # bare <code> outside pre
+    assert got[2] == ("", "  plain\n  block")   # CRLF→LF, indent preserved
     assert len(got) == 3
 
 

@@ -168,6 +168,8 @@ def test_registered_domain(spark):
             (1, "https://example.co/y"),
             (2, "http://a.b.c.site0.com:8080/z?q=1"),
             (3, "https://localhost/p"),
+            (4, "https://10.0.3.7/a"),
+            (5, "https://20.9.3.7/b"),
         ],
         "doc_id int, url string",
     )
@@ -179,6 +181,9 @@ def test_registered_domain(spark):
     assert got[1] == "example.co"
     assert got[2] == "site0.com"
     assert got[3] == "localhost"
+    # IPv4 literals pass through whole — unrelated servers must never
+    # collapse into one "last two octets" bucket
+    assert got[4] == "10.0.3.7" and got[5] == "20.9.3.7"
 
 
 def test_domain_rollup(spark):

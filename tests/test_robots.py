@@ -155,3 +155,29 @@ def test_robots_sitemap_directives(spark):
         ("a.com", "https://a.com/sitemap.xml"),
         ("a.com", "https://a.com/tail.xml"),
     ]
+
+
+def test_robots_delays_group_not_merged_across_rules(spark):
+    from edspdf_spark.functions.robots import parse_robots_delays
+
+    # the '*' group's Disallow line must terminate its UA run: slowbot's
+    # Crawl-delay belongs to slowbot ONLY
+    txt = "User-agent: *\nDisallow: /admin\n\nUser-agent: slowbot\nCrawl-delay: 30\n"
+    df = spark.createDataFrame([("a.com", txt)], "host string, robots_txt string")
+    assert parse_robots_delays(df, "*").collect() == []
+    got = {r.host: r.delay_ms for r in parse_robots_delays(df, "slowbot").collect()}
+    assert got == {"a.com": 30000}
+
+
+def test_robots_rules_group_not_merged_across_crawl_delay(spark):
+    # a Crawl-delay line between UA runs must terminate the first group:
+    # botb's Disallow must NOT apply to bota
+    from edspdf_spark.functions.robots import with_robots_verdict
+
+    txt = "User-agent: bota\nCrawl-delay: 1\nUser-agent: botb\nDisallow: /x\n"
+    robots = spark.createDataFrame([("a.com", txt)], "host string, robots_txt string")
+    urls = spark.createDataFrame([("https://a.com/x1",)], "url string")
+    ra = with_robots_verdict(urls, robots, agent="bota").first()
+    rb = with_robots_verdict(urls, robots, agent="botb").first()
+    assert ra.robots_allowed is True
+    assert rb.robots_allowed is False
