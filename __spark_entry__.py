@@ -2796,9 +2796,20 @@ def _lsh_ann_oracle(dim: int = 64, n_bits: int = 6, k: int = 5) -> str:
             bits.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN {1 << b} ELSE 0 END)")
         return "0 + " + " + ".join(bits)
 
-    dot = " + ".join(f"c.embedding[{j}] * q.embedding[{j}]" for j in range(1, dim + 1))
-    nc = " + ".join(f"c.embedding[{j}] * c.embedding[{j}]" for j in range(1, dim + 1))
-    nq = " + ".join(f"q.embedding[{j}] * q.embedding[{j}]" for j in range(1, dim + 1))
+    # cast-to-double products, matching _cos_expr's fold (double products,
+    # left-assoc sums) on the Spark side
+    dot = " + ".join(
+        f"CAST(c.embedding[{j}] AS DOUBLE) * CAST(q.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    nc = " + ".join(
+        f"CAST(c.embedding[{j}] AS DOUBLE) * CAST(c.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
+    nq = " + ".join(
+        f"CAST(q.embedding[{j}] AS DOUBLE) * CAST(q.embedding[{j}] AS DOUBLE)"
+        for j in range(1, dim + 1)
+    )
     return f"""
 WITH c AS (SELECT vec_id, embedding, ({bucket_expr('embeddings')}) AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding, ({bucket_expr('embeddings')}) AS bucket

@@ -145,16 +145,7 @@ def cosine_neardup_pairs(
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
     joined = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
 
-    dot = F.lit(0.0)
-    na = F.lit(0.0)
-    nb = F.lit(0.0)
-    for j in range(dim):
-        ea = F.element_at(F.col("emb_a"), j + 1).cast("double")
-        eb = F.element_at(F.col("emb_b"), j + 1).cast("double")
-        dot = dot + ea * eb
-        na = na + ea * ea
-        nb = nb + eb * eb
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    cos = _cos_expr("emb_a", "emb_b", dim)
     return (
         joined.withColumn("cos", cos)
         .filter(F.col("cos") > F.lit(float(threshold)))
@@ -330,17 +321,39 @@ def ivf_ann_topk(
 
 def _cos_expr(a_col: str, b_col: str, dim: int):
     """Cosine as pure Catalyst expressions with left-assoc sums — the SAME
-    operation order as the DuckDB oracle, so rankings are bit-identical."""
-    dot = F.lit(0.0)
-    na = F.lit(0.0)
-    nb = F.lit(0.0)
-    for j in range(dim):
-        ae = F.element_at(F.col(a_col), j + 1).cast("double")
-        be = F.element_at(F.col(b_col), j + 1).cast("double")
-        dot = dot + ae * be
-        na = na + ae * ae
-        nb = nb + be * be
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    operation order as the DuckDB oracle, so rankings are bit-identical.
+
+    Implemented as a ``zip_with`` + ``aggregate`` fold rather than a
+    per-dimension unrolled expression: the fold performs the exact same
+    sequence of double additions (``((0.0 + t1) + t2) + …`` per
+    component, each addition order-identical to DuckDB's
+    ``list_reduce``), but the generated Java stays O(1) in ``dim``. The
+    unrolled form at dim=64 inside a broadcast-join whole-stage produced
+    a >10k-line generated class that janino refused to compile, dropping
+    the whole stage to interpreted mode."""
+    a = F.slice(F.col(a_col), 1, dim)
+    b = F.slice(F.col(b_col), 1, dim)
+    pairs = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            x.cast("double").alias("a"), y.cast("double").alias("b")
+        ),
+    )
+    acc = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0.0).alias("dot"),
+            F.lit(0.0).alias("na"),
+            F.lit(0.0).alias("nb"),
+        ),
+        lambda s, p: F.struct(
+            (s["dot"] + p["a"] * p["b"]).alias("dot"),
+            (s["na"] + p["a"] * p["a"]).alias("na"),
+            (s["nb"] + p["b"] * p["b"]).alias("nb"),
+        ),
+    )
+    return acc["dot"] / (F.sqrt(acc["na"]) * F.sqrt(acc["nb"]))
 
 
 def ivf_serve_topk(
@@ -425,12 +438,25 @@ def _id_type(df: DataFrame, id_col: str) -> str:
 
 def _sign_bucket(vec_col: str, H: np.ndarray, n_bits: int):
     """Random-hyperplane sign-bit bucket id as a column expression (same
-    arithmetic shape as the SQL oracle: left-associated element sums)."""
+    arithmetic shape as the SQL oracle: left-associated element sums).
+
+    Each per-bit dot product is a ``zip_with`` + ``aggregate`` fold over a
+    single array *literal* of the hyperplane row — the same left-assoc
+    double additions as the old unrolled form (float element × double
+    literal promotes the element to double in both), but the generated
+    Java stays O(n_bits) instead of O(n_bits × dim): the unrolled form at
+    6 bits × 64 dims inside an explode stage produced a generated class
+    janino refused to compile, dropping the stage to interpreted mode."""
     sign_bits = F.lit(0).cast("long")
     for b in range(n_bits):
-        dot = F.lit(0.0)
-        for j in range(H.shape[1]):
-            dot = dot + F.element_at(F.col(vec_col), j + 1) * F.lit(float(H[b, j]))
+        hb = F.lit([float(x) for x in H[b]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), hb, lambda x, h: x.cast("double") * h
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
         sign_bits = sign_bits + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -585,16 +611,7 @@ def lsh_neardup_pairs(
             rescore, schema=f"id_a {id_t}, id_b {id_t}, cos double"
         )
 
-    dot = F.lit(0.0)
-    na = F.lit(0.0)
-    nb = F.lit(0.0)
-    for j in range(dim):
-        xa = F.element_at(F.col("emb_a"), j + 1).cast("double")
-        xb = F.element_at(F.col("emb_b"), j + 1).cast("double")
-        dot = dot + xa * xb
-        na = na + xa * xa
-        nb = nb + xb * xb
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    cos = _cos_expr("emb_a", "emb_b", dim)
     return (
         scored.withColumn("cos", cos)
         .filter(F.col("cos") > F.lit(float(threshold)))
@@ -628,23 +645,10 @@ def lsh_ann_topk(
     c = corpus.withColumn("bucket", sign_bits).alias("c")
     q = queries.withColumn("bucket", sign_bits).alias("q")
 
-    dot_expr = F.lit(0.0)
-    for j in range(dim):
-        dot_expr = dot_expr + F.element_at(F.col(f"c.{vec_col}"), j + 1) * F.element_at(
-            F.col(f"q.{vec_col}"), j + 1
-        )
-
-    def norm_expr(side: str):
-        s = F.lit(0.0)
-        for j in range(dim):
-            e = F.element_at(F.col(f"{side}.{vec_col}"), j + 1)
-            s = s + e * e
-        return F.sqrt(s)
-
     joined = q.join(c, on=F.col("q.bucket") == F.col("c.bucket")).select(
         F.col(f"q.{id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("vec_id"),
-        (dot_expr / (norm_expr("q") * norm_expr("c"))).alias("cosine"),
+        _cos_expr(f"c.{vec_col}", f"q.{vec_col}", dim).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
