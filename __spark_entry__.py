@@ -1933,14 +1933,17 @@ SELECT 'vocab', piece, n, NULL FROM (
          UNNEST(generate_series(1, least(6, length(w) - i + 1))) AS tl(l)
     GROUP BY piece
   ),
+  vnsing AS (
+    SELECT COUNT(*) AS c FROM vcounts WHERE length(piece) = 1
+  ),
   vmultis AS (
-    SELECT piece, n FROM vcounts WHERE length(piece) > 1
-    ORDER BY n DESC, piece LIMIT 300
+    SELECT piece, n,
+           row_number() OVER (ORDER BY n DESC, piece) AS r
+    FROM vcounts WHERE length(piece) > 1
   )
-  SELECT piece, n FROM (
-    SELECT piece, n, 0 AS s FROM vcounts WHERE length(piece) = 1
-    UNION ALL SELECT piece, n, 1 FROM vmultis
-  ) ORDER BY s, n DESC, piece LIMIT 300
+  SELECT piece, n FROM vcounts WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, n FROM vmultis, vnsing WHERE r <= greatest(0, 300 - c)
 )
 UNION ALL
 SELECT 'bpe', CAST(rk AS VARCHAR), n, l || '+' || r FROM (

@@ -142,7 +142,6 @@ def minhash_signatures_arrow(
     import numpy as np
     import pandas as pd
 
-    _JVM_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
     assert n_hashes <= len(MINHASH_PARAMS)
     params = MINHASH_PARAMS[:n_hashes]
     ws = re.compile(r"\s+", re.ASCII)
@@ -155,11 +154,13 @@ def minhash_signatures_arrow(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                # JVM trim() strips only codepoints <= U+0020 — Python
-                # str.strip() would also eat U+00A0/U+2003 etc. and break
-                # signature parity with the expression path
+                # Spark SQL's trim() (StringTrim) strips ONLY the space
+                # character — not java.lang.String.trim's <= U+0020, and
+                # not Python str.strip()'s full unicode whitespace set;
+                # verified empirically ('\x07hello' keeps its control
+                # char through F.trim). Strip ' ' alone for parity.
                 s = (
-                    ws.sub(" ", text).strip(_JVM_TRIM_CHARS).lower()
+                    ws.sub(" ", text).strip(" ").lower()
                     if normalized
                     else text
                 )
@@ -838,23 +839,38 @@ def dedup_substrings(
         .groupBy(id_col)
         .agg(F.collect_set("_start").alias("_marked"))
     )
-    # covered token indices = union of [start, start+w) over marked windows
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.col("_marked"), lambda s: F.sequence(s, s + F.lit(w - 1))
-            )
-        )
+    # covered = union of [start, start+w) over marked windows. The kept
+    # indices are rebuilt from the COMPLEMENT's interval structure rather
+    # than testing every token against a covered-index array — an
+    # array_contains per token is O(n_tokens × n_covered), ~10^10
+    # comparisons for one heavily-duplicated 100k-token doc. With the
+    # marked starts sorted (collect_set → unique), a kept gap exists
+    # between consecutive starts s, t iff t > s + w and is exactly
+    # [s+w, t); head gap is [0, s_first), the tail gap closes against a
+    # sentinel "next start" of n. Work is linear in the doc's tokens.
+    ss = F.array_sort(F.col("_marked"))
+    m = F.size(ss)
+    first = F.element_at(ss, 1)
+    head = F.when(first > 0, F.sequence(F.lit(0), first - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    nxt = F.concat(
+        F.slice(ss, 2, F.greatest(m - F.lit(1), F.lit(0))), F.array(n)
+    )
+    gaps = F.zip_with(
+        ss,
+        nxt,
+        lambda s, t: F.when(
+            t > s + F.lit(w), F.sequence(s + F.lit(w), t - 1)
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    kept_idx = F.concat(head, F.flatten(gaps))
+    kept = F.when(F.col("_marked").isNull(), F.col("_toks")).otherwise(
+        F.transform(kept_idx, lambda i: F.element_at(F.col("_toks"), i + 1))
     )
     rebuilt = (
         base.join(marked, on=id_col, how="left")
-        .withColumn("_cov", F.coalesce(covered, F.array().cast("array<int>")))
-        .select(
-            F.col(id_col),
-            F.filter(
-                "_toks", lambda t, i: ~F.array_contains(F.col("_cov"), i)
-            ).alias("_kept"),
-        )
+        .select(F.col(id_col), kept.alias("_kept"))
         .select(
             F.col(id_col),
             F.array_join("_kept", " ").alias(text_col),
@@ -1130,10 +1146,16 @@ def strip_host_boilerplate(
     Lines shorter than ``min_line_chars`` are exempt — at the default 1
     that's empty lines, which templates must not claim.
 
-    Returns ``(url_col, text_col)``. Plan shape: the template table joins
-    back on (host, digest) — a LEFT join + null filter, so the big side
-    streams; template tables are tiny (per-host chrome) and broadcast
-    under AQE. One doc-keyed aggregation reassembles.
+    Returns ``(url_col, text_col)``, ONE ROW PER INPUT ROW — recrawled
+    urls (the same url fetched twice) are stripped independently, never
+    merged: the reassembly groups on a per-row id, not the url (grouping
+    on url interleaved/duplicated every line of both fetches into both
+    output rows). Plan shape: the template table joins back on (host,
+    digest) — a LEFT join, big side streams, template tables are tiny
+    (per-host chrome) and broadcast under AQE; the template verdict folds
+    into the ONE doc-keyed reassembly aggregation (a conditional
+    collect_list), so an all-template page survives as an empty doc
+    without a second join branch.
     """
     tmpl = host_template_lines(
         df, text_col, url_col, sep, min_pages, min_fraction, min_line_chars
@@ -1141,8 +1163,17 @@ def strip_host_boilerplate(
         F.col("host").alias("_thost"), F.md5("line").alias("_th")
     )
     host = _url_full_host(F.col(url_col))
-    lines = df.select(
+    # the per-row id MUST be assigned in a projection BELOW the explode —
+    # inside the same select, a nondeterministic expression evaluates per
+    # GENERATED row and every line would get its own id (Catalyst never
+    # collapses projects across nondeterministic expressions, so this
+    # ordering is guaranteed to stick)
+    base = df.select(url_col, text_col).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
+    lines = base.select(
         F.col(url_col),
+        F.col("_rid"),
         host.alias("_host"),
         F.posexplode_outer(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
@@ -1151,26 +1182,27 @@ def strip_host_boilerplate(
         "_h",
         F.when(F.length("_line") >= min_line_chars, F.md5(F.col("_line"))),
     )
-    kept = lines.join(
+    joined = lines.join(
         tmpl,
         on=(F.col("_host") == F.col("_thost")) & (F.col("_h") == F.col("_th")),
         how="left",
-    ).where(F.col("_th").isNull())
-    rebuilt = kept.groupBy(url_col).agg(
+    )
+    # conditional collect: template rows contribute NULL, which
+    # collect_list skips — every input row keeps exactly one output row
+    # (posexplode_outer guarantees ≥1 line row per doc)
+    return joined.groupBy("_rid", url_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                    F.collect_list(
+                        F.when(
+                            F.col("_th").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
                 ),
                 lambda s: s["_line"],
             ),
             sep,
         ).alias(text_col)
-    )
-    return (
-        df.select(url_col)
-        .join(rebuilt, on=url_col, how="left")
-        .select(
-            url_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
-        )
-    )
+    ).select(url_col, text_col)

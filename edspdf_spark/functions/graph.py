@@ -188,7 +188,14 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # nodes and outdeg are loop-invariant but feed a join in EVERY round —
+    # without truncation each round re-runs the union/distinct (resp.
+    # groupBy) over the full edge list: iterations+1 redundant corpus-wide
+    # shuffles at web scale. Same discipline as hits() below.
+    nodes = nodes.localCheckpoint() if checkpoint else nodes.persist()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if checkpoint:
+        outdeg = outdeg.localCheckpoint()
     n = nodes.count()
     if n == 0:
         return nodes.select(
@@ -269,7 +276,9 @@ def hits(
         nodes = nodes.localCheckpoint()
 
     hub = nodes.select("node", F.lit(SCALE).cast("long").alias("hub_micro"))
-    auth = None
+    # iterations=0 returns the initial state (hub=SCALE, auth=0) instead of
+    # crashing on a None join below — mirrors pagerank's n=0 grace.
+    auth = nodes.select("node", F.lit(0).cast("long").alias("auth_micro"))
     for _ in range(iterations):
         raw_auth = (
             e.join(hub, e["src"] == hub["node"])

@@ -88,10 +88,15 @@ def bm25_topk(
             [], f"{id_col} long, bm25_micro long, n_hit_terms long"
         )
     qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    # prune the VOCABULARY-SIZED df table down to the query's few terms
+    # BEFORE broadcasting — broadcasting the full (term, df) table ships
+    # every distinct corpus term to the driver and all executors (the
+    # exact hazard tfidf_keywords documents). The pruned frame is ≤
+    # len(terms) rows, a legitimate broadcast.
+    qterms = F.broadcast(index["df"].join(F.broadcast(qdf), on="term"))
     hit = (
         index["postings"]
-        .join(F.broadcast(qdf), on="term")
-        .join(F.broadcast(index["df"]), on="term")
+        .join(qterms, on="term")
         .join(index["doclen"], on=id_col)
         .crossJoin(F.broadcast(index["stats"]))
     )

@@ -28,15 +28,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_TOPK_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.LongType(), False),
-        T.StructField("vec_id", T.LongType(), False),
-        T.StructField("cosine", T.DoubleType(), False),
-    ]
-)
-
-
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -65,6 +56,12 @@ def cosine_topk(
     bound (raises rather than silently OOM-ing at scale); for huge query
     sets, chunk the queries or use :func:`lsh_ann_topk`/:func:`ivf_ann_topk`.
     """
+    # id columns keep their native Spark type (long OR string — _id_type
+    # discipline): coercing to int64 crashed on string document keys
+    topk_schema = (
+        f"query_id {_id_type(queries, query_id_col)},"
+        f" vec_id {_id_type(corpus, id_col)}, cosine double"
+    )
     q_rows = queries.select(query_id_col, query_vec_col).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
@@ -74,16 +71,17 @@ def cosine_topk(
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
             [],
-            "query_id long, rank int, vec_id long, cosine double",
+            f"query_id {_id_type(queries, query_id_col)}, rank int,"
+            f" vec_id {_id_type(corpus, id_col)}, cosine double",
         )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             mat = _normalize(
                 np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             )
@@ -97,7 +95,7 @@ def cosine_topk(
             }
             yield pd.DataFrame(out)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(score, schema=_TOPK_SCHEMA)
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, schema=topk_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -174,12 +172,7 @@ def kmeans_fit(
 
 def _assign_cells(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str):
     """vec → nearest-centroid cell id, Arrow-batched matmul."""
-    schema = T.StructType(
-        [
-            T.StructField("vid", T.LongType(), False),
-            T.StructField("cell", T.IntegerType(), False),
-        ]
-    )
+    schema = f"vid {_id_type(df, id_col)}, cell int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,7 +183,7 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: st
             )
             yield pd.DataFrame(
                 {
-                    "vid": pdf[id_col].to_numpy(dtype=np.int64),
+                    "vid": pdf[id_col].to_numpy(),
                     "cell": (mat @ centroids.T).argmax(axis=1).astype(np.int32),
                 }
             )
@@ -237,7 +230,9 @@ def ivf_ann_topk(
     )
     if not len(sample):
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, rank int, vec_id long, cosine double"
+            [],
+            f"query_id {_id_type(queries, id_col)}, rank int,"
+            f" vec_id {_id_type(corpus, id_col)}, cosine double",
         )
     centroids = kmeans_fit(sample, n_cells, seed=seed)
 
@@ -245,12 +240,7 @@ def ivf_ann_topk(
     c = corpus.join(c_cells, F.col(id_col) == F.col("vid")).drop("vid").alias("c")
 
     # query side: nprobe nearest cells per query → explode
-    probe_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("cell", T.IntegerType(), False),
-        ]
-    )
+    probe_schema = f"query_id {_id_type(queries, id_col)}, cell int"
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,7 +251,7 @@ def ivf_ann_topk(
             )
             sims = mat @ centroids.T
             top = np.argsort(-sims, axis=1)[:, :nprobe]
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, top.shape[1]),
@@ -280,12 +270,9 @@ def ivf_ann_topk(
     )
 
     cand = q.join(c, on="cell")
-    score_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("cosine", T.DoubleType(), False),
-        ]
+    score_schema = (
+        f"query_id {_id_type(queries, id_col)},"
+        f" vec_id {_id_type(corpus, id_col)}, cosine double"
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -300,8 +287,8 @@ def ivf_ann_topk(
             )
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf[id_col].to_numpy(),
                     "cosine": (qm * cm).sum(axis=1),
                 }
             )
@@ -1165,7 +1152,7 @@ def ivfpq_ann_topk(
         return corpus.sparkSession.createDataFrame(
             [],
             f"query_id {_id_type(queries, id_col)}, rank int,"
-            f" {id_col} {_id_type(corpus, id_col)}, cosine double",
+            f" vec_id {_id_type(corpus, id_col)}, cosine double",
         )
     sample = _normalize(sample)
     dim = sample.shape[1]
@@ -1179,7 +1166,7 @@ def ivfpq_ann_topk(
             f"ivfpq_ann_topk collects the query side; got more than "
             f"{max_queries} rows — chunk the queries"
         )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_ids = np.array([r[0] for r in q_rows])
     qn = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
     # per-query LUTs: (nq, m, k_codes) — dot(qn_s, C_sc); Σ_s ≈ cosine
     luts = np.einsum("qsd,scd->qsc", qn.reshape(len(qn), m, dsub), books)
@@ -1187,12 +1174,9 @@ def ivfpq_ann_topk(
     probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
     shortlist = max(int(refine_factor) * k, k)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("vec_id", T.LongType(), False),
-            T.StructField("cosine", T.DoubleType(), False),
-        ]
+    out_schema = (
+        f"query_id {_id_type(queries, id_col)},"
+        f" vec_id {_id_type(corpus, id_col)}, cosine double"
     )
 
     def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1202,7 +1186,7 @@ def ivfpq_ann_topk(
             mat = _normalize(
                 np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             )
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             cells = (mat @ centroids.T).argmax(axis=1)
             # encode batch: (n, m) codes via per-subspace L2 argmin
             sub = mat.reshape(len(mat), m, dsub)
@@ -1348,8 +1332,11 @@ def mine_hard_negatives(
             max_queries=max_queries,
         )
     elif method == "lsh":
+        # the query frame must use the same id/vec column names as the
+        # corpus — lsh_ann_topk resolves q.{id_col}, so aliasing to a
+        # hardcoded "vec_id" breaks any non-default id_col
         q = queries.select(
-            F.col(query_id_col).alias("vec_id"),
+            F.col(query_id_col).alias(id_col),
             F.col(query_vec_col).alias(vec_col),
         )
         cand = lsh_ann_topk(
@@ -1360,7 +1347,9 @@ def mine_hard_negatives(
         head = corpus.select(vec_col).head(1)
         if not head:
             return corpus.sparkSession.createDataFrame(
-                [], "query_id long, rank int, vec_id long, cosine double"
+                [],
+                f"query_id {_id_type(queries, query_id_col)}, rank int,"
+                f" vec_id {_id_type(corpus, id_col)}, cosine double",
             )
         dim = len(head[0][0])
         q = queries.select(

@@ -73,21 +73,20 @@ def build_subword_vocab(
     )
     counts = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("n"))
     singles = counts.where(F.length("piece") == 1)
+    # ALL singles are kept unconditionally (the completeness guarantee —
+    # a final trim-to-size over a singles-first ordering silently dropped
+    # the rarest seen characters whenever the alphabet alone exceeded
+    # ``size``, making greedy encoding emit UNK on seen text); multis
+    # fill only the slots singles leave free. The singles count is one
+    # tiny scalar aggregate, never corpus-sized.
+    n_singles = singles.count()
+    n_multi = max(0, int(size) - n_singles)
     multis = (
         counts.where(F.length("piece") > 1)
         .orderBy(F.col("n").desc(), F.col("piece").asc())
-        .limit(max(0, int(size)))
+        .limit(n_multi)
     )
-    # take all singles + the best multis, then trim to size by the same
-    # order with singles ranked first (so singles never fall out)
-    merged = singles.withColumn("_s", F.lit(0)).unionByName(
-        multis.withColumn("_s", F.lit(1))
-    )
-    return (
-        merged.orderBy(F.col("_s").asc(), F.col("n").desc(), F.col("piece").asc())
-        .limit(int(size))
-        .select("piece", "n")
-    )
+    return singles.unionByName(multis).select("piece", "n")
 
 
 def fit_bpe(

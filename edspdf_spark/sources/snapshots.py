@@ -71,13 +71,69 @@ class SnapshotTable:
         """The restart checkpoint: batch ids already durable."""
         return set(self._snapshot(self.current_version())["batches"])
 
-    def _commit(self, snap: dict) -> None:
-        version = snap["version"]
-        path = os.path.join(self.snap_dir, f"v{version}.json")
-        tmp = path + ".tmp"
+    def _max_version(self) -> int:
+        """Highest snapshot file ever written — version numbers are
+        allocated from here and NEVER reused (Iceberg snapshot ids are
+        unique even across rollbacks; reusing a number would overwrite
+        history that time travel and the metrics table still read)."""
+        best = 0
+        for name in os.listdir(self.snap_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    def _transition_child(self, parent: int) -> int | None:
+        """The version committed ON TOP OF ``parent``, if any — the
+        durable record of who won that parent's commit race."""
+        p = os.path.join(self.snap_dir, f"from-v{parent}")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _link_exclusive(self, content: str, path: str) -> bool:
+        """Atomically create ``path`` with ``content`` iff it does not
+        exist — ``os.link`` from a fully-written temp file gives
+        exclusive-create AND complete-content in one atomic step."""
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(snap, f, sort_keys=True)
-        os.rename(tmp, path)
+            f.write(content)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.unlink(tmp)
+            return False
+        os.unlink(tmp)
+        return True
+
+    def _commit(self, snap: dict) -> bool:
+        """Optimistic-concurrency commit (Iceberg's model, two atomic
+        steps): (1) claim the unique ``v{N}.json`` name — a loser here
+        just retries with a fresh number; (2) CAS the per-parent
+        transition marker ``from-v{parent}`` — at most ONE commit may
+        build on any parent, so a concurrent read-modify-write can never
+        silently erase the other writer's batch (the loser's snapshot
+        file becomes an invisible orphan and the caller rebases).
+        Returns False on either conflict."""
+        version, parent = snap["version"], snap["parent"]
+        path = os.path.join(self.snap_dir, f"v{version}.json")
+        if not self._link_exclusive(json.dumps(snap, sort_keys=True), path):
+            return False
+        marker = os.path.join(self.snap_dir, f"from-v{parent}")
+        if not self._link_exclusive(str(version), marker):
+            return False  # another commit built on this parent first
+        self._advance_current(version)
+        return True
+
+    def _advance_current(self, version: int) -> None:
+        """Move CURRENT forward, never backward — two commits racing on
+        different versions must not let the older one's pointer swap land
+        last (rollback() is the only sanctioned regression)."""
+        if self.current_version() >= version:
+            return
         cur_tmp = os.path.join(self.snap_dir, f"CURRENT.tmp.{uuid.uuid4().hex}")
         with open(cur_tmp, "w") as f:
             f.write(str(version))
@@ -90,8 +146,7 @@ class SnapshotTable:
         when ``batch_id`` already committed — the idempotence contract.
         Data lands BEFORE the snapshot commit; a crash in between leaves
         invisible orphans, never a torn read."""
-        prev = self._snapshot(self.current_version())
-        if batch_id in prev["batches"]:
+        if batch_id in self.committed_batches():
             return False
         data_dir = os.path.join(self.base, "data", f"{batch_id}-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(data_dir)
@@ -100,23 +155,45 @@ class SnapshotTable:
             if name.endswith(".parquet"):
                 p = os.path.join(data_dir, name)
                 files[p] = _footer_rows(p)
-        snap = {
-            "version": prev["version"] + 1,
-            "parent": prev["version"],
-            "batch_id": batch_id,
-            "ts": time.time(),
-            "files": {**prev["files"], **files},
-            "batches": sorted(prev["batches"] + [batch_id]),
-            "added_files": len(files),
-            "added_rows": sum(files.values()),
-            "total_rows": prev["total_rows"] + sum(files.values()),
-        }
-        self._commit(snap)
-        return True
+        # commit-conflict retry loop (Iceberg semantics): data files are
+        # written ONCE; on a lost CAS the snapshot is rebuilt against the
+        # winner's state and retried. If the winner committed the SAME
+        # batch_id, ours becomes invisible orphans and the call reports
+        # the idempotent no-op.
+        while True:
+            cur = self.current_version()
+            prev = self._snapshot(cur)
+            if batch_id in prev["batches"]:
+                return False
+            snap = {
+                "version": self._max_version() + 1,
+                "parent": cur,
+                "batch_id": batch_id,
+                "ts": time.time(),
+                "files": {**prev["files"], **files},
+                "batches": sorted(prev["batches"] + [batch_id]),
+                "added_files": len(files),
+                "added_rows": sum(files.values()),
+                "total_rows": prev["total_rows"] + sum(files.values()),
+            }
+            if self._commit(snap):
+                return True
+            # lost a race. If a committed transition out of our parent
+            # exists but CURRENT lags (winner crashed between its marker
+            # link and pointer swap), heal the pointer so the retry makes
+            # progress; otherwise the retry re-reads and rebases.
+            won = self._transition_child(cur)
+            if won is not None and self.current_version() == cur:
+                self._advance_current(won)
 
     def rollback(self, version: int) -> None:
         """Point CURRENT back at snapshot ``version`` (files of later
-        snapshots become invisible orphans, like Iceberg rollback)."""
+        snapshots become invisible orphans, like Iceberg rollback). The
+        transition marker out of ``version`` is cleared so a new branch
+        can commit from there — the abandoned branch keeps its (higher,
+        never-reused) version numbers for time travel. Administrative
+        operation: not safe against appends running concurrently with
+        the rollback itself."""
         if version != 0 and not os.path.exists(
             os.path.join(self.snap_dir, f"v{version}.json")
         ):
@@ -125,6 +202,9 @@ class SnapshotTable:
         with open(cur_tmp, "w") as f:
             f.write(str(version))
         os.rename(cur_tmp, os.path.join(self.snap_dir, "CURRENT"))
+        marker = os.path.join(self.snap_dir, f"from-v{version}")
+        if os.path.exists(marker):
+            os.unlink(marker)
 
     # -- read -------------------------------------------------------------
 

@@ -313,6 +313,11 @@ def test_minhash_arrow_equals_expression_path(spark):
             (100005, None),
             (100006, "\u00a0hello\u2003"),  # unicode WS: JVM trim keeps it
             (100007, "\u00a0\u00a0"),
+            # ASCII control chars: Spark SQL trim() strips ONLY ' ' --
+            # a <=U+0020 strip in the Arrow twin diverged here
+            (100008, "\x07hello world"),
+            (100009, "\x1fX\x1f"),
+            (100010, "\x01\x02"),
         ],
         "doc_id bigint, text string",
     )

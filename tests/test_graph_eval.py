@@ -254,3 +254,18 @@ FROM (
 )
 """).fetchall())
     assert got == want
+
+
+def test_zero_iterations_graceful(spark):
+    """iterations=0 returns the initial state for BOTH walkers (hits used
+    to crash joining a None auth frame)."""
+    from edspdf_spark.functions.graph import SCALE, hits, pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    h = {r.node: (r.auth_micro, r.hub_micro) for r in hits(e, iterations=0).collect()}
+    assert set(h) == {"a", "b", "c"}
+    assert all(a == 0 and hm == SCALE for a, hm in h.values())
+    pr = pagerank(e, iterations=0).collect()
+    assert len(pr) == 3 and all(r.rank_micro == SCALE // 3 for r in pr)

@@ -109,3 +109,36 @@ def test_hardneg_bad_method_raises(spark):
     positives = spark.createDataFrame([(0, 1)], "query_id long, pos_id long")
     with pytest.raises(ValueError):
         mine_hard_negatives(corpus, corpus, positives, method="nope")
+
+
+def test_hardneg_lsh_custom_id_col(spark):
+    """The LSH path must honor non-default id/vec column names (it used
+    to hardcode the query id alias to vec_id and crash at plan time)."""
+    import numpy as np
+
+    from edspdf_spark.functions.similarity import mine_hard_negatives
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 8))
+    rows = [(f"d{i}", [float(x) for x in vecs[i]]) for i in range(30)]
+    corpus = spark.createDataFrame(rows, "doc_id string, emb array<float>")
+    queries = corpus.limit(3)
+    positives = spark.createDataFrame(
+        [("d0", "d1")], "query_id string, pos_id string"
+    )
+    out = mine_hard_negatives(
+        corpus,
+        queries,
+        positives,
+        k=2,
+        id_col="doc_id",
+        vec_col="emb",
+        query_id_col="doc_id",
+        query_vec_col="emb",
+        method="lsh",
+        n_bits=2,
+    ).collect()
+    assert out, "lsh path returned no rows"
+    got = {(r.query_id, r.vec_id) for r in out}
+    assert ("d0", "d1") not in got  # positive excluded
+    assert all(r.query_id != r.vec_id for r in out)  # self excluded

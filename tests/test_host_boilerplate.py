@@ -125,3 +125,23 @@ def test_duckdb_differential(pages_df):
         for r in strip_host_boilerplate(pages_df, min_pages=4).collect()
     }
     assert dict(oracle) == got
+
+
+def test_strip_recrawled_url_not_merged(spark, pages_df):
+    """A url fetched twice (recrawl) is stripped independently per row —
+    grouping by url used to interleave and duplicate both fetches' lines
+    into every output row."""
+    dup = pages_df.unionByName(
+        spark.createDataFrame(
+            [("https://a.com/1", "COOKIE\nbody one\nPROMO")],
+            "url string, text string",
+        )
+    )
+    out = [
+        r.text
+        for r in strip_host_boilerplate(dup, min_fraction=0.5).collect()
+        if r.url == "https://a.com/1"
+    ]
+    assert out == ["body one", "body one"]
+    # row-count contract: one output row per input row
+    assert strip_host_boilerplate(dup).count() == dup.count()

@@ -70,3 +70,62 @@ def test_time_travel_and_rollback(spark, base):
     assert t.read().count() == 15
     with pytest.raises(ValueError):
         t.rollback(99)
+
+
+def test_commit_conflict_retries_against_winner(spark, base):
+    """Optimistic-concurrency commit: when another writer already claimed
+    the next version (and may have crashed before the CURRENT swap), a
+    concurrent append must NOT erase that batch — it heals the pointer,
+    rebases onto the winner's snapshot, and commits on top."""
+    import json
+
+    t = SnapshotTable(spark, base)
+    assert t.append(_df(spark, 0, 5), "b1") is True
+    # simulate a concurrent winner that committed v2 (batch "other") but
+    # crashed between the v2.json link and the CURRENT swap
+    with open(os.path.join(t.snap_dir, "v1.json")) as f:
+        v1 = json.load(f)
+    v2 = dict(
+        v1,
+        version=2,
+        parent=1,
+        batch_id="other",
+        batches=sorted(v1["batches"] + ["other"]),
+    )
+    with open(os.path.join(t.snap_dir, "v2.json"), "w") as f:
+        json.dump(v2, f)
+    with open(os.path.join(t.snap_dir, "from-v1"), "w") as f:
+        f.write("2")  # the winner's committed transition marker
+    assert t.current_version() == 1  # pointer still lagging
+    assert t.append(_df(spark, 5, 8), "b2") is True
+    # the retry's first attempt allocated v3 then lost the from-v1 CAS —
+    # v3 is an invisible orphan, the rebased commit lands as v4
+    assert t.current_version() == 4
+    assert t.committed_batches() == {"b1", "other", "b2"}
+    # the winner's rows are part of the rebased lineage, b2's rows added
+    assert t.read().count() == 8
+
+
+def test_append_same_batch_as_crashed_winner_is_noop(spark, base):
+    """If the crashed winner committed the SAME batch id, the retry sees
+    it after healing and reports the idempotent no-op."""
+    import json
+
+    t = SnapshotTable(spark, base)
+    assert t.append(_df(spark, 0, 5), "b1") is True
+    with open(os.path.join(t.snap_dir, "v1.json")) as f:
+        v1 = json.load(f)
+    v2 = dict(
+        v1,
+        version=2,
+        parent=1,
+        batch_id="b2",
+        batches=sorted(v1["batches"] + ["b2"]),
+    )
+    with open(os.path.join(t.snap_dir, "v2.json"), "w") as f:
+        json.dump(v2, f)
+    with open(os.path.join(t.snap_dir, "from-v1"), "w") as f:
+        f.write("2")
+    assert t.append(_df(spark, 5, 8), "b2") is False
+    assert t.current_version() == 2
+    assert t.committed_batches() == {"b1", "b2"}

@@ -159,3 +159,32 @@ def test_fit_bpe_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id int, text string")
     merges, words = fit_bpe(df, n_merges=3)
     assert merges.count() == 0 and words.count() == 0
+
+
+def test_vocab_keeps_all_singles_when_alphabet_exceeds_size(spark):
+    """Completeness guarantee: when the corpus alphabet alone exceeds
+    ``size``, EVERY seen single character stays in the vocab (the old
+    trim-to-size ordering dropped the rarest singles, making greedy
+    encoding emit UNK on seen text)."""
+    import string
+
+    from edspdf_spark.functions.tokenizer import (
+        BOUNDARY,
+        UNK,
+        build_subword_vocab,
+        tokenize_subword,
+    )
+
+    chars = string.ascii_lowercase + string.digits  # 36 distinct chars
+    df = spark.createDataFrame([(0, " ".join(chars))], "doc_id long, text string")
+    vocab = build_subword_vocab(df, size=16, max_piece_len=4)
+    rows = vocab.collect()
+    singles = {r.piece for r in rows if len(r.piece) == 1}
+    assert singles == set(chars) | {BOUNDARY}
+    # size=16 < 37 singles -> zero slots left for multis
+    assert all(len(r.piece) == 1 for r in rows)
+    # and encoding seen text never hits UNK
+    toks = tokenize_subword(df, vocab)
+    assert all(
+        UNK not in r.pieces for r in toks.collect()
+    )
