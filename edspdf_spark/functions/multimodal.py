@@ -124,11 +124,13 @@ def with_byte_histogram(
     "embedding"): normalized ``n_bins``-bin histogram over payload bytes.
     One ``np.bincount`` per row over a zero-copy ``frombuffer`` view — no
     per-byte Python."""
+    if not 1 <= int(n_bins) <= 256:
+        raise ValueError("n_bins must be in [1, 256]")
+    n_bins = int(n_bins)
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("byte_hist", T.ArrayType(T.DoubleType()), False)]
     )
-    shift = 8 - (n_bins - 1).bit_length()
 
     def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,7 +138,13 @@ def with_byte_histogram(
             for blob in pdf[media_col]:
                 body = b"" if blob is None else bytes(blob[skip_header:])
                 arr = np.frombuffer(body, dtype=np.uint8)
-                counts = np.bincount(arr >> shift, minlength=n_bins).astype(np.float64)
+                # byte*n_bins >> 8 buckets into EXACTLY n_bins bins for any
+                # n_bins (identical to the old power-of-two shift when
+                # n_bins is one; a next-pow2 shift returned up to 2×n_bins
+                # bins for e.g. n_bins=10)
+                counts = np.bincount(
+                    (arr.astype(np.int32) * n_bins) >> 8, minlength=n_bins
+                ).astype(np.float64)
                 total = counts.sum()
                 hists.append(list(counts / (total if total else 1.0)))
             yield pdf.assign(byte_hist=hists)
@@ -416,29 +424,53 @@ def image_dhash(
                 }
             )
 
+    # id column keeps its native Spark type — string document keys must
+    # not be forced through a bigint field
+    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, media_col).mapInPandas(
-        run, f"{id_col} bigint, dhash_hi bigint, dhash_lo bigint"
+        run, f"{id_col} {id_type}, dhash_hi bigint, dhash_lo bigint"
     )
 
 
 def dhash_candidate_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     max_bucket_size: int = 10_000,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Near-dup image pairs from dHash halves: band the 64 bits into
-    four 16-bit buckets (two images within Hamming distance ≤ 3·16/…
-    — any pair differing in < 4 bands shares at least one band exactly,
-    the SimHash/LSH banding argument), bucket-join candidates, then
-    EXACT Hamming rescore (``bit_count(xor)``) and the ``max_hamming``
-    gate. Returns ``(id_a, id_b, hamming)``.
+    ``n_bands`` equal buckets (the SimHash/LSH banding argument: a pair
+    within Hamming distance ≤ ``n_bands − 1`` differs in fewer bands
+    than there are bands, so by pigeonhole it shares at least one band
+    exactly), bucket-join candidates, then EXACT Hamming rescore
+    (``bit_count(xor)``) and the ``max_hamming`` gate. Returns
+    ``(id_a, id_b, hamming)``.
+
+    ``max_hamming`` MUST be ≤ ``n_bands − 1`` — beyond that the banding
+    cannot guarantee the pair ever becomes a candidate and the gate
+    would silently under-report (raise, don't miss). Raising ``n_bands``
+    widens the guarantee but coarsens the buckets (band width
+    ``64/n_bands`` bits → ``2^width`` distinct buckets), so bucket
+    occupancy grows and more buckets hit ``max_bucket_size``: 4×16-bit
+    is the selective default; 8×8-bit reaches distance 7 at ~256
+    buckets/band; 16×4-bit reaches 15 but is only usable on small
+    corpora.
 
     Same scale shape as :func:`edspdf_spark.functions.dedup.
     lsh_candidate_pairs`: one (band, bucket)-keyed collect_list exchange
     with a hot-bucket cap, one pair-keyed distinct, a hash-table join
     back for the rescore — never a cross join.
     """
+    if n_bands not in (2, 4, 8, 16, 32):
+        raise ValueError("n_bands must be one of 2, 4, 8, 16, 32")
+    if int(max_hamming) > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding guarantee "
+            f"(n_bands - 1 = {n_bands - 1}): pairs at that distance may "
+            "never share a band — raise n_bands instead"
+        )
+    width = 64 // n_bands
     h = hashes.where(
         F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
     )
@@ -448,13 +480,13 @@ def dhash_candidate_pairs(
                 F.lit(b).alias("band"),
                 (
                     F.shiftrightunsigned(
-                        F.col("dhash_lo" if b < 2 else "dhash_hi"),
-                        (b % 2) * 16,
+                        F.col("dhash_lo" if b * width < 32 else "dhash_hi"),
+                        (b * width) % 32,
                     )
-                    % F.lit(65536)
+                    % F.lit(1 << width)
                 ).alias("bucket"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     ex = h.select(F.col(id_col), F.explode(bands).alias("bb")).select(

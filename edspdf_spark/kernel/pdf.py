@@ -871,6 +871,12 @@ class _TextState:
         self.matrix = _MATRIX_ID
         self.linematrix = (0.0, 0.0)
 
+    def copy(self) -> "_TextState":
+        c = _TextState.__new__(_TextState)
+        for s in _TextState.__slots__:
+            setattr(c, s, getattr(self, s))
+        return c
+
 
 def _interpret_page(doc: PdfDocument, page: dict, ctm) -> List[_Char]:
     content = doc.content_bytes(page)
@@ -930,10 +936,14 @@ def _interpret_page(doc: PdfDocument, page: dict, ctm) -> List[_Char]:
         op = val
         try:
             if op == "q":
-                gs_stack.append(ctm)
+                # pdfminer's get_current_state saves (ctm, textstate,
+                # graphicstate) — restoring only the CTM left Tf/Tc/Tw
+                # changes made inside q…Q live after the restore, shifting
+                # glyph geometry vs the reference on real PDFs
+                gs_stack.append((ctm, ts.copy()))
             elif op == "Q":
                 if gs_stack:
-                    ctm = gs_stack.pop()
+                    ctm, ts = gs_stack.pop()
             elif op == "cm" and len(args) >= 6:
                 ctm = _mult_matrix(tuple(float(v) for v in args[-6:]), ctm)
             elif op == "BT":
@@ -987,6 +997,12 @@ def _interpret_page(doc: PdfDocument, page: dict, ctm) -> List[_Char]:
                 render_string([args[-1]])
             # Do (XObjects) intentionally ignored: LAParams.all_texts=False
             # keeps figure text out of page lines (reference default).
+        except PdfParseError:
+            # PdfParseError IS a ValueError — without this re-raise the
+            # clause below ate e.g. Tf's "unsupported CMap" and the doc
+            # was silently emitted EMPTY with error=False instead of the
+            # documented error=True poison-pill
+            raise
         except (TypeError, ValueError):
             pass
         args = []

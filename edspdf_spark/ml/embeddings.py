@@ -197,17 +197,45 @@ def simple_text_features(
     )
 
 
-def build_vocab(df: DataFrame, col: str) -> DataFrame:
-    """Vocabulary as (value, id) with ids from a dense_rank over the SORTED
+def build_vocab(df: DataFrame, col: str, num_partitions: int = None) -> DataFrame:
+    """Vocabulary as (value, id) with ids = 1-based rank over the SORTED
     distinct values (id 0 = '__unk__', matching layers/vocabulary.py:1-40's
     reserved default).  Deviation from the reference's insertion-order ids
     (documented): sorted ids are partition-order-independent, which is what
-    a distributed build needs."""
+    a distributed build needs.
+
+    The global rank is computed DISTRIBUTED, not as one
+    ``Window.orderBy`` over everything (which funnels the whole distinct
+    value set — 10^8+ strings on a web corpus — into a single task):
+    range-partition by value, rank WITHIN each sorted partition, then add
+    per-partition offsets from a partition-count frame that has one row
+    per partition. The ``localCheckpoint`` pins the range-partitioner's
+    sampled bounds so the ranked rows and the offset frame see identical
+    partition assignments (Catalyst does not share the exchange across
+    the two derivations). Same ids as a global dense_rank, no
+    single-task sort."""
+    spark = df.sparkSession
     distinct = df.select(F.col(col).alias("value")).distinct()
-    w = Window.orderBy("value")
-    ranked = distinct.withColumn("id", F.dense_rank().over(w))
-    unk = ranked.sparkSession.createDataFrame([("__unk__", 0)], "value string, id int")
-    return unk.unionByName(ranked.select("value", F.col("id").cast("int")))
+    n = int(num_partitions or spark.sparkContext.defaultParallelism)
+    d = (
+        distinct.repartitionByRange(n, "value")
+        .sortWithinPartitions("value")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = d.groupBy("pid").count()
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("count").over(wo), F.lit(0)).alias("off")
+    )
+    wr = Window.partitionBy("pid").orderBy("value")
+    ranked = (
+        d.withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(offsets), "pid")
+        .select("value", (F.col("off") + F.col("rn")).cast("int").alias("id"))
+    )
+    unk = spark.createDataFrame([("__unk__", 0)], "value string, id int")
+    return unk.unionByName(ranked)
 
 
 def _string_poly_hash(col: Column) -> Column:

@@ -697,11 +697,20 @@ def extract_html_meta(pages: DataFrame, charset: str = "utf-8") -> DataFrame:
     shuffle, pushdown-friendly), which is the right shape for a
     crawl-index pass over 10^12 pages. Attribute order is handled by
     probing both orders; absent fields extract ``''`` (NULL-free so
-    downstream grouping keys stay total). Charset handling beyond the
-    given encoding belongs to ``sources.warc.decode_payload`` upstream."""
+    downstream grouping keys stay total). Comments and script-ish bodies
+    are stripped first — the same "a commented-out carrier must not
+    leak" rule as ``functions/discover.py``, so a dead
+    ``<!-- <meta …> -->`` draft or a JS string containing meta markup
+    can never fabricate a field. Charset handling beyond the given
+    encoding belongs to ``sources.warc.decode_payload`` upstream."""
     from pyspark.sql import functions as F
 
-    h = F.decode(F.col("html"), charset)
+    raw = F.decode(F.col("html"), charset)
+    h = F.regexp_replace(
+        F.regexp_replace(raw, r"(?s)<!--.*?-->", " "),
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        " ",
+    )
     desc_res = _meta_pair_res("name", "description")
     ogt_res = _meta_pair_res("property", "og:title")
     ogd_res = _meta_pair_res("property", "og:description")
@@ -991,15 +1000,19 @@ def extract_image_pairs(
     from pyspark.sql import functions as F
 
     h = F.decode(F.col("html"), charset)
-    tags = F.regexp_extract_all(h, F.lit(r"<img[^>]*>"), F.lit(0))
+    # (?i) like every other extractor here — uppercase <IMG SRC=...> is
+    # pervasive in older crawl HTML; the [\s"'] attribute-boundary guard
+    # keeps `src=` from matching inside `data-src=` (lazy-load markup
+    # would otherwise emit the placeholder URL as the pair's image)
+    tags = F.regexp_extract_all(h, F.lit(r"(?i)<img\b[^>]*>"), F.lit(0))
     ex = pages.select(
         "url", F.posexplode_outer(tags).alias("img_idx", "_tag")
     ).where(F.col("_tag").isNotNull())
     src = F.regexp_extract(
-        F.col("_tag"), "src\\s*=\\s*[\"']([^\"']*)[\"']", 1
+        F.col("_tag"), "(?i)[\\s\"']src\\s*=\\s*[\"']([^\"']*)[\"']", 1
     )
     alt = F.regexp_extract(
-        F.col("_tag"), "alt\\s*=\\s*[\"']([^\"']*)[\"']", 1
+        F.col("_tag"), "(?i)[\\s\"']alt\\s*=\\s*[\"']([^\"']*)[\"']", 1
     )
     return (
         ex.select(
@@ -1013,6 +1026,48 @@ def extract_image_pairs(
             & (F.length("alt_text") >= int(min_alt_len))
         )
     )
+
+
+
+
+# --- shared scan-stage cleanup expressions (structure extractors) -----------
+
+def _strip_noise_expr(col):
+    """Remove comments and script-ish container bodies — shared by every
+    structural extractor (tables/outline/sections/lists/code): markup
+    inside them must not fabricate rows. Scripts strip FIRST (the order
+    the extractors always used), comments second."""
+    from pyspark.sql import functions as F
+
+    for pat in (
+        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        col = F.regexp_replace(col, pat, " ")
+    return col
+
+
+def _decode_entities_expr(col):
+    """Decode the six standard named entities plus ``&#39;`` — ``&amp;``
+    LAST so ``&amp;lt;`` stays ``&lt;`` (double-escape fidelity)."""
+    from pyspark.sql import functions as F
+
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        col = F.replace(col, F.lit(ent), F.lit(rep))
+    return F.replace(col, F.lit("&amp;"), F.lit("&"))
+
+
+def _clean_text_expr(col):
+    """Inner tags → space, entities decoded, whitespace collapsed +
+    trimmed — the text cleanup every non-code structure extractor
+    applies to cell/heading/body/item content."""
+    from pyspark.sql import functions as F
+
+    txt = F.regexp_replace(col, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(_decode_entities_expr(txt), r"\s+", " "))
 
 
 def extract_tables(
@@ -1041,14 +1096,7 @@ def extract_tables(
     """
     from pyspark.sql import functions as F
 
-    s = F.col(html_col).cast("string")
-    # strip comments / script-ish containers so stray <tr> inside them
-    # can't fabricate cells
-    for pat in (
-        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
-        r"(?s)<!--.*?-->",
-    ):
-        s = F.regexp_replace(s, pat, " ")
+    s = _strip_noise_expr(F.col(html_col).cast("string"))
 
     tables = F.regexp_extract_all(s, F.lit(r"(?is)<table\b[^>]*>(.*?)</table\s*>"), 1)
     t = pages.select(
@@ -1072,15 +1120,7 @@ def extract_tables(
     )
     raw = F.col("_cell").getField("0")
     kind = F.lower(F.col("_cell").getField("1"))
-    txt = F.regexp_replace(raw, r"<[^>]+>", " ")
-    # the six standard named entities + decimal numeric escapes (ASCII)
-    for ent, rep in (
-        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
-    ):
-        txt = F.replace(txt, F.lit(ent), F.lit(rep))
-    txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))  # LAST — &amp;lt; stays &lt;
-    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    txt = _clean_text_expr(raw)
     return c.select(
         url_col,
         "table_idx",
@@ -1117,12 +1157,7 @@ def extract_outline(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    s = F.col(html_col).cast("string")
-    for pat in (
-        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
-        r"(?s)<!--.*?-->",
-    ):
-        s = F.regexp_replace(s, pat, " ")
+    s = _strip_noise_expr(F.col(html_col).cast("string"))
 
     # generic closer (no back-reference — RE2/DuckDB dialect): like the
     # HTML5 recovery browsers apply, ANY </hN> closes an open heading, so
@@ -1136,14 +1171,7 @@ def extract_outline(
     )
     level = F.col("_h").getField("0").cast("int")
     raw = F.col("_h").getField("1")
-    txt = F.regexp_replace(raw, r"<[^>]+>", " ")
-    for ent, rep in (
-        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
-    ):
-        txt = F.replace(txt, F.lit(ent), F.lit(rep))
-    txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))
-    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    txt = _clean_text_expr(raw)
     base = h.select(
         url_col,
         F.col("seq"),
@@ -1208,27 +1236,14 @@ def extract_sections(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    s = F.col(html_col).cast("string")
-    for pat in (
-        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
-        r"(?s)<!--.*?-->",
-    ):
-        s = F.regexp_replace(s, pat, " ")
+    s = _strip_noise_expr(F.col(html_col).cast("string"))
 
     pat = r"(?is)<h([1-6])\b[^>]*>(.*?)</h[1-6]\s*>"
     levels = F.regexp_extract_all(s, F.lit(pat), 1)
     bodies = F.regexp_extract_all(s, F.lit(pat), 2)
     pieces = F.split(s, pat)
 
-    def clean(col):
-        txt = F.regexp_replace(col, r"<[^>]+>", " ")
-        for ent, rep in (
-            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-            ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
-        ):
-            txt = F.replace(txt, F.lit(ent), F.lit(rep))
-        txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))
-        return F.trim(F.regexp_replace(txt, r"\s+", " "))
+    clean = _clean_text_expr
 
     with_arrays = pages.select(
         url_col,
@@ -1309,12 +1324,7 @@ def extract_lists(
     """
     from pyspark.sql import functions as F
 
-    s = F.col(html_col).cast("string")
-    for pat in (
-        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
-        r"(?s)<!--.*?-->",
-    ):
-        s = F.regexp_replace(s, pat, " ")
+    s = _strip_noise_expr(F.col(html_col).cast("string"))
 
     pat = r"(?is)<(ul|ol)\b[^>]*>(.*?)</(?:ul|ol)\s*>"
     kinds = F.regexp_extract_all(s, F.lit(pat), 1)
@@ -1338,14 +1348,7 @@ def extract_lists(
         url_col, "list_idx", "ordered",
         F.posexplode(items).alias("item_idx", "_item"),
     )
-    txt = F.regexp_replace(F.col("_item"), r"<[^>]+>", " ")
-    for ent, rep in (
-        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
-    ):
-        txt = F.replace(txt, F.lit(ent), F.lit(rep))
-    txt = F.replace(txt, F.lit("&amp;"), F.lit("&"))
-    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    txt = _clean_text_expr(F.col("_item"))
     return it.select(
         url_col, "list_idx", "item_idx", "ordered", txt.alias("item")
     )
@@ -1367,12 +1370,7 @@ def extract_code_blocks(
     """
     from pyspark.sql import functions as F
 
-    s = F.col(html_col).cast("string")
-    for pat in (
-        r"(?is)<(script|style|template|noscript)\b[^>]*>.*?</\1\s*>",
-        r"(?s)<!--.*?-->",
-    ):
-        s = F.regexp_replace(s, pat, " ")
+    s = _strip_noise_expr(F.col(html_col).cast("string"))
     # ONE left-to-right alternation scan keeps block_idx in DOCUMENT
     # order (pre-first-then-bare-code two-pass indexing would misorder a
     # mid-document inline <code> against a later <pre>); at a <pre> start
@@ -1399,13 +1397,9 @@ def extract_code_blocks(
     body = F.regexp_replace(
         F.col("_raw"), r"(?is)^<(?:pre|code)\b[^>]*>|</(?:pre|code)\s*>$", ""
     )
-    code = F.regexp_replace(body, r"<[^>]+>", "")
-    for ent, rep in (
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
-    ):
-        code = F.replace(code, F.lit(ent), F.lit(rep))
-    code = F.replace(code, F.lit("&amp;"), F.lit("&"))
+    # whitespace-preserving: tags removed with NO space substitute, no
+    # collapse — indentation is code signal; entity set/order shared
+    code = _decode_entities_expr(F.regexp_replace(body, r"<[^>]+>", ""))
     code = F.regexp_replace(code, r"\r\n", "\n")
     return b.select(
         url_col,

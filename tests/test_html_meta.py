@@ -161,3 +161,48 @@ def test_extract_image_pairs(spark):
         for r in extract_image_pairs(pages, min_alt_len=4).collect()
     }
     assert strict == {0, 2}
+
+
+def test_extract_image_pairs_uppercase_and_lazyload(spark):
+    """Uppercase markup matches ((?i) like every other extractor) and the
+    attribute-boundary guard keeps `src=` from matching inside
+    `data-src=` lazy-load markup."""
+    from edspdf_spark.operators.extract_html import extract_image_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<IMG SRC="dog.png" ALT="a dog">'.encode()),
+            (
+                "u2",
+                '<img data-src="placeholder.gif" src="real.jpg" alt="x y">'.encode(),
+            ),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        r.url: (r.img_src, r.alt_text)
+        for r in extract_image_pairs(pages).collect()
+    }
+    assert got["u1"] == ("dog.png", "a dog")
+    assert got["u2"] == ("real.jpg", "x y")
+
+
+def test_extract_html_meta_ignores_commented_and_scripted(spark):
+    """A commented-out meta draft or meta markup inside <script> must not
+    fabricate fields — same rule as functions/discover.py."""
+    from edspdf_spark.operators.extract_html import extract_html_meta
+
+    html = (
+        "<html><head><title>Live</title>"
+        '<!-- <meta name="description" content="old draft"> -->'
+        "<script>var x = '<meta property=\"article:published_time\""
+        " content=\"2001-01-01\">';</script>"
+        '<meta name="description" content="real one">'
+        "</head></html>"
+    ).encode()
+    r = extract_html_meta(
+        spark.createDataFrame([("u", html)], "url string, html binary")
+    ).collect()[0]
+    assert r.html_title == "Live"
+    assert r.meta_description == "real one"
+    assert r.published_time == ""

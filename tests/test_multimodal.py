@@ -293,7 +293,7 @@ def test_dhash_candidate_pairs_near_and_far(spark):
     hashes = image_dhash(df)
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dhash_candidate_pairs(hashes, max_hamming=8).collect()
+        for r in dhash_candidate_pairs(hashes, max_hamming=8, n_bands=16).collect()
     }
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 0 <= pairs[(1, 3)] <= 8
@@ -302,7 +302,55 @@ def test_dhash_candidate_pairs_near_and_far(spark):
     again = {
         (r.id_a, r.id_b): r.hamming
         for r in dhash_candidate_pairs(
-            image_dhash(df.repartition(8)), max_hamming=8
+            image_dhash(df.repartition(8)), max_hamming=8, n_bands=16
         ).collect()
     }
     assert again == pairs
+
+
+def test_byte_histogram_non_power_of_two_bins(spark):
+    """n_bins that is not a power of two still yields EXACTLY n_bins
+    buckets (the next-pow2 shift returned up to 2×n_bins)."""
+    from edspdf_spark.functions.multimodal import with_byte_histogram
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)))], "doc_id long, media binary"
+    )
+    row = with_byte_histogram(df, n_bins=10).collect()[0]
+    assert len(row.byte_hist) == 10
+    assert abs(sum(row.byte_hist) - 1.0) < 1e-12
+    # uniform bytes: bucket k holds len([b: b*10>>8 == k]) / 256
+    import numpy as np
+
+    expect = np.bincount((np.arange(256) * 10) >> 8, minlength=10) / 256.0
+    assert row.byte_hist == list(expect)
+
+
+def test_dhash_pairs_banding_guarantee_enforced(spark):
+    """max_hamming beyond the pigeonhole guarantee (n_bands-1) raises
+    instead of silently under-recalling."""
+    import pytest as _pytest
+
+    from edspdf_spark.functions.multimodal import dhash_candidate_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, 0, 0)], "doc_id long, dhash_hi long, dhash_lo long"
+    )
+    with _pytest.raises(ValueError, match="banding guarantee"):
+        dhash_candidate_pairs(hashes, max_hamming=4, n_bands=4)
+    with _pytest.raises(ValueError, match="n_bands"):
+        dhash_candidate_pairs(hashes, max_hamming=2, n_bands=5)
+
+
+def test_image_dhash_string_ids(spark):
+    from edspdf_spark.functions.multimodal import encode_image, image_dhash
+
+    import numpy as np
+
+    px = np.arange(40 * 24, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("img-a", encode_image(40, 24, 1, px.tobytes()))],
+        "doc_id string, media binary",
+    )
+    r = image_dhash(df).collect()[0]
+    assert r.doc_id == "img-a" and r.dhash_hi is not None

@@ -355,12 +355,15 @@ def test_mutated_pdf_bytes_never_escape_error_contract():
 
 def test_letter_pdf_snapshot():
     """Regression pin for the parser on the most complex reference fixture
-    (Word-produced: 9 fonts incl. Wingdings/Symbol Type0s, 142 grouped
-    lines, 49 non-empty)."""
+    (Word-produced: 9 fonts incl. Wingdings/Symbol Type0s; 48 non-empty
+    grouped lines — re-pinned after Q began restoring the full text
+    state like pdfminer, which merges the 'de l'APHP,' fragment into its
+    visual header line)."""
     blocs, pages, error = _extract("letter.pdf")
     assert not error
     texts = [b["text"] for b in blocs]
-    assert len(texts) == 49
+    assert len(texts) == 48
+    assert "Données de Santé de l’APHP, et du Docteur DEF," in texts
     assert texts.count("Pr ABC") == 7
     assert sum("a.bc@aphp.fr" in t for t in texts) == 7
     joined = " ".join(texts)
@@ -419,3 +422,72 @@ def test_rotated_page_geometry():
     (hx0, hy0, hx1, hy1) = lines[0][1:5]
     assert abs(hx0 - 698.0) < 1e-6 and abs(hy1 - 512.0) < 1e-6  # (y, W - x)
     assert lines[0][5][0][1] is False  # rotated glyph → not upright
+
+
+def test_unsupported_cmap_is_poison_pill_not_empty_doc():
+    """PdfParseError raised mid-content-stream (e.g. Tf resolving a
+    non-Identity CMap) must propagate as the documented error=True
+    sentinel — the op loop's (TypeError, ValueError) tolerance used to
+    eat it (PdfParseError IS a ValueError) and emit the doc as silently
+    EMPTY with error=False."""
+    pdf = make_pdf([["hello world"]])
+    bad = pdf.replace(b"/Encoding/Identity-H", b"/Encoding/Identity-Q")
+    assert bad != pdf
+    with pytest.raises(PdfParseError):
+        parse_pdf(bad)
+    blocs, pages, error = __import__(
+        "edspdf_spark.kernel.payload", fromlist=["extract_doc_raw"]
+    ).extract_doc_raw(bad)
+    assert error is True and blocs == []
+
+
+def _raw_pdf(content: bytes, rotate: int = 0) -> bytes:
+    """Minimal raw Type0/Identity-H one-page PDF around ``content``."""
+    import zlib
+
+    comp = zlib.compress(content)
+    tou = zlib.compress(b"1 beginbfrange <0000> <FFFF> <0000> endbfrange")
+    objs = [
+        b"<</Filter/FlateDecode/Length %d>>\nstream\n%s\nendstream" % (len(comp), comp),
+        b"<</Type/FontDescriptor/FontName/F/Flags 4/FontBBox[0 -200 500 800]"
+        b"/ItalicAngle 0/Ascent 800/Descent -200/StemV 80>>",
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/F"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/FontDescriptor 2 0 R/DW 500/CIDToGIDMap/Identity>>",
+        b"<</Filter/FlateDecode/Length %d>>\nstream\n%s\nendstream" % (len(tou), tou),
+        b"<</Type/Font/Subtype/Type0/BaseFont/F/Encoding/Identity-H"
+        b"/DescendantFonts[3 0 R]/ToUnicode 4 0 R>>",
+        b"<</Type/Page/Parent 7 0 R/MediaBox[0 0 612 792]/Rotate %d"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 1 0 R>>" % rotate,
+        b"<</Type/Pages/Kids[6 0 R]/Count 1>>",
+        b"<</Type/Catalog/Pages 7 0 R>>",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = [0]
+    for i, b in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<</Size %d/Root 8 0 R>>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref,
+    )
+    return bytes(out)
+
+
+def test_q_restores_text_state():
+    """Q restores the full text state (font/size/charspace), matching
+    pdfminer's get_current_state — a Tf/Tc inside q…Q must not leak past
+    the restore and shift glyph sizes/advances."""
+    from edspdf_spark.kernel.pdf import parse_pdf
+
+    base = _raw_pdf(b"BT /F1 10 Tf 1 0 0 1 100 700 Tm <00480069> Tj ET")
+    wrapped = _raw_pdf(
+        b"q BT /F1 10 Tf 1 0 0 1 100 700 Tm q /F1 99 Tf 7 Tc 2 Tw Q"
+        b" <00480069> Tj ET Q"
+    )
+    a = parse_pdf(base)
+    b = parse_pdf(wrapped)
+    assert a[1] and a == b
