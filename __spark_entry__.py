@@ -3366,7 +3366,7 @@ def _q_extract_metrics(spark, sf_dir):
     from edspdf_spark.metrics import extract_blocs_with_metrics
 
     pages = pages_from_documents(spark, sf_dir)
-    _blocs, metrics = extract_blocs_with_metrics(pages, run_id="driver")
+    _blocs, metrics, _cached = extract_blocs_with_metrics(pages, run_id="driver")
     return metrics.groupBy("run_id").agg(
         F.sum("n_docs").alias("total_docs"),
         F.sum("n_blocs").alias("total_blocs"),

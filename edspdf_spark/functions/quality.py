@@ -494,7 +494,16 @@ def sample_corpus(
     back onto the corpus + a pure filter projection — no corpus shuffle
     at all when unstratified (the totals row is a scalar broadcast).
     """
-    strat = [stratify_col] if stratify_col else []
+    # NULL strata must keep their rows: groupBy retains the NULL group
+    # but a plain equi-join back would drop it (NULL never equi-joins),
+    # silently losing every null-stratum doc — key through a coalesced
+    # sentinel column on both sides instead
+    strat = ["_strat_key"] if stratify_col else []
+    if stratify_col:
+        df = df.withColumn(
+            "_strat_key",
+            F.coalesce(F.col(stratify_col).cast("string"), F.lit("\x00null")),
+        )
     totals = df.groupBy(*strat).agg(
         F.sum(token_col).cast("double").alias("_total")
     )
@@ -517,7 +526,7 @@ def sample_corpus(
             F.broadcast(totals)
         )
     )
-    return joined.where(u < thresh).drop("_total")
+    return joined.where(u < thresh).drop("_total", *strat)
 
 
 def with_blocklist_signals(
@@ -624,13 +633,21 @@ def with_temperature_mix(
     partials) → broadcast join back → pure projection. ZERO corpus
     shuffle at any corpus size.
     """
-    totals = df.groupBy(lang_col).agg(
+    # NULL-language docs form their own stratum (their _pw_micro enters
+    # Z either way — dropping THEM while keeping their weight share would
+    # deflate every real language's rate AND silently lose the rows), so
+    # key the join through a coalesced sentinel
+    keyed = df.withColumn(
+        "_lang_key",
+        F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null")),
+    )
+    totals = keyed.groupBy("_lang_key").agg(
         F.sum(token_col).cast("long").alias("_T")
     )
     pw = F.floor(
         F.pow(F.col("_T").cast("double"), F.lit(float(alpha))) * F.lit(1e6)
     ).cast("long")
-    wt = totals.select(lang_col, "_T", pw.alias("_pw_micro"))
+    wt = totals.select("_lang_key", "_T", pw.alias("_pw_micro"))
     z = wt.agg(F.sum("_pw_micro").cast("long").alias("_Z"))
     wt = wt.crossJoin(F.broadcast(z))
     cap = int(float(max_epochs) * 1_000_000)
@@ -643,8 +660,8 @@ def with_temperature_mix(
     rate = F.when(F.col("_T") > 0, F.least(rate_raw, F.lit(cap))).otherwise(
         F.lit(0)
     )
-    rates = wt.select(lang_col, rate.alias("mix_rate_micro"))
-    out = df.join(F.broadcast(rates), on=lang_col)
+    rates = wt.select("_lang_key", rate.alias("mix_rate_micro"))
+    out = keyed.join(F.broadcast(rates), on="_lang_key")
     u32 = F.conv(
         F.substring(
             F.md5(

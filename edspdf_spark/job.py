@@ -70,10 +70,11 @@ def run_snapshot_job(
         if limit_batches is not None and ran >= limit_batches:
             break
         part = pages.where(batch_expr(n_batches) == b)
-        blocs, metrics = extract_blocs_with_metrics(part, run_id=bid)
+        blocs, metrics, cached = extract_blocs_with_metrics(part, run_id=bid)
         agg = aggregate_simple(classify_mask(blocs, masks, threshold=threshold))
         met_table.append(metrics, bid)  # idempotent no-op on replay
         agg_table.append(agg, bid)  # THE commit: marks the batch done
+        cached.unpersist()  # one extraction cache per batch must not pile up
         ran += 1
         out.append((bid, True))
     return out

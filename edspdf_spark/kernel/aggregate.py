@@ -118,12 +118,26 @@ def aggregate_doc(
                 continue
             if cur[0] != nxt[0]:
                 sep = "\n\n"
-            elif dy / height > new_paragraph_threshold:
-                sep = "\n\n"
-            elif dy / height > new_line_threshold:
-                sep = "\n"
             else:
-                sep = " "
+                if height != 0.0:
+                    ratio = dy / height
+                else:
+                    # np.float64 semantics (the reference divides numpy
+                    # scalars, simple.py:159-162): ±dy/0 → ±inf, 0/0 →
+                    # nan — Python float division raises
+                    # ZeroDivisionError instead, which would crash the
+                    # task on a zero-height line group
+                    ratio = (
+                        float("inf")
+                        if dy > 0
+                        else (float("-inf") if dy < 0 else float("nan"))
+                    )
+                if ratio > new_paragraph_threshold:
+                    sep = "\n\n"
+                elif ratio > new_line_threshold:
+                    sep = "\n"
+                else:
+                    sep = " "
             parts.append(sep)
             tlen += len(sep)
         out[label] = ("".join(parts), styles)

@@ -72,47 +72,63 @@ def parse_payload(data: bytes):
     pages: List[Tuple[int, float, float]] = []
     lines: List[Tuple[int, float, float, float, float, list]] = []
     current_page: Optional[int] = None
+    seen_pages: set = set()
 
     # hot loop: LINE rows dominate every real payload — dispatch on the
     # prefix without tokenizing twice, call float() positionally (a
     # genexpr here was ~12% of parse time)
-    for raw_line in content.split("\n"):
-        stripped = raw_line.strip()
-        if not stripped:
-            continue
-        if stripped.startswith("LINE "):
-            if current_page is None:
-                raise PayloadError("LINE before PAGE")
-            parts = stripped.split(" ", 5)
-            if len(parts) != 6:
-                raise PayloadError(f"bad LINE line: {stripped!r}")
-            runs = []
-            for run in parts[5].split("|"):
-                fields = run.split(",", 2)
-                if len(fields) != 3:
-                    raise PayloadError(f"bad run: {run!r}")
-                runs.append((fields[0], fields[1] == "1", _unquote_fast(fields[2])))
-            lines.append(
-                (
-                    current_page,
-                    float(parts[1]),
-                    float(parts[2]),
-                    float(parts[3]),
-                    float(parts[4]),
-                    runs,
+    try:
+        for raw_line in content.split("\n"):
+            stripped = raw_line.strip()
+            if not stripped:
+                continue
+            if stripped.startswith("LINE "):
+                if current_page is None:
+                    raise PayloadError("LINE before PAGE")
+                parts = stripped.split(" ", 5)
+                if len(parts) != 6:
+                    raise PayloadError(f"bad LINE line: {stripped!r}")
+                runs = []
+                for run in parts[5].split("|"):
+                    fields = run.split(",", 2)
+                    if len(fields) != 3:
+                        raise PayloadError(f"bad run: {run!r}")
+                    runs.append((fields[0], fields[1] == "1", _unquote_fast(fields[2])))
+                lines.append(
+                    (
+                        current_page,
+                        float(parts[1]),
+                        float(parts[2]),
+                        float(parts[3]),
+                        float(parts[4]),
+                        runs,
+                    )
                 )
-            )
-        elif stripped.startswith("PAGE "):
-            parts = stripped.split()
-            if len(parts) != 4:
-                raise PayloadError(f"bad PAGE line: {stripped!r}")
-            page_num = int(parts[1])
-            pages.append((page_num, float(parts[2]), float(parts[3])))
-            current_page = page_num
-        elif stripped.split(" ", 1)[0] == "CORRUPT":
-            raise PayloadError("corrupt marker")
-        else:
-            raise PayloadError(f"unknown directive: {stripped.split(' ', 1)[0]!r}")
+            elif stripped.startswith("PAGE "):
+                parts = stripped.split()
+                if len(parts) != 4:
+                    raise PayloadError(f"bad PAGE line: {stripped!r}")
+                page_num = int(parts[1])
+                if page_num in seen_pages:
+                    # a re-declared page would double-emit its blocs with
+                    # duplicate (page_num, bloc_ord) keys downstream
+                    raise PayloadError(f"duplicate PAGE {page_num}")
+                seen_pages.add(page_num)
+                pages.append((page_num, float(parts[2]), float(parts[3])))
+                current_page = page_num
+            elif stripped.split(" ", 1)[0] == "CORRUPT":
+                raise PayloadError("corrupt marker")
+            else:
+                raise PayloadError(
+                    f"unknown directive: {stripped.split(' ', 1)[0]!r}"
+                )
+    except PayloadError:
+        raise
+    except ValueError as exc:
+        # float()/int() on malformed numerics — a bare ValueError is NOT
+        # a PayloadError subclass and would escape the extractor's
+        # poison-pill catch, crashing the task instead of flagging the doc
+        raise PayloadError(f"malformed number in payload: {exc}") from exc
 
     return pages, lines
 
@@ -155,6 +171,11 @@ def extract_doc_raw(
     # (pdfminer.py:140-184).
     for page_num, _w, _h in pages:
         w, h = page_dims[page_num]
+        if not (w > 0 and h > 0):
+            # degenerate page geometry: x/w normalization would raise
+            # ZeroDivisionError past the poison-pill catch — the whole
+            # doc is flagged, matching the reference's parse-error path
+            return [], [], True
         in_bounds = []
         for x0, y0, x1, y1, runs in by_page[page_num]:
             text, props = fold_runs(runs)

@@ -46,8 +46,9 @@ _METRIC_COLS = [f.name for f in METRICS_SCHEMA.fields]
 
 def extract_blocs_with_metrics(
     pages: DataFrame, run_id: str, extract_style: bool = True
-) -> Tuple[DataFrame, DataFrame]:
-    """pages → (blocs, metrics) in a single pass."""
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """pages → (blocs, metrics, cached_union) in a single pass — callers
+    materialize both faces then ``cached_union.unpersist()``."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.perf_counter()
@@ -104,4 +105,8 @@ def extract_blocs_with_metrics(
     union = union.persist()
     blocs = union.filter(F.col("_kind") == "bloc").select(*_BLOC_COLS)
     metrics = union.filter(F.col("_kind") == "metric").select(*_METRIC_COLS)
-    return blocs, metrics
+    # hand the persisted frame back so batch drivers (run_snapshot_job)
+    # can unpersist after materializing both faces — otherwise each batch
+    # leaves a full extraction dataset pinned in the CacheManager for the
+    # session lifetime
+    return blocs, metrics, union

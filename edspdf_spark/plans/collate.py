@@ -43,13 +43,25 @@ def discover_scheme(item: Dict[str, Any]) -> List[str]:
     paths whose values are the SAME object (referential identity) in the
     probe item are merged into a single key.  The scheme is structural —
     applied unchanged to every subsequent item so batch keys stay
-    consistent for collation."""
+    consistent for collation.
+
+    Identity-merging applies ONLY to non-interned objects (arrays,
+    lists, dicts, tensors — what the reference actually shares across
+    components): Python interns small ints, bools, and short strings, so
+    two UNRELATED scalar fields that happen to hold the same ``1`` would
+    satisfy ``id(a) == id(b)`` and be merged — after which every later
+    item silently takes the first path's value for both keys."""
     flat: List = []
     _flatten(item, "", flat)
     by_id: Dict[int, List[str]] = {}
     order: List[int] = []
+    uniq = 0
     for path, value in flat:
-        key = id(value)
+        if isinstance(value, (int, float, bool, complex, str, bytes, type(None))):
+            uniq += 1
+            key = -uniq  # scalars never merge; id() is never negative
+        else:
+            key = id(value)
         if key not in by_id:
             order.append(key)
         by_id.setdefault(key, []).append(path)

@@ -112,15 +112,21 @@ def with_length_bucket(pages: DataFrame, col: str = "html") -> DataFrame:
 
 
 def repartition_pages(
-    pages: DataFrame, num_partitions: int, salt_buckets: int = 64
+    pages: DataFrame, num_partitions: int, salt_buckets: int = None
 ) -> DataFrame:
     """Salted uniform repartition of the pages table (see module doc).
 
-    ``salt_buckets`` bounds the number of distinct shuffle keys per length
-    bucket — plenty for uniformity once ``salt_buckets ≥ 2×num_partitions``
-    would be exceeded, the cap keeps the key space bounded for AQE stats.
+    ``salt_buckets`` BOUNDS the number of distinct shuffle keys (the cap
+    keeps the key space small for AQE stats). Default (None) auto-sizes
+    to ``4×num_partitions`` — enough keys for uniform spread; an explicit
+    value is honored exactly (floored at ``num_partitions`` so no
+    partition is structurally empty). The old behavior treated the value
+    as a floor under the auto size, silently ignoring any cap below it.
     """
-    n_keys = max(salt_buckets, num_partitions * 4)
+    if salt_buckets is None:
+        n_keys = num_partitions * 4
+    else:
+        n_keys = max(int(salt_buckets), int(num_partitions))
     bucketed = with_length_bucket(pages).withColumn(
         "_salt",
         F.pmod(F.xxhash64("url", "_len_bucket"), F.lit(n_keys)).cast("int"),

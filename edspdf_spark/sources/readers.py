@@ -11,6 +11,7 @@ pruning come from Catalyst/DSv2, and Iceberg tables slot in via
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,11 +32,24 @@ def read_pages_parquet(
     pushes them into the scan (PushedFilters / ReadSchema); a 2-column
     projection never reads ``html`` bytes.
     """
-    df = (
-        spark.read.table(path)
-        if "." in path and "/" not in path
-        else spark.read.schema(PAGES_SCHEMA).parquet(path)
+    # catalog-table routing: dotted, slash-free AND not parquet-ish — a
+    # relative filename like 'pages.parquet' must scan the file, not
+    # resolve table 'parquet' in database 'pages'
+    is_table = (
+        "." in path
+        and "/" not in path
+        and not path.endswith((".parquet", ".pq"))
+        and not os.path.exists(path)
     )
+    if is_table:
+        df = spark.read.table(path)
+    else:
+        if "://" not in path and not os.path.isabs(path):
+            # the JVM resolves relative paths against ITS working
+            # directory, not the Python process's — absolutize here so
+            # chdir-relative filenames behave as the caller expects
+            path = os.path.abspath(path)
+        df = spark.read.schema(PAGES_SCHEMA).parquet(path)
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
     if columns:

@@ -60,13 +60,22 @@ def write_files(
     cols = ["url", content_col] + ([annotations_col] if annotations_col else [])
 
     def dump(rows):
+        import hashlib
         import re
 
         for r in rows:
             content = r[content_col]
             if content is None:
                 continue
-            stem = re.sub(r"[^A-Za-z0-9._-]+", "_", r["url"])[:200]
+            # the sanitized stem alone is NOT collision-free ('http://a/b'
+            # and 'http://a_b' collapse identically; 200-char truncation
+            # merges long urls) — a digest of the FULL url disambiguates,
+            # so two distinct urls can never overwrite each other's
+            # payload or swap annotation sidecars
+            digest = hashlib.md5(r["url"].encode("utf-8")).hexdigest()[:10]
+            stem = (
+                re.sub(r"[^A-Za-z0-9._-]+", "_", r["url"])[:200] + "-" + digest
+            )
             with open(os.path.join(path, stem + suffix), "wb") as f:
                 f.write(bytes(content))
             if annotations_col is not None and r[annotations_col] is not None:

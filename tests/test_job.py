@@ -70,7 +70,7 @@ def test_job_crash_between_metrics_and_data_commit(spark, tmp_path):
     from edspdf_spark.metrics import extract_blocs_with_metrics
 
     part0 = pages.where(batch_expr(2) == 0)
-    _, metrics = extract_blocs_with_metrics(part0, run_id="batch-00000")
+    _, metrics, _ = extract_blocs_with_metrics(part0, run_id="batch-00000")
     agg_t, met_t = job_tables(spark, base)
     met_t.append(metrics, "batch-00000")  # crash here: data never landed
     res = run_snapshot_job(spark, pages, base, masks=MASKS, n_batches=2)

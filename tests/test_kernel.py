@@ -418,3 +418,42 @@ class TestFoldMatchesVerbatimReference:
 
         chars = [(ch, f, u) for f, u, t in runs for ch in t]
         assert _fold_run_chars(runs) == self._reference_fold(chars)
+
+
+def test_malformed_payload_numerics_flag_error_not_crash():
+    """Bad numerics, zero page dims and duplicate PAGE declarations are
+    poison pills (error=True), never task-crashing exceptions."""
+    from edspdf_spark.kernel.payload import extract_doc_raw
+
+    cases = [
+        b"PAGE 1 100 100\nLINE a b c d f,1,hi",       # float('a') -> ValueError
+        b"PAGE x 100 100\nLINE 1 1 2 2 f,1,hi",       # int('x')
+        b"PAGE 1 0 100\nLINE 1 1 2 2 f,1,hi",          # zero width -> div/0
+        b"PAGE 1 100 nan\nLINE 1 1 2 2 f,1,hi",        # NaN height
+        b"PAGE 1 100 100\nLINE 1 1 2 2 f,1,yo\nPAGE 1 100 100\nLINE 1 1 2 2 f,1,hi",
+    ]
+    for payload in cases:
+        blocs, pages, error = extract_doc_raw(payload)
+        assert error is True and blocs == [], payload
+
+
+def test_aggregate_zero_height_group_uses_numpy_semantics():
+    """A label group whose median line height is 0 must not raise — the
+    reference's np.float64 division yields ±inf/nan (dy>0 -> '\\n\\n',
+    dy==0 -> ' ')."""
+    from edspdf_spark.kernel.aggregate import aggregate_doc
+
+    # two zero-height lines, positive dy -> inf ratio -> paragraph break
+    lines = [
+        (1, 0.1, 0.2, 0.5, 0.2, "first", []),
+        (1, 0.1, 0.5, 0.5, 0.5, "second", []),
+    ]
+    out = aggregate_doc([l + ("body",) for l in lines])
+    assert out["body"][0] == "first\n\nsecond"
+    # identical y -> dy 0, height 0 -> nan -> space
+    lines0 = [
+        (1, 0.1, 0.2, 0.5, 0.2, "a", []),
+        (1, 0.6, 0.2, 0.9, 0.2, "b", []),
+    ]
+    out0 = aggregate_doc([l + ("body",) for l in lines0])
+    assert out0["body"][0] == "a b"

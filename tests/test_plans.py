@@ -125,3 +125,21 @@ def test_hard_negatives_exact_single_query_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_discover_scheme_does_not_merge_interned_scalars():
+    """Interned Python scalars (small ints, short strings) must never
+    identity-merge unrelated keys — only shared non-scalar objects
+    (arrays/lists/dicts) compress."""
+    from edspdf_spark.plans.collate import (
+        batch_compress_dict,
+        decompress_dict,
+        discover_scheme,
+    )
+
+    items = [{"a": 1, "b": 1}, {"a": 3, "b": 7}]
+    out = [decompress_dict(c) for c in batch_compress_dict(items)]
+    assert out == items
+    shared = [4.0, 5.0]
+    scheme = discover_scheme({"x": {"v": shared}, "y": {"v": shared}, "n": 2})
+    assert "x/v|y/v" in scheme and "n" in scheme

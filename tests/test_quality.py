@@ -1153,3 +1153,23 @@ def test_compress_ratio_partitioning_invariant(spark):
     b = {r.doc_id: r.compress_ratio_milli
          for r in with_compress_ratio(df.repartition(13)).collect()}
     assert a == b
+
+
+def test_temperature_mix_and_sampler_keep_null_lang(spark):
+    """NULL-language docs form their own stratum instead of being
+    silently dropped by the equi-join (while still inflating Z)."""
+    from edspdf_spark.functions.quality import sample_corpus, with_temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 100), (3, None, 100), (4, None, 100)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    mix = with_temperature_mix(df, target_tokens=400, alpha=1.0, seed=1)
+    rows = {r.doc_id: r.mix_rate_micro for r in mix.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3] == rows[4] > 0
+    samp = sample_corpus(
+        df, target_tokens=10_000, stratify_col="lang", seed=1
+    )
+    assert {r.doc_id for r in samp.collect()} == {1, 2, 3, 4}  # rate>=1 keeps all
+    assert "_strat_key" not in samp.columns

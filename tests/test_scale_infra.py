@@ -66,7 +66,7 @@ def test_extract_with_metrics(spark):
     from edspdf_spark.metrics import extract_blocs_with_metrics
 
     pages = build_pages_df(spark, 600, partitions=4)
-    blocs, metrics = extract_blocs_with_metrics(pages, run_id="r1")
+    blocs, metrics, _cached = extract_blocs_with_metrics(pages, run_id="r1")
     m = metrics.collect()
     assert sum(r.n_docs for r in m) == 600
     assert sum(r.n_errors for r in m) == 1  # doc 500 is corrupt
@@ -182,3 +182,26 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     # append mode with watermark only emits closed windows; availableNow
     # on a finite source closes them at end-of-stream
     assert {"window_start", "lang", "n_docs"} <= set(res.columns)
+
+
+def test_repartition_pages_honors_salt_bucket_cap(spark):
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.fixtures import build_pages_df
+    from edspdf_spark.skew import repartition_pages
+
+    pages = build_pages_df(spark, 200)
+    # the cap is observable as the number of distinct shuffle keys, which
+    # bounds the number of NON-EMPTY partitions
+    out = repartition_pages(pages, 16, salt_buckets=4)
+    n_nonempty = (
+        out.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid").count().count()
+    )
+    assert n_nonempty <= 16  # keys floored at num_partitions
+    out4 = repartition_pages(pages, 4, salt_buckets=4)
+    n4 = (
+        out4.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid").count().count()
+    )
+    assert n4 <= 4

@@ -161,3 +161,39 @@ def test_write_training_shards_lays_out_permutation(spark, tmp_path):
         for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
             got2.extend(pq.read_table(f).column("doc_id").to_pylist())
     assert got2 != got and sorted(got2) == sorted(got)
+
+
+def test_write_files_distinct_urls_never_collide(spark, tmp_path):
+    """Sanitization collisions ('http://a/b' vs 'http://a_b') must not
+    overwrite each other — the stem carries a digest of the full url."""
+    import os
+
+    from edspdf_spark.sources.writers import write_files
+
+    df = spark.createDataFrame(
+        [("http://a/b", b"one"), ("http://a_b", b"two")],
+        "url string, html binary",
+    )
+    out = str(tmp_path / "files")
+    write_files(df, out, suffix=".bin")
+    files = sorted(os.listdir(out))
+    assert len(files) == 2
+    contents = sorted(open(os.path.join(out, f), "rb").read() for f in files)
+    assert contents == [b"one", b"two"]
+
+
+def test_read_pages_parquet_relative_filename(spark, tmp_path):
+    """A dotted relative path like 'pages.parquet' scans the file — it
+    must not be routed to catalog table 'parquet' in database 'pages'."""
+    import os
+
+    from edspdf_spark.sources.readers import read_pages_parquet
+    from edspdf_spark.fixtures import build_pages_df
+
+    build_pages_df(spark, 5).write.parquet(str(tmp_path / "pages.parquet"))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert read_pages_parquet(spark, "pages.parquet").count() == 5
+    finally:
+        os.chdir(cwd)
