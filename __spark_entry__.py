@@ -4927,7 +4927,15 @@ def _q_source_roundtrip(spark, sf_dir):
         # S2 → S1: payload files out and back, byte-identity per url
         write_files(pages, f"{base}/files", content_col="html")
         files = spark.read.format("binaryFile").load(f"{base}/files")
-        safe = F.regexp_replace(F.col("url"), "[^A-Za-z0-9._-]+", "_")
+        # replicate write_files' collision-free stem: sanitized url
+        # truncated to 200 chars + '-' + first 10 hex of md5(url)
+        safe = F.concat(
+            F.substring(
+                F.regexp_replace(F.col("url"), "[^A-Za-z0-9._-]+", "_"), 1, 200
+            ),
+            F.lit("-"),
+            F.substring(F.md5(F.col("url")), 1, 10),
+        )
         orig = pages.select(F.col("url"), F.col("html"), safe.alias("safe"))
         got = files.select(
             F.element_at(F.split(F.col("path"), "/"), -1).alias("safe"),

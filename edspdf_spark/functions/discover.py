@@ -193,14 +193,20 @@ def parse_feed(
     e = df.select(src_col, F.posexplode(entries).alias("entry_idx", "_e"))
     frag = F.col("_e").getField("frag")
     kind = F.col("_e").getField("kind")
+    # Atom entries commonly list rel="self"/"edit"/"enclosure" links
+    # BEFORE the article link — prefer the first rel-less or
+    # rel="alternate" <link> (RFC 4287 §4.2.7.2: no rel means alternate),
+    # falling back to the first link of any rel
+    link_tags = F.regexp_extract_all(frag, F.lit(r"(?is)<link\b[^>]*>"), 0)
+    is_alternate = lambda t: (~t.rlike(r"(?is)\brel\s*=")) | t.rlike(
+        r"""(?is)\brel\s*=\s*["']?alternate"""
+    )
+    chosen_tag = F.coalesce(
+        F.get(F.filter(link_tags, is_alternate), 0), F.get(link_tags, 0)
+    )
     atom_href = F.coalesce(
         *[
-            F.nullif(
-                F.regexp_extract(
-                    F.regexp_extract(frag, r"(?is)<link\b[^>]*>", 0), p, 1
-                ),
-                F.lit(""),
-            )
+            F.nullif(F.regexp_extract(chosen_tag, p, 1), F.lit(""))
             for p in _HREF_RES
         ],
         F.lit(""),
@@ -322,11 +328,22 @@ def with_pub_date(
             r'(?is)<meta\b[^>]*content\s*=\s*["\x27]([^"\x27>]+)["\x27][^>]*property\s*=\s*["\x27]article:published_time',
         ),
     )
-    ld_block = F.regexp_extract(no_comment, _JSONLD_RE, 1)
-    ld_raw = F.coalesce(
-        F.get_json_object(ld_block, "$.datePublished"),
-        F.get_json_object(ld_block, "$[0].datePublished"),
+    # probe EVERY JSON-LD block, not just the first — pages routinely
+    # lead with an Organization/WebSite block and carry datePublished in
+    # a later NewsArticle block (F.get is the ANSI-safe out-of-bounds
+    # NULL; element_at would throw on a page with no blocks)
+    ld_blocks = F.regexp_extract_all(no_comment, F.lit(_JSONLD_RE), 1)
+    ld_dates = F.filter(
+        F.transform(
+            ld_blocks,
+            lambda b: F.coalesce(
+                F.get_json_object(b, "$.datePublished"),
+                F.get_json_object(b, "$[0].datePublished"),
+            ),
+        ),
+        lambda v: v.isNotNull() & (v != ""),
     )
+    ld_raw = F.get(ld_dates, 0)
     time_raw = _ex(h, r'(?is)<time\b[^>]*datetime\s*=\s*["\x27]([^"\x27>]+)')
     url_raw = F.regexp_extract(u, r"/((?:19|20)\d{2})/(\d{2})/(\d{2})(?:/|$)", 0)
     url_iso = F.when(

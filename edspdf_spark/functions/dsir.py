@@ -111,10 +111,24 @@ def fit_dsir(
     """
     t_counts = _bucket_counts(target, text_col, m_buckets)
     s_counts = _bucket_counts(source, text_col, m_buckets)
-    # totals derived FROM the count tables (Σ_k c_k ≡ total n-gram count),
-    # not from a fresh corpus scan: the totals agg then sits on the same
-    # bucket-keyed exchange as the ratio join's input, so ReuseExchange
-    # dedupes it — one scan per corpus for the whole fit, not two.
+    ratio, default = _ratio_tables(t_counts, s_counts, m_buckets, quantum)
+    return {"ratio": ratio, "default": default}
+
+
+def _ratio_tables(
+    t_counts: DataFrame,
+    s_counts: DataFrame,
+    m_buckets: int,
+    quantum: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared smoothing/quantization math for :func:`fit_dsir` and
+    :func:`dsir_select`: (target, source) bucket-count tables →
+    (``ratio`` (bucket, lr_micro), ``default`` one row (lr0_micro,)).
+
+    Totals derive FROM the count tables (Σ_k c_k ≡ total n-gram count),
+    not a fresh corpus scan: the totals agg then sits on the same
+    bucket-keyed exchange as the ratio join's input, so ReuseExchange
+    dedupes it — one scan per corpus for the whole fit, not two."""
     t_tot = t_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
     s_tot = s_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("ns"))
     totals = t_tot.crossJoin(s_tot)
@@ -138,10 +152,8 @@ def fit_dsir(
             ).alias("lr_micro"),
         )
     )
-    default = totals.select(
-        lr_micro(F.lit(0), F.lit(0)).alias("lr0_micro")
-    )
-    return {"ratio": ratio, "default": default}
+    default = totals.select(lr_micro(F.lit(0), F.lit(0)).alias("lr0_micro"))
+    return ratio, default
 
 
 def with_importance(
@@ -218,29 +230,7 @@ def dsir_select(
     )
     t_counts = _bucket_counts(target, text_col, m_buckets)
     s_counts = doc_buckets.groupBy("bucket").agg(F.sum("c").alias("c"))
-    t_tot = t_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
-    s_tot = s_counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("ns"))
-    totals = t_tot.crossJoin(s_tot)
-    m = F.lit(float(m_buckets))
-    q = F.lit(float(quantum))
-
-    def lr_micro(ct: Column, cs: Column) -> Column:
-        p = (ct + 1).cast("double") / (F.col("nt").cast("double") + m)
-        qq = (cs + 1).cast("double") / (F.col("ns").cast("double") + m)
-        return F.floor((F.log(p) - F.log(qq)) * q).cast("long")
-
-    ratio = (
-        t_counts.withColumnRenamed("c", "ct")
-        .join(s_counts.withColumnRenamed("c", "cs"), on="bucket", how="full_outer")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            lr_micro(
-                F.coalesce(F.col("ct"), F.lit(0)),
-                F.coalesce(F.col("cs"), F.lit(0)),
-            ).alias("lr_micro"),
-        )
-    )
+    ratio, _default = _ratio_tables(t_counts, s_counts, m_buckets, quantum)
     scored = (
         doc_buckets.join(F.broadcast(ratio), on="bucket", how="inner")
         .groupBy(id_col)

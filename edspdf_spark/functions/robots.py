@@ -24,8 +24,10 @@ Spark-first shape, no UDFs anywhere:
 
 Agent selection follows the RFC: a crawler uses the group whose
 ``User-agent`` token equals its own (case-insensitive), else the ``*``
-group. Empty ``Disallow:`` lines (allow-everything idiom) are dropped at
-parse time per the spec.
+group — and a matching group counts even when it holds no allow/disallow
+rules (Crawl-delay-only groups suppress ``*``). Empty ``Disallow:``
+lines (allow-everything idiom) emit no rule but still terminate a
+User-agent run, per the spec.
 """
 
 from __future__ import annotations
@@ -48,24 +50,26 @@ def robots_like_pattern(pattern: Column) -> Column:
     ).otherwise(F.concat(wild, F.lit("%")))
 
 
-def parse_robots(
+def _robots_groups(
     robots: DataFrame,
-    host_col: str = "host",
-    robots_col: str = "robots_txt",
+    host_col: str,
+    robots_col: str,
+    kind_map: dict,
 ) -> DataFrame:
-    """``(host, robots_txt)`` → rules table ``(host, agent, rule_type,
-    pattern)`` with ``rule_type ∈ {allow, disallow}`` and ``agent``
-    lowercased (``*`` for the catch-all group).
+    """Shared RFC 9309 §2.2.1 group assembly: ``(host, robots_txt)`` →
+    ``(host, idx, kind, value, grp)``. ``kind_map`` maps lowercased
+    directive names to kind tags; ``user-agent`` is always ``ua`` and any
+    other directive becomes ``other`` (kept ONLY to terminate a
+    User-agent run — a UA line after it starts a NEW group). A group
+    starts at a UA line whose previous directive line is not a UA line
+    (one ``lag`` + running ``sum`` window over the line index,
+    partitioned by host — the only exchange; robots files are tiny).
 
-    Group assembly per RFC 9309 §2.2.1: consecutive ``User-agent`` lines
-    open ONE group; every rule line that follows belongs to all of that
-    group's agents until the next User-agent run starts. Relationally: a
-    group starts at a UA line whose previous directive line is not a UA
-    line (one ``lag`` + running ``sum`` window over the line index,
-    partitioned by host — the only exchange), then agents ⨝ rules on the
-    group number. Comments, blank lines, unknown directives and empty
-    ``Disallow:`` (allow-all idiom) are dropped.
-    """
+    EMPTY-VALUE rule lines survive to here on purpose: ``Disallow:``
+    with no value (the allow-all idiom) emits no rule but DOES terminate
+    a User-agent run — filtering it before assembly merged adjacent
+    groups and leaked rules across agents. Callers drop empty values
+    when emitting rules."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\n")).alias("idx", "raw"),
@@ -73,40 +77,60 @@ def parse_robots(
     clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
     directive = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
     value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
-    parsed = (
-        lines.select(
-            "host",
-            "idx",
-            F.when(directive == "user-agent", F.lit("ua"))
-            .when(directive == "allow", F.lit("allow"))
-            .when(directive == "disallow", F.lit("disallow"))
-            # any OTHER directive (crawl-delay, sitemap, …) is kept ONLY
-            # to terminate a User-agent run — a UA line after it starts a
-            # NEW group, matching the reference parsers; it emits no rule
-            .when(directive != "", F.lit("other"))
-            .alias("kind"),
-            value.alias("value"),
-        )
-        .where(F.col("kind").isNotNull())
-        # empty Disallow: = no restriction (RFC 9309 §2.2.2); empty Allow
-        # likewise matches nothing useful — drop both. Empty UA is junk.
-        .where(F.col("value") != "")
+    kind = F.when(directive == "user-agent", F.lit("ua"))
+    for name, tag in kind_map.items():
+        kind = kind.when(directive == name, F.lit(tag))
+    kind = kind.when(directive != "", F.lit("other"))
+    parsed = lines.select(
+        "host", "idx", kind.alias("kind"), value.alias("value")
+    ).where(F.col("kind").isNotNull())
+    # an empty "User-agent:" is junk — demote it so it terminates runs
+    # without opening a group
+    parsed = parsed.withColumn(
+        "kind",
+        F.when(
+            (F.col("kind") == "ua") & (F.col("value") == ""), F.lit("other")
+        ).otherwise(F.col("kind")),
     )
     w = Window.partitionBy("host").orderBy("idx")
     starts_group = (F.col("kind") == "ua") & (
         F.coalesce(F.lag("kind").over(w), F.lit("")) != "ua"
     )
-    grouped = parsed.withColumn(
+    return parsed.withColumn(
         "grp", F.sum(starts_group.cast("int")).over(w)
-    ).where(F.col("grp") > 0)  # rules before any User-agent line are ignored
-    agents = grouped.where(F.col("kind") == "ua").select(
+    ).where(F.col("grp") > 0)  # lines before any User-agent line are ignored
+
+
+def _robots_agents(grouped: DataFrame) -> DataFrame:
+    return grouped.where(F.col("kind") == "ua").select(
         "host", "grp", F.lower(F.col("value")).alias("agent")
     )
-    rules = grouped.where(~F.col("kind").isin("ua", "other")).select(
-        "host",
-        "grp",
-        F.col("kind").alias("rule_type"),
-        F.col("value").alias("pattern"),
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, robots_txt)`` → rules table ``(host, agent, rule_type,
+    pattern)`` with ``rule_type ∈ {allow, disallow}`` and ``agent``
+    lowercased (``*`` for the catch-all group). Group assembly in
+    :func:`_robots_groups`; empty ``Disallow:``/``Allow:`` lines
+    terminate groups but emit no rule (RFC 9309 §2.2.2 allow-all
+    idiom)."""
+    grouped = _robots_groups(
+        robots, host_col, robots_col, {"allow": "allow", "disallow": "disallow"}
+    )
+    agents = _robots_agents(grouped)
+    rules = (
+        grouped.where(F.col("kind").isin("allow", "disallow"))
+        .where(F.col("value") != "")
+        .select(
+            "host",
+            "grp",
+            F.col("kind").alias("rule_type"),
+            F.col("value").alias("pattern"),
+        )
     )
     return agents.join(rules, on=["host", "grp"]).select(
         "host", "agent", "rule_type", "pattern"
@@ -146,12 +170,35 @@ def with_robots_verdict(
     aggregation (partial-aggregatable) → LEFT join back to the frontier.
     No collect, no crossJoin, no UDF.
     """
-    rules = parse_robots(robots, host_col=host_col, robots_col=robots_col)
+    grouped = _robots_groups(
+        robots, host_col, robots_col, {"allow": "allow", "disallow": "disallow"}
+    )
+    agents = _robots_agents(grouped)
+    rule_rows = (
+        grouped.where(F.col("kind").isin("allow", "disallow"))
+        .where(F.col("value") != "")
+        .select(
+            "host",
+            "grp",
+            F.col("kind").alias("rule_type"),
+            F.col("value").alias("pattern"),
+        )
+    )
+    rules = agents.join(rule_rows, on=["host", "grp"]).select(
+        "host", "agent", "rule_type", "pattern"
+    )
     agent_lc = agent.lower()
-    # choose group per host: own token if present, else '*'
+    # choose group per host: own token if present, else '*'. Presence is
+    # decided from the AGENTS table, not the rules — a matching group
+    # with zero allow/disallow lines (e.g. Crawl-delay only) is still the
+    # group RFC 9309 says to obey EXCLUSIVELY (⇒ allow-all), and must
+    # suppress the '*' group rather than fall through to it
+    own_hosts = (
+        agents.where(F.col("agent") == agent_lc).select("host").distinct()
+    )
     own = rules.where(F.col("agent") == agent_lc)
     star = rules.where(F.col("agent") == "*").join(
-        own.select("host").distinct(), on="host", how="left_anti"
+        own_hosts, on="host", how="left_anti"
     )
     chosen = own.unionByName(star)
 
@@ -259,40 +306,10 @@ def parse_robots_delays(
     window per host), then a two-column conditional max — no UDFs.
     """
     agent = agent.lower()
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(robots_col), "\n")).alias("idx", "raw"),
+    grouped = _robots_groups(
+        robots, host_col, robots_col, {"crawl-delay": "delay"}
     )
-    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
-    directive = F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1)))
-    value = F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1))
-    parsed = (
-        lines.select(
-            "host",
-            "idx",
-            F.when(directive == "user-agent", F.lit("ua"))
-            .when(directive == "crawl-delay", F.lit("delay"))
-            # rule/other directive lines are kept so they TERMINATE a
-            # User-agent run — without them "UA:*  Disallow:/  UA:bot
-            # Crawl-delay:30" would merge into one group and the delay
-            # would leak to every agent
-            .when(directive != "", F.lit("other"))
-            .alias("kind"),
-            value.alias("value"),
-        )
-        .where(F.col("kind").isNotNull())
-        .where(F.col("value") != "")
-    )
-    w = Window.partitionBy("host").orderBy("idx")
-    starts_group = (F.col("kind") == "ua") & (
-        F.coalesce(F.lag("kind").over(w), F.lit("")) != "ua"
-    )
-    grouped = parsed.withColumn(
-        "grp", F.sum(starts_group.cast("int")).over(w)
-    ).where(F.col("grp") > 0)
-    agents = grouped.where(F.col("kind") == "ua").select(
-        "host", "grp", F.lower(F.col("value")).alias("agent")
-    )
+    agents = _robots_agents(grouped)
     secs = F.col("value").try_cast("double")
     delays = (
         grouped.where(F.col("kind") == "delay")

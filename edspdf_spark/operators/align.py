@@ -127,7 +127,6 @@ def align_bioul(
     blocs: DataFrame,
     src: DataFrame,
     threshold: float = 0.0001,
-    pollution_label: Optional[str] = None,
 ) -> DataFrame:
     """A2: B/I/L/U tag per bloc from its matched src-box group.
 
@@ -186,9 +185,22 @@ def align_composite(
     src box; unmatched → ``{pollution_label}|-1|-1`` (alignment.py:455-478).
     ``src`` must carry ``node_num`` and ``rank`` columns."""
     m = _match_src(blocs, src, threshold)
+
+    def _pystr(c):
+        # the reference formats with an f-string (alignment.py:427), so a
+        # NULL field renders as the literal 'None' IN ITS SLOT — bare
+        # concat_ws would silently SKIP the null and collapse the
+        # 3-field composite to 2 fields, shifting every split('|') read
+        return F.coalesce(c.cast("string"), F.lit("None"))
+
     label = F.when(
         F.col("s_matched"),
-        F.concat_ws("|", F.col("s_label"), F.col("s_node_num"), F.col("s_rank")),
+        F.concat_ws(
+            "|",
+            _pystr(F.col("s_label")),
+            _pystr(F.col("s_node_num")),
+            _pystr(F.col("s_rank")),
+        ),
     ).otherwise(F.concat_ws("|", F.lit(pollution_label), F.lit(-1), F.lit(-1)))
     bloc_cols = [c for c in blocs.columns if c != "label"]
     return m.withColumn("label", label).select(*bloc_cols, "label")

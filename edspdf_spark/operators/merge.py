@@ -78,7 +78,12 @@ def _find_cliques(adj: np.ndarray) -> Iterator[List[int]]:
                     u = max(subg, key=lambda v: len(cand & adj_sets[v]))
                     ext_u = cand - adj_sets[u]
                 else:
-                    yield list(Q)
+                    # subg_q non-empty with cand_q empty: some ALREADY
+                    # PROCESSED vertex extends Q, so Q is NOT maximal —
+                    # Bron–Kerbosch (and networkx find_cliques) yields
+                    # only on empty subg_q; yielding here emitted
+                    # spurious subset cliques that re-marked seen boxes
+                    # as conflicting and kept the re-key loop churning
                     Q.pop()
         else:
             if not stack:

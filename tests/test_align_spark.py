@@ -301,3 +301,48 @@ def test_readability_spark_operator(spark):
     ]
     errs = [r for r in rows if r.error]
     assert len(errs) == 1 and errs[0].url == "v"
+
+
+def test_align_composite_null_field_keeps_slot(spark, doc_blocs):
+    """A NULL node_num/rank renders as the literal 'None' IN ITS SLOT
+    (the reference f-string), never collapsing the 3-field composite."""
+    from edspdf_spark.operators.align import align_composite
+
+    src = spark.createDataFrame(
+        [("d", 0, 0.0, 0.0, 1.0, 1.0, "lab", 0, None, 3)], SRC_SCHEMA
+    )
+    out = align_composite(doc_blocs, src, threshold=0.0001).collect()
+    assert out and all(r.label.count("|") == 2 for r in out)
+    assert any(r.label == "lab|None|3" for r in out)
+
+
+def test_find_cliques_matches_brute_force():
+    """Bron–Kerbosch property check: only MAXIMAL cliques, exactly the
+    brute-force set, across random graphs (a non-maximal subset yield
+    used to re-mark seen boxes as conflicting and churn the merge
+    re-key loop)."""
+    import itertools
+
+    import numpy as np
+
+    from edspdf_spark.operators.merge import _find_cliques
+
+    def brute(adj):
+        n = len(adj)
+        cl = []
+        for r in range(1, n + 1):
+            for c in itertools.combinations(range(n), r):
+                if all(adj[i][j] for i in c for j in c if i != j):
+                    cl.append(set(c))
+        return sorted(
+            tuple(sorted(c)) for c in cl if not any(c < d for d in cl)
+        )
+
+    rng = np.random.default_rng(0)
+    for _ in range(120):
+        n = int(rng.integers(1, 9))
+        adj = rng.random((n, n)) < 0.4
+        adj = np.triu(adj, 1)
+        adj = adj | adj.T
+        got = sorted(tuple(sorted(c)) for c in _find_cliques(adj))
+        assert got == brute(adj)

@@ -333,3 +333,40 @@ def test_pub_date_ignores_commented_and_scripted_markup(spark):
            for r in with_pub_date(_pd_pages(spark, rows)).collect()}
     assert got["https://a.com/x"] == ("2024-05-06", "time")
     assert got["https://b.com/x"] == (None, None)
+
+
+def test_pub_date_probes_all_jsonld_blocks(spark):
+    """datePublished in a SECOND ld+json block (first is an Organization
+    block without it) must still resolve with source 'jsonld'."""
+    from edspdf_spark.functions.discover import with_pub_date
+
+    html = (
+        "<html><head>"
+        '<script type="application/ld+json">{"@type":"Organization","name":"x"}</script>'
+        '<script type="application/ld+json">'
+        '{"@type":"NewsArticle","datePublished":"2023-04-05T10:00:00Z"}</script>'
+        "</head></html>"
+    ).encode()
+    r = with_pub_date(
+        spark.createDataFrame([("u", html)], "url string, html binary")
+    ).collect()[0]
+    assert str(r.pub_date) == "2023-04-05" and r.pub_date_source == "jsonld"
+
+
+def test_atom_entry_link_prefers_alternate(spark):
+    """rel="self"/enclosure links listed before the article link must not
+    win; no-rel means alternate per RFC 4287."""
+    from edspdf_spark.functions.discover import parse_feed
+
+    feed = (
+        "<feed><entry><title>t</title>"
+        '<link rel="self" href="https://feed/entry.xml"/>'
+        '<link rel="alternate" href="https://site/post"/>'
+        "<id>e1</id></entry>"
+        "<entry><title>t2</title>"
+        '<link href="https://site/post2"/>'
+        "<id>e2</id></entry></feed>"
+    )
+    df = spark.createDataFrame([("f", feed)], "feed_url string, xml string")
+    links = {r.entry_id: r.link for r in parse_feed(df, src_col="feed_url").collect()}
+    assert links == {"e1": "https://site/post", "e2": "https://site/post2"}

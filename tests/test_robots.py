@@ -181,3 +181,54 @@ def test_robots_rules_group_not_merged_across_crawl_delay(spark):
     rb = with_robots_verdict(urls, robots, agent="botb").first()
     assert ra.robots_allowed is True
     assert rb.robots_allowed is False
+
+
+def test_empty_disallow_terminates_group(spark):
+    """RFC 9309: 'Disallow:' with no value is the allow-all idiom — it
+    emits no rule but still ENDS the agent's group, so the next
+    User-agent line starts a fresh group and rules don't leak."""
+    from edspdf_spark.functions.robots import parse_robots, with_robots_verdict
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: a\nDisallow:\n\nUser-agent: b\nDisallow: /private")],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r.agent, r.rule_type, r.pattern) for r in parse_robots(robots).collect()
+    }
+    assert rules == {("b", "disallow", "/private")}
+    urls = spark.createDataFrame([("http://h/private/x",)], "url string")
+    va = with_robots_verdict(urls, robots, agent="a").collect()[0]
+    vb = with_robots_verdict(urls, robots, agent="b").collect()[0]
+    assert va.robots_allowed is True   # a's group is allow-all
+    assert vb.robots_allowed is False
+
+
+def test_empty_disallow_terminates_delay_group(spark):
+    from edspdf_spark.functions.robots import parse_robots_delays
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: a\nDisallow:\n\nUser-agent: b\nCrawl-delay: 30")],
+        "host string, robots_txt string",
+    )
+    a = parse_robots_delays(robots, agent="a").collect()
+    b = parse_robots_delays(robots, agent="b").collect()
+    assert a == []                      # no delay for agent a
+    assert [(r.host, r.delay_ms) for r in b] == [("h", 30000)]
+
+
+def test_ruleless_own_group_suppresses_star(spark):
+    """A matching User-agent group must be obeyed EXCLUSIVELY even when
+    it carries no allow/disallow rules (e.g. Crawl-delay only) — the
+    crawler does not fall through to the '*' group."""
+    from edspdf_spark.functions.robots import with_robots_verdict
+
+    robots = spark.createDataFrame(
+        [("h2", "User-agent: mybot\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame([("http://h2/page",)], "url string")
+    mine = with_robots_verdict(urls, robots, agent="mybot").collect()[0]
+    other = with_robots_verdict(urls, robots, agent="otherbot").collect()[0]
+    assert mine.robots_allowed is True
+    assert other.robots_allowed is False
