@@ -11,10 +11,12 @@ Container formats here are deterministic stand-ins (documented below); the
 Spark-side plumbing — schema, UDF signature, batch shape, partition
 expansion for frame sampling — is real and tested. ``decode_image_pixels``
 is a real decode stage: **PNG decodes natively** (stdlib zlib + the PDF
-engine's PNG row un-predictor, 8-bit gray/GA/RGB/RGBA), the synthetic
-container passes its plane through, and codecs needing an imaging library
-(JPEG via PIL) degrade to NULL pixels + a ``codec`` tag instead of killing
-the partition.
+engine's PNG row un-predictor, 8-bit gray/GA/RGB/RGBA), **baseline JPEG
+decodes natively** (``kernel/jpeg.py`` — T.81 baseline Huffman, 1/3
+components, sampling factors to 2×2, restart markers), the synthetic
+container passes its plane through, and the leftover classes
+(progressive JPEG, WebP, …) degrade to NULL pixels + a ``codec`` tag —
+optionally via PIL when it exists — instead of killing the partition.
 
 Header layouts (big-endian)::
 
@@ -272,12 +274,13 @@ def decode_png(data: bytes):
 
 
 def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Pixel decode as an Arrow-batched stage: PNG decodes NATIVELY
-    (stdlib zlib + the engine's PNG un-predictor — no imaging library
-    needed); JPEG/WebP/other codecs decode via PIL when available, else
-    their rows come back with ``codec`` set and NULL pixels so the
-    pipeline can route or quarantine them (poison-pill tolerance — one
-    undecodable blob must never kill a partition).
+    """Pixel decode as an Arrow-batched stage: PNG and baseline JPEG
+    decode NATIVELY (stdlib zlib + the engine's PNG un-predictor;
+    ``kernel/jpeg.py`` for T.81 baseline — no imaging library needed);
+    progressive JPEG / WebP / other codecs decode via PIL when
+    available, else their rows come back with ``codec`` set and NULL
+    pixels so the pipeline can route or quarantine them (poison-pill
+    tolerance — one undecodable blob must never kill a partition).
 
     Output per row: ``codec, px_w, px_h, px_c, pixels`` (row-major uint8
     plane as binary).
@@ -313,13 +316,26 @@ def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
                         pixels = arr.tobytes()
                     elif b[:2] == b"\xff\xd8":
                         codec = "jpeg"
-                        if _pil is not None:  # pragma: no cover - no PIL here
-                            import io
+                        try:
+                            # native baseline decoder (stdlib+NumPy) — the
+                            # dominant crawl-JPEG class needs no library
+                            from edspdf_spark.kernel.jpeg import decode_jpeg
 
-                            arr = np.asarray(_pil.open(io.BytesIO(b)))
+                            arr = decode_jpeg(b)
                             h, w = arr.shape[:2]
                             c = arr.shape[2] if arr.ndim == 3 else 1
                             pixels = arr.tobytes()
+                        except ValueError:
+                            # progressive/arithmetic/12-bit/CMYK (or
+                            # truncated): route to PIL when present, else
+                            # keep the codec tag with NULL pixels
+                            if _pil is not None:  # pragma: no cover - no PIL here
+                                import io
+
+                                arr = np.asarray(_pil.open(io.BytesIO(b)))
+                                h, w = arr.shape[:2]
+                                c = arr.shape[2] if arr.ndim == 3 else 1
+                                pixels = arr.tobytes()
                     elif b[:4] == MAGIC_IMAGE:
                         # synthetic container: payload bytes ARE the plane
                         codec = "img0"

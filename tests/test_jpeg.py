@@ -1,0 +1,126 @@
+"""Baseline JPEG codec (kernel/jpeg.py) + native decode routing.
+
+The encoder writes its quant/Huffman tables into the stream and the
+decoder reads tables from the stream, so round-trip fidelity is
+self-contained — no imaging library anywhere. Reference semantics:
+ITU-T T.81 baseline sequential process (public spec).
+"""
+
+import numpy as np
+import pytest
+
+from edspdf_spark.kernel.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+
+
+def _smooth_rgb(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3)).astype(np.float64)
+    for _ in range(4):
+        a[1:-1, 1:-1] = (
+            a[:-2, 1:-1] + a[2:, 1:-1] + a[1:-1, :-2] + a[1:-1, 2:]
+        ) / 4.0
+    return a.astype(np.uint8)
+
+
+class TestRoundTrip:
+    def test_gray_gradient(self):
+        h, w = 48, 64
+        img = (np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256).astype(
+            np.uint8
+        )
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == (h, w)
+        assert out.dtype == np.uint8
+        assert _psnr(img, out) > 40.0
+
+    def test_rgb_smooth(self):
+        img = _smooth_rgb(37, 53)  # non-multiple-of-8 dims exercise padding
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (37, 53, 3)
+        assert _psnr(img, out) > 30.0
+
+    def test_flat_image_is_near_exact(self):
+        img = np.full((16, 24, 3), 130, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=85))
+        assert int(np.max(np.abs(out.astype(int) - 130))) <= 2
+
+    def test_quality_monotone(self):
+        img = _smooth_rgb(40, 40, seed=3)
+        lo = decode_jpeg(encode_jpeg(img, quality=20))
+        hi = decode_jpeg(encode_jpeg(img, quality=95))
+        assert _psnr(img, hi) > _psnr(img, lo)
+
+    def test_restart_markers(self):
+        img = _smooth_rgb(32, 48, seed=11)
+        plain = decode_jpeg(encode_jpeg(img, quality=90))
+        rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+        # restart markers change the byte stream, not the decoded pixels
+        assert np.array_equal(plain, rst)
+
+    def test_single_block(self):
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (8, 8)
+        assert _psnr(img, out) > 35.0
+
+    def test_deterministic_bytes(self):
+        img = _smooth_rgb(24, 24, seed=5)
+        assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+
+
+class TestErrors:
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+    def test_truncated_raises_valueerror(self):
+        jb = encode_jpeg(_smooth_rgb(16, 16), quality=80)
+        for cut in (4, 30, 100, len(jb) - 3):
+            with pytest.raises(ValueError):
+                decode_jpeg(jb[:cut])
+
+    def test_progressive_rejected(self):
+        # flip the SOF0 marker (FFC0) to SOF2 (FFC2) — decoder must refuse
+        jb = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+        i = jb.find(b"\xff\xc0")
+        jb[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(jb))
+
+    def test_encoder_input_validation(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4), dtype=np.float32))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+
+
+class TestSparkRouting:
+    def test_decode_image_pixels_native_jpeg(self, spark):
+        from edspdf_spark.functions.multimodal import decode_image_pixels
+
+        img = _smooth_rgb(24, 32, seed=9)
+        jb = encode_jpeg(img, quality=92)
+        rows = [("a", bytearray(jb)), ("b", bytearray(jb[:40])), ("c", None)]
+        df = spark.createDataFrame(rows, "doc_id string, media binary")
+        out = {
+            r["doc_id"]: r
+            for r in decode_image_pixels(df, "media").collect()
+        }
+        good = out["a"]
+        assert good["codec"] == "jpeg"
+        assert (good["px_h"], good["px_w"], good["px_c"]) == (24, 32, 3)
+        arr = np.frombuffer(bytes(good["pixels"]), dtype=np.uint8).reshape(
+            24, 32, 3
+        )
+        assert _psnr(img, arr) > 30.0
+        # truncated JPEG: identified, not decoded, partition survives
+        assert out["b"]["codec"] == "jpeg"
+        assert out["b"]["pixels"] is None
+        assert out["c"]["codec"] == "unknown"
