@@ -561,7 +561,7 @@ def main() -> None:
                         "dhash_hi"
                     ),
                 ),
-                max_hamming=8,
+                max_hamming=3,
             ))(__import__("edspdf_spark.functions.multimodal", fromlist=["x"])),
         ),
         (
