@@ -11,6 +11,7 @@ from edspdf_spark.sources.writers import (
     write_files,
     write_training_shards,
 )
+from edspdf_spark.sources.bucketed import table_bucketing, write_bucketed_table
 from edspdf_spark.sources.resume import ResumableSink
 from edspdf_spark.sources.warc import (
     read_warc,
@@ -35,5 +36,7 @@ __all__ = [
     "to_iterable",
     "write_files",
     "write_training_shards",
+    "write_bucketed_table",
+    "table_bucketing",
     "ResumableSink",
 ]

@@ -14,6 +14,9 @@ def spark():
         extra_conf={
             "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
             "spark.driver.memory": "4g",
+            # bucketed-table tests saveAsTable into the warehouse dir;
+            # keep it out of the repo tree (default is ./spark-warehouse)
+            "spark.sql.warehouse.dir": "/tmp/edspdf_spark_test_warehouse",
         },
     )
     yield s
