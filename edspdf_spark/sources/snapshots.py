@@ -72,10 +72,13 @@ class SnapshotTable:
         return set(self._snapshot(self.current_version())["batches"])
 
     def _max_version(self) -> int:
-        """Highest snapshot file ever written — version numbers are
+        """Highest snapshot number ever allocated — version numbers are
         allocated from here and NEVER reused (Iceberg snapshot ids are
         unique even across rollbacks; reusing a number would overwrite
-        history that time travel and the metrics table still read)."""
+        history that time travel and the metrics table still read).
+        ``MAX_ALLOCATED`` carries the high-water mark across
+        :meth:`expire_snapshots`, which may delete the highest-numbered
+        (abandoned-branch) snapshot files themselves."""
         best = 0
         for name in os.listdir(self.snap_dir):
             if name.startswith("v") and name.endswith(".json"):
@@ -83,6 +86,10 @@ class SnapshotTable:
                     best = max(best, int(name[1:-5]))
                 except ValueError:
                     continue
+        hw = os.path.join(self.snap_dir, "MAX_ALLOCATED")
+        if os.path.exists(hw):
+            with open(hw) as f:
+                best = max(best, int(f.read().strip()))
         return best
 
     def _transition_child(self, parent: int) -> int | None:
@@ -219,12 +226,23 @@ class SnapshotTable:
             raise ValueError("empty table (version 0) has no schema")
         return self.spark.read.parquet(*files)
 
+    def _versions_on_disk(self) -> list:
+        out = []
+        for name in os.listdir(self.snap_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     def snapshots_df(self) -> DataFrame:
-        """The metrics table: one row per snapshot (version, batch_id,
-        added_files, added_rows, total_rows, ts)."""
+        """The metrics table: one row per RETAINED snapshot (version,
+        batch_id, added_files, added_rows, total_rows, ts). Versions may
+        have gaps after :meth:`expire_snapshots` (and lost-race orphan
+        snapshots appear — they carry real file lineage)."""
         rows = []
-        v = 1
-        while os.path.exists(os.path.join(self.snap_dir, f"v{v}.json")):
+        for v in self._versions_on_disk():
             s = self._snapshot(v)
             rows.append(
                 (
@@ -236,12 +254,142 @@ class SnapshotTable:
                     float(s.get("ts", 0.0)),
                 )
             )
-            v += 1
         return self.spark.createDataFrame(
             rows,
             "version int, batch_id string, added_files int,"
             " added_rows bigint, total_rows bigint, ts double",
         )
+
+    # -- maintenance (the Iceberg rewrite_data_files / expire_snapshots /
+    # -- remove_orphan_files trio, local-fs form) --------------------------
+
+    def compact(self, n_files: int = 1) -> int:
+        """Rewrite the CURRENT snapshot's data into ``n_files`` larger
+        files and commit the result as a new snapshot — the
+        ``rewrite_data_files`` maintenance action. Every append creates
+        its own small files; at crawl cadence (thousands of micro-batches)
+        the table degrades into the classic small-file problem, where scan
+        task count and footer/open overhead — not bytes — dominate read
+        cost. Compaction trades one bounded rewrite for every later scan.
+
+        The committed ``batches`` set carries over UNCHANGED, so
+        idempotent-resume semantics survive (a replayed batch id is still
+        a no-op); ``total_rows`` is asserted identical via parquet
+        footers before the commit. Prior snapshots keep their (old) file
+        lists for time travel until :meth:`expire_snapshots` reclaims
+        them. Administrative: retries its rewrite if an append wins the
+        commit race. Returns the new version (0 = empty table, nothing
+        to do)."""
+        if n_files < 1:
+            raise ValueError(f"n_files must be >= 1, got {n_files}")
+        while True:
+            cur = self.current_version()
+            if cur == 0:
+                return 0
+            prev = self._snapshot(cur)
+            data_dir = os.path.join(
+                self.base, "data", f"compact-{uuid.uuid4().hex}"
+            )
+            self.spark.read.parquet(*sorted(prev["files"])).coalesce(
+                int(n_files)
+            ).write.mode("overwrite").parquet(data_dir)
+            files = {}
+            for name in sorted(os.listdir(data_dir)):
+                if name.endswith(".parquet"):
+                    p = os.path.join(data_dir, name)
+                    files[p] = _footer_rows(p)
+            if sum(files.values()) != prev["total_rows"]:
+                raise RuntimeError(
+                    "compaction row-count mismatch: "
+                    f"{sum(files.values())} != {prev['total_rows']}"
+                )
+            snap = {
+                "version": self._max_version() + 1,
+                "parent": cur,
+                "batch_id": "__compact__",
+                "ts": time.time(),
+                "files": files,
+                "batches": prev["batches"],
+                "added_files": len(files),
+                "added_rows": 0,
+                "total_rows": prev["total_rows"],
+                "compaction": True,
+            }
+            if self._commit(snap):
+                return snap["version"]
+            # an append won the race: its snapshot includes files ours
+            # does not — rewrite against the new CURRENT (our files
+            # become vacuum-able orphans)
+            won = self._transition_child(cur)
+            if won is not None and self.current_version() == cur:
+                self._advance_current(won)
+
+    def expire_snapshots(
+        self, keep_last: int = 1, orphan_min_age_s: float = 86400.0
+    ) -> dict:
+        """Retention: keep the last ``keep_last`` snapshots of the
+        CURRENT lineage (parent chain from CURRENT), delete every other
+        snapshot file, then remove data files no retained snapshot
+        references and crash/lost-race orphan directories older than
+        ``orphan_min_age_s`` (Iceberg's ``expire_snapshots`` +
+        ``remove_orphan_files``; the age floor keeps an in-flight
+        append's just-written-uncommitted files safe, same reasoning as
+        Iceberg's 3-day default). Time travel to an expired version
+        raises afterwards; the version high-water mark is preserved so
+        expired numbers are never reallocated. Administrative: not safe
+        against a concurrent rollback. Returns
+        ``{"snapshots_removed", "files_removed"}``."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        # preserve the allocation high-water mark BEFORE deleting files
+        hw = os.path.join(self.snap_dir, "MAX_ALLOCATED")
+        tmp = hw + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(self._max_version()))
+        os.rename(tmp, hw)
+
+        retained = []
+        v = self.current_version()
+        while v != 0 and len(retained) < keep_last:
+            retained.append(v)
+            v = self._snapshot(v).get("parent", 0)
+        keep = set(retained)
+        snaps_removed = 0
+        for ver in self._versions_on_disk():
+            if ver not in keep:
+                os.unlink(os.path.join(self.snap_dir, f"v{ver}.json"))
+                # a dangling transition marker would block the next commit
+                # from a retained parent only if it pointed at a removed
+                # child; clear markers whose child is gone
+                snaps_removed += 1
+        for name in list(os.listdir(self.snap_dir)):
+            if name.startswith("from-v"):
+                p = os.path.join(self.snap_dir, name)
+                with open(p) as f:
+                    child = int(f.read().strip())
+                if child not in keep:
+                    os.unlink(p)
+
+        referenced = set()
+        for ver in keep:
+            referenced.update(self._snapshot(ver)["files"])
+        files_removed = 0
+        data_root = os.path.join(self.base, "data")
+        now = time.time()
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                dd = os.path.join(data_root, d)
+                for fn in sorted(os.listdir(dd)):
+                    p = os.path.join(dd, fn)
+                    if p in referenced:
+                        continue
+                    if now - os.path.getmtime(p) < orphan_min_age_s:
+                        continue
+                    os.unlink(p)
+                    files_removed += 1
+                if not os.listdir(dd):
+                    os.rmdir(dd)
+        return {"snapshots_removed": snaps_removed, "files_removed": files_removed}
 
 
 def _footer_rows(path: str) -> int:

@@ -129,3 +129,102 @@ def test_append_same_batch_as_crashed_winner_is_noop(spark, base):
     assert t.append(_df(spark, 5, 8), "b2") is False
     assert t.current_version() == 2
     assert t.committed_batches() == {"b1", "b2"}
+
+
+def _parquet_files(snap_base):
+    out = []
+    data = os.path.join(snap_base, "data")
+    for d in os.listdir(data):
+        for fn in os.listdir(os.path.join(data, d)):
+            if fn.endswith(".parquet"):
+                out.append(os.path.join(data, d, fn))
+    return sorted(out)
+
+
+def test_compact_rewrites_without_changing_content(spark, base):
+    t = SnapshotTable(spark, base)
+    for i in range(4):
+        t.append(_df(spark, i * 10, i * 10 + 10).repartition(3), f"b{i}")
+    before = sorted(r.doc_id for r in t.read().collect())
+    pre_version = t.current_version()
+    v = t.compact(n_files=1)
+    assert v == pre_version + 1 and t.current_version() == v
+    # content identical, committed set preserved (idempotent resume intact)
+    assert sorted(r.doc_id for r in t.read().collect()) == before
+    assert t.committed_batches() == {"b0", "b1", "b2", "b3"}
+    assert t.append(_df(spark, 0, 10), "b0") is False  # replay still no-op
+    # the CURRENT snapshot now lists exactly one file
+    snap = t._snapshot(v)
+    assert len(snap["files"]) == 1 and snap["total_rows"] == 40
+    # pre-compaction snapshot still time-travels (files not yet vacuumed)
+    assert t.read(version=pre_version).count() == 40
+    # metrics row records the compaction as zero added rows
+    meta = {r.version: r.added_rows for r in t.snapshots_df().collect()}
+    assert meta[v] == 0
+
+
+def test_compact_empty_table_is_noop(spark, base):
+    t = SnapshotTable(spark, base)
+    assert t.compact() == 0
+
+
+def test_append_after_compact(spark, base):
+    t = SnapshotTable(spark, base)
+    t.append(_df(spark, 0, 10), "b0")
+    t.compact(n_files=1)
+    assert t.append(_df(spark, 10, 20), "b1") is True
+    assert t.read().count() == 20
+
+
+def test_expire_snapshots_reclaims_files_and_history(spark, base):
+    t = SnapshotTable(spark, base)
+    for i in range(3):
+        t.append(_df(spark, i * 10, i * 10 + 10).repartition(2), f"b{i}")
+    t.compact(n_files=1)
+    n_files_before = len(_parquet_files(base))
+    stats = t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+    assert stats["snapshots_removed"] == 3
+    assert stats["files_removed"] > 0
+    # only the compacted file remains on disk
+    assert len(_parquet_files(base)) == 1 < n_files_before
+    # current read unaffected; committed set carried by the snapshot
+    assert t.read().count() == 30
+    assert t.committed_batches() == {"b0", "b1", "b2"}
+    # time travel to an expired version now fails
+    with pytest.raises(Exception):
+        t.read(version=1)
+    # metrics table lists only the retained snapshot
+    assert [r.version for r in t.snapshots_df().collect()] == [4]
+
+
+def test_expire_keeps_lineage_depth(spark, base):
+    t = SnapshotTable(spark, base)
+    for i in range(4):
+        t.append(_df(spark, i, i + 1), f"b{i}")
+    t.expire_snapshots(keep_last=2, orphan_min_age_s=0.0)
+    vs = [r.version for r in t.snapshots_df().collect()]
+    assert vs == [3, 4]
+    assert t.read(version=3).count() == 3  # retained ancestor still reads
+
+
+def test_expired_version_numbers_are_never_reallocated(spark, base):
+    t = SnapshotTable(spark, base)
+    t.append(_df(spark, 0, 5), "b0")
+    t.append(_df(spark, 5, 10), "b1")
+    # roll back to v1: v2 becomes an abandoned branch ABOVE current
+    t.rollback(1)
+    t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)  # deletes v2's file
+    assert t.append(_df(spark, 10, 15), "b2") is True
+    # without the high-water mark this would have been allocated as v2 again
+    assert t.current_version() == 3
+
+
+def test_orphan_age_floor_protects_inflight_writes(spark, base):
+    t = SnapshotTable(spark, base)
+    t.append(_df(spark, 0, 10), "b0")
+    # simulate an in-flight append: data written, snapshot not committed
+    inflight = os.path.join(base, "data", "b9-inflight")
+    _df(spark, 90, 95).write.mode("overwrite").parquet(inflight)
+    stats = t.expire_snapshots(keep_last=1, orphan_min_age_s=3600.0)
+    assert stats["files_removed"] == 0  # too young to touch
+    assert os.path.isdir(inflight)
