@@ -124,3 +124,52 @@ class TestSparkRouting:
         assert out["b"]["codec"] == "jpeg"
         assert out["b"]["pixels"] is None
         assert out["c"]["codec"] == "unknown"
+
+
+class TestFuzz:
+    def test_random_garbage_after_soi_never_raises_non_valueerror(self):
+        # poison-pill contract: any malformed stream must surface as
+        # ValueError (the routing signal), never an arbitrary exception
+        import numpy as np
+
+        rng = np.random.default_rng(123)
+        for trial in range(200):
+            blob = b"\xff\xd8" + bytes(
+                rng.integers(0, 256, int(rng.integers(0, 400))).tolist()
+            )
+            try:
+                out = decode_jpeg(blob)
+                assert out.dtype == np.uint8  # decoded something plausible
+            except ValueError:
+                pass
+
+    def test_bit_flips_in_valid_stream_stay_valueerror_or_decode(self):
+        import numpy as np
+
+        img = _smooth_rgb(16, 16, seed=2)
+        jb = bytearray(encode_jpeg(img, quality=80))
+        rng = np.random.default_rng(7)
+        for trial in range(150):
+            mutated = bytearray(jb)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(2, len(jb)))
+                mutated[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out = decode_jpeg(bytes(mutated))
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass
+
+    def test_roundtrip_property_random_sizes(self):
+        import numpy as np
+
+        rng = np.random.default_rng(99)
+        for trial in range(12):
+            h = int(rng.integers(1, 40))
+            w = int(rng.integers(1, 40))
+            c = int(rng.choice([1, 3]))
+            img = np.full((h, w, c) if c == 3 else (h, w), int(rng.integers(0, 256)), dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=90))
+            assert out.shape[:2] == (h, w)
+            # flat images survive near-exactly at any size incl. 1xN edges
+            assert int(np.max(np.abs(out.astype(int) - int(img.flat[0])))) <= 3
