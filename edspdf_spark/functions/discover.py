@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_sitemap",
+    "walk_sitemap_tree",
     "with_pub_date",
     "discover_feeds",
     "parse_feed",
@@ -109,6 +110,68 @@ def parse_sitemap(
         _tag_text(frag, "changefreq").alias("changefreq"),
         _tag_text(frag, "priority").alias("priority"),
     ).where(F.col("loc") != "")
+
+
+def walk_sitemap_tree(
+    roots: DataFrame,
+    fetch,
+    max_depth: int = 5,
+    xml_col: str = "xml",
+    src_col: str = "sitemap_url",
+    charset: str = "utf-8",
+) -> DataFrame:
+    """Walk a sitemap TREE (sitemapindex → child sitemaps → urlsets) to
+    its leaf URLs, level by level: each level is ONE distributed
+    :func:`parse_sitemap` pass, and only the next level's not-yet-visited
+    sitemap locations go back through ``fetch`` — no driver recursion, no
+    per-sitemap round trips.
+
+    ``roots`` is a ``(src_col, xml_col)`` frame (the already-fetched root
+    sitemaps). ``fetch`` is the caller's fetch layer: a callable taking a
+    one-column DataFrame of ``src_col`` locations and returning a
+    ``(src_col, xml_col)`` frame for those it could retrieve (HTTP in
+    production, a lookup join in tests; missing rows are simply not
+    descended into). Returns every ``kind='url'`` entry from every level
+    with its ``depth`` (0 = found in a root).
+
+    Wild-web safety, the two traps this walk guards:
+
+    * **cycles** — index files referencing each other (or themselves) are
+      common; visited locations are tracked level-to-level with a
+      left-anti join, so each sitemap is fetched at most once;
+    * **unbounded depth** — ``max_depth`` caps the walk (the protocol
+      allows arbitrary index nesting; real trees are ≤3 deep).
+
+    The visited set lives as a DataFrame (left-anti joined, never
+    collected), so a million-sitemap crawl tree walks without any
+    driver-side membership structure; per-level ``localCheckpoint``
+    truncates the growing union lineage.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    level = roots
+    visited = roots.select(F.col(src_col)).distinct()
+    urls = None
+    for depth in range(int(max_depth)):
+        parsed = parse_sitemap(level, xml_col=xml_col, src_col=src_col, charset=charset)
+        leaf = parsed.where(F.col("kind") == "url").withColumn(
+            "depth", F.lit(depth)
+        )
+        urls = leaf if urls is None else urls.unionByName(leaf)
+        urls = urls.localCheckpoint()
+        children = (
+            parsed.where(F.col("kind") == "sitemap")
+            .select(F.col("loc").alias(src_col))
+            .distinct()
+            .join(visited, on=src_col, how="left_anti")
+        )
+        if depth == max_depth - 1 or children.isEmpty():
+            break
+        visited = visited.unionByName(children).localCheckpoint()
+        level = fetch(children)
+        if level is None or level.isEmpty():
+            break
+    return urls
 
 
 # --- feed autodiscovery from HTML heads ---------------------------------------

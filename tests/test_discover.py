@@ -370,3 +370,77 @@ def test_atom_entry_link_prefers_alternate(spark):
     df = spark.createDataFrame([("f", feed)], "feed_url string, xml string")
     links = {r.entry_id: r.link for r in parse_feed(df, src_col="feed_url").collect()}
     assert links == {"e1": "https://site/post", "e2": "https://site/post2"}
+
+
+class TestWalkSitemapTree:
+    @staticmethod
+    def _tree(spark):
+        """index root -> (child index, urlset A) -> urlset B; plus a CYCLE:
+        child index references the root again."""
+        def sm_index(locs):
+            entries = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+            return f"<sitemapindex>{entries}</sitemapindex>"
+
+        def urlset(urls):
+            entries = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+            return f"<urlset>{entries}</urlset>"
+
+        docs = {
+            "s://root": sm_index(["s://childidx", "s://leafA"]),
+            "s://childidx": sm_index(["s://leafB", "s://root"]),  # cycle!
+            "s://leafA": urlset(["p://a1", "p://a2"]),
+            "s://leafB": urlset(["p://b1"]),
+        }
+
+        def fetch(wanted_df):
+            rows = [
+                (u, docs[u])
+                for u in [r["sitemap_url"] for r in wanted_df.collect()]
+                if u in docs
+            ]
+            return spark.createDataFrame(
+                rows or [("x", None)], "sitemap_url string, xml string"
+            ).where("xml IS NOT NULL")
+
+        roots = spark.createDataFrame(
+            [("s://root", docs["s://root"])], "sitemap_url string, xml string"
+        )
+        return roots, fetch
+
+    def test_walk_collects_all_leaves_once(self, spark):
+        from edspdf_spark.functions.discover import walk_sitemap_tree
+
+        roots, fetch = self._tree(spark)
+        out = walk_sitemap_tree(roots, fetch, max_depth=5)
+        got = sorted((r["loc"], r["depth"]) for r in out.collect())
+        # depth 1: leafA's urls (fetched from root's index);
+        # depth 2: leafB's urls (fetched from the child index);
+        # the cycle back to s://root is NOT re-fetched (visited anti-join)
+        assert got == [("p://a1", 1), ("p://a2", 1), ("p://b1", 2)]
+
+    def test_depth_cap_stops_descent(self, spark):
+        from edspdf_spark.functions.discover import walk_sitemap_tree
+
+        roots, fetch = self._tree(spark)
+        out = walk_sitemap_tree(roots, fetch, max_depth=2)
+        assert sorted(r["loc"] for r in out.collect()) == ["p://a1", "p://a2"]
+
+    def test_urlset_root_needs_no_fetch(self, spark):
+        from edspdf_spark.functions.discover import walk_sitemap_tree
+
+        roots = spark.createDataFrame(
+            [("s://r", "<urlset><url><loc>p://x</loc>"
+              "<lastmod>2024-01-02</lastmod></url></urlset>")],
+            "sitemap_url string, xml string",
+        )
+        called = []
+
+        def fetch(df):
+            called.append(df.count())
+            return df.limit(0).withColumn("xml", F.lit(None).cast("string"))
+
+        out = walk_sitemap_tree(roots, fetch, max_depth=3).collect()
+        assert [(r["loc"], r["depth"], r["lastmod"]) for r in out] == [
+            ("p://x", 0, "2024-01-02")
+        ]
+        assert called == []  # no child sitemaps, fetch never invoked
