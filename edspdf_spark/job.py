@@ -47,12 +47,23 @@ def run_snapshot_job(
     threshold: float = 0.1,
     n_batches: int = 8,
     limit_batches: Optional[int] = None,
+    compact_every: Optional[int] = None,
+    expire_keep_last: Optional[int] = None,
+    orphan_min_age_s: float = 86400.0,
 ) -> List[Tuple[str, bool]]:
     """Run the pipeline batch-by-batch into ``base/agg`` + ``base/metrics``
     snapshot tables. Returns ``(batch_id, ran)`` per batch — ``ran=False``
     marks batches already committed by a previous (crashed or finished)
     run. ``limit_batches`` stops after that many uncommitted batches (the
-    test hook that simulates a crash mid-job)."""
+    test hook that simulates a crash mid-job).
+
+    Maintenance (long-running crawls accrete one small-file batch per
+    commit): ``compact_every`` rewrites both tables' data into one file
+    per table every that many newly-run batches, and ``expire_keep_last``
+    runs snapshot retention + orphan vacuum once at job end — both
+    preserve the committed-batch set, so crash-resume across maintained
+    runs keeps its exactly-once contract (tests/test_job.py proves a
+    crash-resume THROUGH a compaction+expiry)."""
     from edspdf_spark.metrics import extract_blocs_with_metrics
     from edspdf_spark.operators import aggregate_simple, classify_mask
 
@@ -77,6 +88,16 @@ def run_snapshot_job(
         cached.unpersist()  # one extraction cache per batch must not pile up
         ran += 1
         out.append((bid, True))
+        if compact_every and ran % int(compact_every) == 0:
+            agg_table.compact()
+            met_table.compact()
+    if expire_keep_last is not None:
+        agg_table.expire_snapshots(
+            keep_last=expire_keep_last, orphan_min_age_s=orphan_min_age_s
+        )
+        met_table.expire_snapshots(
+            keep_last=expire_keep_last, orphan_min_age_s=orphan_min_age_s
+        )
     return out
 
 

@@ -103,3 +103,32 @@ def test_stream_job_exactly_once(spark, tmp_path):
     some = agg_t.read(version=1)
     assert agg_t.append(some, sorted(agg_t.committed_batches())[0]) is False
     assert _rows(agg_t.read()) == _rows(_expected(pages))
+
+
+def test_job_crash_resume_through_maintenance(spark, tmp_path):
+    """Crash-resume stays exactly-once ACROSS compaction + expiry: the
+    first (crashed) run compacts and expires its tables, and the resumed
+    run must still skip the committed batches and produce the same
+    content as an unmaintained pipeline."""
+    pages = build_pages_df(spark, 120, partitions=4)
+    base = str(tmp_path / "job_m")
+    first = run_snapshot_job(
+        spark, pages, base, masks=MASKS, n_batches=4, limit_batches=2,
+        compact_every=1, expire_keep_last=1, orphan_min_age_s=0.0,
+    )
+    assert [ran for _, ran in first] == [True, True]
+    agg_t, met_t = job_tables(spark, base)
+    # after compact_every=1 + expire(keep_last=1): one snapshot, one file
+    assert len(agg_t._snapshot(agg_t.current_version())["files"]) == 1
+    assert agg_t.snapshots_df().count() == 1
+    assert len(agg_t.committed_batches()) == 2
+    second = run_snapshot_job(
+        spark, pages, base, masks=MASKS, n_batches=4,
+        compact_every=2, expire_keep_last=1, orphan_min_age_s=0.0,
+    )
+    assert [ran for _, ran in second] == [False, False, True, True]
+    assert _rows(agg_t.read()) == _rows(_expected(pages))
+    assert met_t.read().agg(F.sum("n_docs")).first()[0] == 120
+    # replay after maintenance is still a full no-op
+    third = run_snapshot_job(spark, pages, base, masks=MASKS, n_batches=4)
+    assert [ran for _, ran in third] == [False] * 4
