@@ -14,17 +14,23 @@ from edspdf_spark.sources.writers import (
 from edspdf_spark.sources.bucketed import table_bucketing, write_bucketed_table
 from edspdf_spark.sources.resume import ResumableSink
 from edspdf_spark.sources.warc import (
-    read_warc,
-    write_warc,
-    pages_to_warc,
-    sniff_charset,
+    build_cdx,
     decode_payload,
+    pages_to_warc,
+    read_warc,
+    read_warc_ranges,
+    sniff_charset,
+    update_cdx,
+    write_warc,
 )
 
 __all__ = [
     "read_warc",
     "write_warc",
     "pages_to_warc",
+    "build_cdx",
+    "update_cdx",
+    "read_warc_ranges",
     "sniff_charset",
     "decode_payload",
     "read_pages_parquet",

@@ -443,6 +443,52 @@ def build_cdx(
         .option("recursiveFileLookup", str(recursive).lower())
         .load(path)
     )
+    return _index_warc_files(files.select("path", "content"))
+
+
+def update_cdx(
+    spark: SparkSession,
+    path: str,
+    existing_cdx: DataFrame,
+    glob: str = "*.warc*",
+    recursive: bool = True,
+) -> DataFrame:
+    """Incremental indexing: index only WARC files NOT already covered by
+    ``existing_cdx`` and return the union — so re-indexing a growing
+    crawl directory costs one pass over the NEW dump's shards, never the
+    corpus (the same new×old-only contract as
+    :func:`~edspdf_spark.functions.dedup.lsh_incremental_pairs`).
+
+    Already-indexed files are identified by their ``filename`` in the
+    existing index; the known-file list is filename-cardinality-sized
+    (one row per ~1 GB shard — ~10⁵ rows for a full Common Crawl dump),
+    so the anti-join broadcasts. Files are assumed immutable once
+    indexed (the crawler convention: shards are write-once).
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+        .select("path")
+    )
+    known = existing_cdx.select(F.col("filename").alias("path")).distinct()
+    new_files = files.join(F.broadcast(known), on="path", how="left_anti")
+    new_names = [r["path"] for r in new_files.collect()]
+    if not new_names:
+        return existing_cdx
+    # one binaryFile scan restricted to the new shards (exact path list)
+    fresh = (
+        spark.read.format("binaryFile")
+        .load(new_names)
+        .select("path", "content")
+    )
+    indexed = _index_warc_files(fresh)
+    return existing_cdx.unionByName(indexed)
+
+
+def _index_warc_files(files: DataFrame) -> DataFrame:
+    """(path, content) → CDX rows (shared by build_cdx / update_cdx)."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def frame(rows) -> pd.DataFrame:
@@ -487,7 +533,7 @@ def build_cdx(
         if empty:
             yield frame([])
 
-    return files.select("path", "content").mapInPandas(work, schema=CDX_SCHEMA)
+    return files.mapInPandas(work, schema=CDX_SCHEMA)
 
 
 def _local_path(uri: str) -> str:

@@ -281,3 +281,39 @@ def test_build_cdx_and_range_reads(spark, tmp_path, compress):
     # empty selection → empty frame with the pages schema, no crash
     none = read_warc_ranges(cdx.where(SF.lit(False)))
     assert none.count() == 0 and none.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_update_cdx_indexes_only_new_files(spark, tmp_path):
+    """Incremental CDX: a second dump's shards are indexed without
+    re-reading the first dump's; the union equals a from-scratch index."""
+    from pyspark.sql import functions as F
+
+    from edspdf_spark.sources.warc import build_cdx, update_cdx, write_warc
+
+    d = str(tmp_path / "growing_crawl")
+    pages1 = spark.createDataFrame(
+        [(f"https://a/{i}", None, f"<p>one {i}</p>".encode(), None, None) for i in range(6)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    write_warc(pages1, d, n_files=2, prefix="dump1")
+    cdx1 = build_cdx(spark, d).localCheckpoint()
+    assert cdx1.count() == 6
+
+    pages2 = spark.createDataFrame(
+        [(f"https://b/{i}", None, f"<p>two {i}</p>".encode(), None, None) for i in range(4)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    write_warc(pages2, d, n_files=2, prefix="dump2")
+
+    merged = update_cdx(spark, d, cdx1)
+    full = build_cdx(spark, d)
+    assert merged.count() == full.count() == 10
+    # same (url, filename, offset) set as the from-scratch index
+    key = lambda df: sorted(
+        (r["url"], r["filename"].rsplit("/", 1)[-1], r["offset"])
+        for r in df.collect()
+    )
+    assert key(merged) == key(full)
+    # no new files -> the existing frame comes back as-is
+    again = update_cdx(spark, d, merged.localCheckpoint())
+    assert again.count() == 10
