@@ -37,6 +37,7 @@ __all__ = [
     "discover_feeds",
     "parse_feed",
     "extract_jsonld",
+    "discovery_candidates",
 ]
 
 
@@ -434,3 +435,92 @@ def with_pub_date(
         .when(d_url.isNotNull(), "url")
     )
     return pages.withColumn("pub_date", pub).withColumn("pub_date_source", src)
+
+
+# --- the composed discovery step ----------------------------------------------
+
+def discovery_candidates(
+    pages: DataFrame,
+    robots: Optional[DataFrame] = None,
+    sitemap_fetch=None,
+    max_sitemap_depth: int = 3,
+    url_col: str = "url",
+    html_col: str = "html",
+    charset: str = "utf-8",
+) -> DataFrame:
+    """One discovery pass over a fetched page corpus → the next crawl
+    cycle's candidate URL frame ``(url, discovered_via)``:
+
+    - ``link``    — every ``href`` target on the pages
+      (:func:`~edspdf_spark.functions.graph.extract_links`);
+    - ``feed``    — RSS/Atom autodiscovery links (:func:`discover_feeds`);
+    - ``sitemap`` — leaf URLs of the sitemap trees the hosts' own
+      ``robots.txt`` announce (``robots`` = a ``(host, robots_txt)``
+      frame; ``sitemap_fetch`` = the caller's fetch layer, handed to
+      :func:`walk_sitemap_tree` — roots are fetched through it too;
+      omitted ⇒ the sitemap leg is skipped).
+
+    Candidates are canonicalized
+    (:func:`~edspdf_spark.functions.urls.canonicalize_url`) and deduped
+    with source precedence sitemap > feed > link (a publisher-announced
+    URL beats an incidental link when both discover it). Non-absolute
+    targets (relative hrefs, ``javascript:`` …) are dropped — the URL
+    quality gate would zero them anyway, and the frontier needs
+    fetchable keys.
+
+    Feed this straight into
+    :func:`~edspdf_spark.functions.frontier.frontier_recipe` (with the
+    same ``robots`` frame) for the polite fetch schedule — together they
+    are the whole crawl loop: fetch → discover → gate → schedule.
+
+    Plan: three scan-stage projection legs unioned, one canonical-url
+    keyed aggregation (map-side partials; the min-struct picks the
+    precedence winner). The sitemap leg adds
+    :func:`walk_sitemap_tree`'s per-level passes.
+    """
+    from edspdf_spark.functions.graph import extract_links
+    from edspdf_spark.functions.urls import canonicalize_url
+
+    legs = [
+        extract_links(pages, url_col=url_col, html_col=html_col, charset=charset)
+        .select(F.col("dst").alias("_u"))
+        .withColumn("_via", F.lit("link"))
+        .withColumn("_rank", F.lit(2)),
+        discover_feeds(pages, html_col=html_col, url_col=url_col, charset=charset)
+        .select(F.col("feed_url").alias("_u"))
+        .withColumn("_via", F.lit("feed"))
+        .withColumn("_rank", F.lit(1)),
+    ]
+    if robots is not None and sitemap_fetch is not None:
+        from edspdf_spark.functions.robots import parse_robots_sitemaps
+
+        roots = parse_robots_sitemaps(robots).select(
+            F.col("sitemap_url")
+        ).distinct()
+        fetched = sitemap_fetch(roots)
+        if fetched is not None and not fetched.isEmpty():
+            leaves = walk_sitemap_tree(
+                fetched, sitemap_fetch, max_depth=max_sitemap_depth
+            )
+            legs.append(
+                leaves.select(F.col("loc").alias("_u"))
+                .withColumn("_via", F.lit("sitemap"))
+                .withColumn("_rank", F.lit(0))
+            )
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    canon = canonicalize_url(F.col("_u"))
+    return (
+        cand.withColumn("_c", canon)
+        # fetchable keys only: canonicalize_url passes non-absolute
+        # strings through untouched, so "has scheme://" is the gate
+        .where(F.col("_c").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"))
+        .groupBy(F.col("_c").alias(url_col))
+        .agg(
+            F.min(
+                F.struct(F.col("_rank").alias("r"), F.col("_via").alias("v"))
+            ).alias("_best")
+        )
+        .select(url_col, F.col("_best.v").alias("discovered_via"))
+    )

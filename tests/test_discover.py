@@ -444,3 +444,89 @@ class TestWalkSitemapTree:
             ("p://x", 0, "2024-01-02")
         ]
         assert called == []  # no child sitemaps, fetch never invoked
+
+
+class TestDiscoveryCandidates:
+    def test_three_legs_with_precedence(self, spark):
+        from edspdf_spark.functions.discover import discovery_candidates
+
+        html = (
+            "<html><head>"
+            '<link rel="alternate" type="application/rss+xml" href="https://ex.com/feed.xml">'
+            "</head><body>"
+            '<a href="https://ex.com/page1">one</a> '
+            '<a href="https://ex.com/page2/">two</a> '
+            '<a href="/relative">rel</a> '
+            '<a href="javascript:void(0)">js</a>'
+            "</body></html>"
+        )
+        pages = spark.createDataFrame(
+            [("https://ex.com/", html.encode())], "url string, html binary"
+        )
+        robots = spark.createDataFrame(
+            [("ex.com", "User-agent: *\nSitemap: https://ex.com/sitemap.xml\n")],
+            "host string, robots_txt string",
+        )
+        sm = {
+            "https://ex.com/sitemap.xml": (
+                "<urlset><url><loc>https://ex.com/page1</loc></url>"
+                "<url><loc>https://ex.com/from-sitemap</loc></url></urlset>"
+            )
+        }
+
+        def fetch(df):
+            rows = [
+                (u, sm[u])
+                for u in [r["sitemap_url"] for r in df.collect()]
+                if u in sm
+            ]
+            return spark.createDataFrame(
+                rows or [("x", None)], "sitemap_url string, xml string"
+            ).where("xml IS NOT NULL")
+
+        out = {
+            r["url"]: r["discovered_via"]
+            for r in discovery_candidates(
+                pages, robots=robots, sitemap_fetch=fetch
+            ).collect()
+        }
+        # canonicalization folds the trailing slash; relative/js dropped
+        assert out == {
+            "https://ex.com/page1": "sitemap",  # sitemap beats the link leg
+            "https://ex.com/page2": "link",
+            "https://ex.com/from-sitemap": "sitemap",
+            "https://ex.com/feed.xml": "feed",
+        }
+
+    def test_without_sitemaps(self, spark):
+        from edspdf_spark.functions.discover import discovery_candidates
+
+        pages = spark.createDataFrame(
+            [("u", b'<a href="https://a.com/x">x</a>')],
+            "url string, html binary",
+        )
+        out = discovery_candidates(pages).collect()
+        assert [(r["url"], r["discovered_via"]) for r in out] == [
+            ("https://a.com/x", "link")
+        ]
+
+    def test_feeds_into_frontier_recipe(self, spark):
+        from edspdf_spark.functions.discover import discovery_candidates
+        from edspdf_spark.functions.frontier import frontier_recipe
+
+        links = " ".join(
+            f'<a href="https://s{i % 2}.com/p{i}">l</a>' for i in range(8)
+        )
+        pages = spark.createDataFrame(
+            [("u", links.encode())], "url string, html binary"
+        )
+        cand = discovery_candidates(pages)
+        sched = frontier_recipe(
+            cand, per_host_cap=3, max_per_cycle=2, id_col="url"
+        )
+        rows = sched.collect()
+        assert len(rows) == 6  # 2 hosts x cap 3
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(r["fetch_slot"])
+        assert all(sorted(v) == [0, 1, 2] for v in by_host.values())
