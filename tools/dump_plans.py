@@ -104,7 +104,15 @@ def main() -> None:
         run_pipeline_fused,
     )
 
-    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    spark = get_spark(
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            # the bucketed-join entry saveAsTable's into the warehouse;
+            # keep it out of the repo tree
+            "spark.sql.warehouse.dir": "/tmp/edspdf_plans_warehouse",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # AQE stays ON in production; for plan INSPECTION a static plan is the
     # honest artifact — AdaptiveSparkPlan(isFinalPlan=false) hides codegen
@@ -680,6 +688,47 @@ def main() -> None:
                 k=3,
             ))(__import__(
                 "edspdf_spark.functions.similarity", fromlist=["x"]
+            )),
+        ),
+        (
+            "bucketed co-located join (sources/bucketed.py)",
+            "Both sides written bucketBy(4, doc_id) into the catalog; an "
+            "equi-join on the bucket key must plan with ZERO exchanges — "
+            "the write-time shuffle replaces every later join's (merge "
+            "hint pins SortMergeJoin so the audit isn't trivially "
+            "satisfied by a broadcast). A path-based read of the same "
+            "files would NOT see the layout and would shuffle.",
+            (lambda _b: (
+                _b.write_bucketed_table(
+                    docs.select("doc_id", "lang"), "plans_bucket_a",
+                    key="doc_id", n_buckets=4,
+                ),
+                _b.write_bucketed_table(
+                    docs.select("doc_id", "n_chars"), "plans_bucket_b",
+                    key="doc_id", n_buckets=4,
+                ),
+                spark.table("plans_bucket_a").hint("merge").join(
+                    spark.table("plans_bucket_b"), "doc_id"
+                ),
+            )[-1])(__import__(
+                "edspdf_spark.sources.bucketed", fromlist=["x"]
+            )),
+        ),
+        (
+            "discovery_candidates (crawl discovery step)",
+            "Three scan-stage projection legs (href links, feed "
+            "autodiscovery, optional sitemap leaves) unioned, then ONE "
+            "canonical-url-keyed aggregation whose min-struct picks the "
+            "source-precedence winner. Expected: one exchange keyed on "
+            "the canonical url, everything else in the scans' stages.",
+            (lambda _d: _d.discovery_candidates(
+                docs.selectExpr(
+                    "CAST(doc_id AS STRING) AS url",
+                    "CAST(CONCAT('<a href=\"https://x.org/', doc_id, "
+                    "'\">l</a>') AS BINARY) AS html",
+                )
+            ))(__import__(
+                "edspdf_spark.functions.discover", fromlist=["x"]
             )),
         ),
     ]
