@@ -168,10 +168,24 @@ def walk_sitemap_tree(
         )
         if depth == max_depth - 1 or children.isEmpty():
             break
-        visited = visited.unionByName(children).localCheckpoint()
         level = fetch(children)
         if level is None or level.isEmpty():
             break
+        # a fetch layer may key its results by redirect-RESOLVED URLs
+        # rather than the requested ones; those resolved locations were
+        # never added to visited, so a redirect cycle would re-fetch and
+        # re-parse the same sitemap every level. Drop results already
+        # visited, then mark BOTH the requested and the actually-fetched
+        # locations as visited before parsing.
+        level = level.join(visited, on=src_col, how="left_anti")
+        if level.isEmpty():
+            break
+        visited = (
+            visited.unionByName(children)
+            .unionByName(level.select(F.col(src_col)))
+            .distinct()
+            .localCheckpoint()
+        )
     return urls
 
 

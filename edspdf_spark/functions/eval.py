@@ -125,17 +125,17 @@ gtok AS (
   FROM (SELECT {id_col}, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM gd)
   WHERE tok <> '' GROUP BY 1, 2
 ),
-etot AS (SELECT _id, SUM(cnt) AS n_extracted FROM etok GROUP BY 1),
-gtot AS (SELECT _id, SUM(cnt) AS n_gold FROM gtok GROUP BY 1),
+etot AS (SELECT _id, CAST(SUM(cnt) AS BIGINT) AS n_extracted FROM etok GROUP BY 1),
+gtot AS (SELECT _id, CAST(SUM(cnt) AS BIGINT) AS n_gold FROM gtok GROUP BY 1),
 tp AS (
-  SELECT e._id, SUM(LEAST(e.cnt, g.cnt)) AS tp
+  SELECT e._id, CAST(SUM(LEAST(e.cnt, g.cnt)) AS BIGINT) AS tp
   FROM etok e JOIN gtok g ON e._id = g._id AND e.tok = g.tok GROUP BY 1
 ),
 base AS (
   SELECT ids._id,
-         COALESCE(etot.n_extracted, 0) AS n_extracted,
-         COALESCE(gtot.n_gold, 0) AS n_gold,
-         COALESCE(tp.tp, 0) AS tp
+         CAST(COALESCE(etot.n_extracted, 0) AS BIGINT) AS n_extracted,
+         CAST(COALESCE(gtot.n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
   FROM (SELECT DISTINCT {id_col} AS _id FROM gd) ids
   LEFT JOIN etot USING (_id) LEFT JOIN gtot USING (_id) LEFT JOIN tp USING (_id)
 ),

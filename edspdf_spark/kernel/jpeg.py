@@ -543,6 +543,14 @@ def decode_jpeg(data: bytes):
                 if comp is None:
                     raise ValueError(f"SOS references unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if len(scan) != len(frame["comps"]):
+                # legal baseline JPEGs may ship one component per scan
+                # (non-interleaved, multiple SOS); decoding only the
+                # first scan would silently return the Y plane as
+                # grayscale — route such files to the fallback instead
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG unsupported"
+                )
             out = _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qts, huff, restart_interval
             )
@@ -554,14 +562,31 @@ def decode_jpeg(data: bytes):
     return out
 
 
+#: Reject frames above this pixel count before allocating coefficient
+#: stores — a crafted few-hundred-byte header can otherwise declare
+#: 65535x65535x3 and OOM an executor processing untrusted crawl bytes.
+MAX_DECODE_PIXELS = 64_000_000  # 8192x8192-ish, ~1.5 GB of f64 stores
+
+
 def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
     h, w = frame["h"], frame["w"]
     comps = frame["comps"]
+    if h * w > MAX_DECODE_PIXELS:
+        raise ValueError(f"frame {w}x{h} exceeds decode pixel cap")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # plausibility: every block costs >= 2 entropy bits (a DC symbol and
+    # an AC EOB); a frame whose implied block count cannot fit in the
+    # remaining bytes is a forged header, not a decodable image
+    n_blocks_total = sum(
+        mcus_x * c["h"] * mcus_y * c["v"] for c, _, _ in scan
+    )
+    if n_blocks_total * 2 > (len(data) - pos) * 8 + 8:
+        raise ValueError("entropy data too short for declared frame size")
 
     # per-component coefficient stores (blocks in raster order)
     stores = []

@@ -351,6 +351,11 @@ class SnapshotTable:
         retained = []
         v = self.current_version()
         while v != 0 and len(retained) < keep_last:
+            # ancestors beyond a previous expiry's retention are already
+            # gone from disk; a gap means the retained lineage ends here
+            # (keep_last larger than what survives must not raise)
+            if not os.path.exists(os.path.join(self.snap_dir, f"v{v}.json")):
+                break
             retained.append(v)
             v = self._snapshot(v).get("parent", 0)
         keep = set(retained)

@@ -530,3 +530,39 @@ class TestDiscoveryCandidates:
         for r in rows:
             by_host.setdefault(r["host"], []).append(r["fetch_slot"])
         assert all(sorted(v) == [0, 1, 2] for v in by_host.values())
+
+
+class TestWalkSitemapTreeRedirectKeyedFetch:
+    def test_redirect_resolved_keys_do_not_loop(self, spark):
+        """A fetch layer keying results by redirect-RESOLVED URLs: the
+        root index points at s://alias, which the fetch resolves to
+        s://real — whose content references s://alias again (a redirect
+        cycle). Without result-side visited tracking this re-fetches and
+        re-parses s://real every level until max_depth, duplicating its
+        leaf urls."""
+        from edspdf_spark.functions.discover import walk_sitemap_tree
+
+        def sm_index(locs):
+            entries = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+            return f"<sitemapindex>{entries}</sitemapindex>"
+
+        root_xml = sm_index(["s://alias"])
+        real_xml = sm_index(["s://alias"]) + "<urlset><url><loc>p://r1</loc></url></urlset>"
+
+        def fetch(wanted_df):
+            wanted = {r["sitemap_url"] for r in wanted_df.collect()}
+            rows = []
+            if "s://alias" in wanted:
+                # redirect: requested s://alias, result keyed s://real
+                rows.append(("s://real", real_xml))
+            return spark.createDataFrame(
+                rows or [("x", None)], "sitemap_url string, xml string"
+            ).where("xml IS NOT NULL")
+
+        roots = spark.createDataFrame(
+            [("s://root", root_xml)], "sitemap_url string, xml string"
+        )
+        out = walk_sitemap_tree(roots, fetch, max_depth=6)
+        got = sorted((r["loc"], r["depth"]) for r in out.collect())
+        # r1 appears exactly once, from the single fetch of s://real
+        assert got == [("p://r1", 1)]

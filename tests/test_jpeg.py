@@ -173,3 +173,42 @@ class TestFuzz:
             assert out.shape[:2] == (h, w)
             # flat images survive near-exactly at any size incl. 1xN edges
             assert int(np.max(np.abs(out.astype(int) - int(img.flat[0])))) <= 3
+
+
+class TestHostileHeaders:
+    """Untrusted-crawl guards: forged headers must raise ValueError
+    cheaply, never allocate decode-sized buffers or return wrong pixels."""
+
+    def _patch_sof_dims(self, jb: bytes, h: int, w: int) -> bytes:
+        import struct
+
+        i = jb.find(b"\xff\xc0")
+        assert i >= 0
+        return jb[: i + 5] + struct.pack(">HH", h, w) + jb[i + 9 :]
+
+    def test_multi_scan_non_interleaved_raises(self):
+        # splice a 1-component SOS in front of a 3-component frame's scan:
+        # decoding only the Y scan would silently return grayscale
+        jb = encode_jpeg(_smooth_rgb(16, 16), quality=85)
+        i = jb.find(b"\xff\xda")
+        assert i >= 0
+        ns = jb[i + 4]
+        assert ns == 3
+        comp_id = jb[i + 5]
+        one_scan = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, comp_id, 0x00, 0x00, 0x3F, 0x00])
+        seglen = int.from_bytes(jb[i + 2 : i + 4], "big")
+        patched = jb[:i] + one_scan + jb[i + 2 + seglen :]
+        with pytest.raises(ValueError, match="non-interleaved"):
+            decode_jpeg(patched)
+
+    def test_giant_declared_dims_raise_before_allocation(self):
+        jb = encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=80)
+        with pytest.raises(ValueError, match="pixel cap"):
+            decode_jpeg(self._patch_sof_dims(jb, 60000, 60000))
+
+    def test_dims_disproportionate_to_entropy_data_raise(self):
+        # under the pixel cap, but a 16x16 image's entropy bytes cannot
+        # possibly carry 4000x4000 worth of blocks
+        jb = encode_jpeg(np.zeros((16, 16), dtype=np.uint8), quality=80)
+        with pytest.raises(ValueError, match="entropy data too short"):
+            decode_jpeg(self._patch_sof_dims(jb, 4000, 4000))

@@ -228,3 +228,19 @@ def test_orphan_age_floor_protects_inflight_writes(spark, base):
     stats = t.expire_snapshots(keep_last=1, orphan_min_age_s=3600.0)
     assert stats["files_removed"] == 0  # too young to touch
     assert os.path.isdir(inflight)
+
+
+def test_expire_with_larger_keep_last_than_prior_expiry(spark, base):
+    # a previous expiry deleted ancestors; re-running with a LARGER
+    # keep_last must stop the parent walk at the lineage gap instead of
+    # raising FileNotFoundError on the already-deleted snapshot file
+    t = SnapshotTable(spark, base)
+    for i in range(4):
+        t.append(_df(spark, i, i + 1), f"b{i}")
+    t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+    stats = t.expire_snapshots(keep_last=3, orphan_min_age_s=0.0)
+    assert stats["snapshots_removed"] == 0
+    assert t.read().count() == 4
+    # new appends extend the retained lineage normally afterwards
+    assert t.append(_df(spark, 10, 12), "b9") is True
+    assert t.read().count() == 6
