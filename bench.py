@@ -528,6 +528,15 @@ def main():
     headline = {"pipeline_documents", "pipeline_synthetic_skewed"}
     timings = {}
     for name, fn in queries.items():
+        # session-position hygiene: a long shared session accumulates
+        # cached relations and heap garbage from earlier queries; the
+        # round-3 bench showed +30-70% phantom "regressions" on late
+        # queries (box/text_embedding) that vanish when run isolated.
+        # Clearing the relation cache and forcing a JVM GC between
+        # query families keeps each timing about the query, not about
+        # where it sits in the session.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         walls = []
         for _ in range(max(reps, 6) if name in headline else reps):
             t0 = time.perf_counter()

@@ -11,12 +11,13 @@ Container formats here are deterministic stand-ins (documented below); the
 Spark-side plumbing — schema, UDF signature, batch shape, partition
 expansion for frame sampling — is real and tested. ``decode_image_pixels``
 is a real decode stage: **PNG decodes natively** (stdlib zlib + the PDF
-engine's PNG row un-predictor, 8-bit gray/GA/RGB/RGBA), **baseline JPEG
-decodes natively** (``kernel/jpeg.py`` — T.81 baseline Huffman, 1/3
-components, sampling factors to 2×2, restart markers), the synthetic
-container passes its plane through, and the leftover classes
-(progressive JPEG, WebP, …) degrade to NULL pixels + a ``codec`` tag —
-optionally via PIL when it exists — instead of killing the partition.
+engine's PNG row un-predictor, 8-bit gray/GA/RGB/RGBA), **baseline AND progressive JPEG
+decode natively** (``kernel/jpeg.py`` — T.81 baseline + Annex-G
+progressive Huffman, 1/3 components, sampling factors to 2×2, restart
+markers, EOB runs), the synthetic container passes its plane through,
+and the leftover classes (WebP, arithmetic JPEG, …) degrade to NULL
+pixels + a ``codec`` tag — optionally via PIL when it exists — instead
+of killing the partition.
 
 Header layouts (big-endian)::
 
@@ -274,10 +275,11 @@ def decode_png(data: bytes):
 
 
 def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Pixel decode as an Arrow-batched stage: PNG and baseline JPEG
-    decode NATIVELY (stdlib zlib + the engine's PNG un-predictor;
-    ``kernel/jpeg.py`` for T.81 baseline — no imaging library needed);
-    progressive JPEG / WebP / other codecs decode via PIL when
+    """Pixel decode as an Arrow-batched stage: PNG plus baseline and
+    progressive JPEG decode NATIVELY (stdlib zlib + the engine's PNG
+    un-predictor; ``kernel/jpeg.py`` for T.81 baseline + Annex-G
+    progressive — no imaging library needed, covering the two dominant
+    crawl-JPEG classes); WebP / arithmetic / other codecs decode via PIL when
     available, else their rows come back with ``codec`` set and NULL
     pixels so the pipeline can route or quarantine them (poison-pill
     tolerance — one undecodable blob must never kill a partition).
@@ -326,9 +328,9 @@ def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
                             c = arr.shape[2] if arr.ndim == 3 else 1
                             pixels = arr.tobytes()
                         except ValueError:
-                            # progressive/arithmetic/12-bit/CMYK (or
-                            # truncated): route to PIL when present, else
-                            # keep the codec tag with NULL pixels
+                            # arithmetic/12-bit/CMYK (or truncated):
+                            # route to PIL when present, else keep the
+                            # codec tag with NULL pixels
                             if _pil is not None:  # pragma: no cover - no PIL here
                                 import io
 

@@ -13,11 +13,16 @@ to 2×2, restart markers) and to encode deterministic fixtures for
 round-trip tests.
 
 Decoder scope (``decode_jpeg``): SOI / APPn / COM / DQT / DHT / DRI /
-SOF0 / SOS / RSTn / EOI; 8-bit precision; 1 or 3 components; sampling
-factors ∈ {1, 2}; 0xFF00 byte unstuffing. Progressive (SOF2),
-arithmetic coding, 12-bit, and CMYK raise ``ValueError`` — the Arrow
-decode stage treats that as a routing signal (codec tag + NULL pixels),
-never a partition killer.
+SOF0/1 / SOF2 (progressive) / SOS / RSTn / EOI; 8-bit precision; 1 or 3
+components; sampling factors ∈ {1, 2}; 0xFF00 byte unstuffing.
+Progressive covers the full T.81 Annex G Huffman process: spectral
+selection (any band split), successive approximation (DC and AC first +
+refinement scans), interleaved DC scans, non-interleaved AC scans,
+EOB-run batching, and restart markers inside any scan — roughly half of
+real crawl JPEGs are progressive, so this path is first-class, not
+PIL-gated. Arithmetic coding, 12-bit, hierarchical, and CMYK raise
+``ValueError`` — the Arrow decode stage treats that as a routing signal
+(codec tag + NULL pixels), never a partition killer.
 
 Encoder scope (``encode_jpeg``): baseline JFIF, 4:4:4 (no chroma
 subsampling — keeps the fixture path simple and the loss source purely
@@ -378,6 +383,299 @@ def encode_jpeg(
 
 
 # --------------------------------------------------------------------------
+# progressive encoder (fixture generator for the Annex-G decode path)
+# --------------------------------------------------------------------------
+
+#: Flat fixture Huffman tables: every symbol the progressive processes can
+#: emit, at a uniform canonical length (12 DC categories at 4 bits; AC
+#: symbols 0x00–0xFE at 8 bits — 255 codes, the all-ones code unused).
+#: Deliberately non-optimal: the fixtures test the DECODER, and a flat
+#: table can express any EOB-run length, unlike the Annex-K tables which
+#: lack the (r<<4|0) EOBn symbols for r ∈ 1..14.
+_DC_PROG = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 255] + [0] * 8, list(range(255)))
+
+#: libjpeg-style default progression: approximated DC first, then each
+#: component's AC in two spectral bands at Al=1, then full refinement.
+#: Entries: (comp_indices, Ss, Se, Ah, Al).
+_DEFAULT_SCRIPT = (
+    ("all", 0, 0, 0, 1),
+    ("each", 1, 5, 0, 2),
+    ("each", 6, 63, 0, 2),
+    ("each", 1, 63, 2, 1),
+    ("all", 0, 0, 1, 0),
+    ("each", 1, 63, 1, 0),
+)
+
+
+class _ProgACEncoder:
+    """Per-scan AC entropy state: EOB-run batching plus the buffered
+    correction bits of refinement scans (T.81 G.1.2.2/G.1.2.3 encode)."""
+
+    def __init__(self, bw: "_BitWriter", tab: dict):
+        self.bw = bw
+        self.tab = tab
+        self.eobrun = 0
+        self.ebits: list = []  # correction bits owned by the pending EOB run
+
+    def _sym(self, sym: int) -> None:
+        code, length = self.tab[sym]
+        self.bw.write(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self._sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            for b in self.ebits:
+                self.bw.write(b, 1)
+            self.eobrun = 0
+            self.ebits = []
+
+    def first_block(self, band, al: int) -> None:
+        """AC first scan (Ah=0): code v = coef/2^Al (truncate toward 0)."""
+        r = 0
+        for c in band:
+            a = abs(int(c)) >> al
+            if a == 0:
+                r += 1
+                continue
+            self.flush_eobrun()
+            while r > 15:
+                self._sym(0xF0)
+                r -= 16
+            v = a if int(c) > 0 else -a
+            s, bits = _magnitude(v)
+            self._sym((r << 4) | s)
+            self.bw.write(bits, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def refine_block(self, band, al: int) -> None:
+        """AC refinement scan (Ah=Al+1): ±1 for newly-visible
+        coefficients, one buffered correction bit per old-nonzero."""
+        absval = [abs(int(c)) >> al for c in band]
+        eob = -1
+        for i, a in enumerate(absval):
+            if a == 1:
+                eob = i
+        r = 0
+        br_bits: list = []
+        for i, a in enumerate(absval):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush_eobrun()
+                self._sym(0xF0)
+                r -= 16
+                for b in br_bits:
+                    self.bw.write(b, 1)
+                br_bits = []
+            if a > 1:
+                br_bits.append(a & 1)
+                continue
+            self.flush_eobrun()
+            self._sym((r << 4) | 1)
+            self.bw.write(1 if int(band[i]) > 0 else 0, 1)
+            for b in br_bits:
+                self.bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            self.eobrun += 1
+            self.ebits.extend(br_bits)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    script=None,
+    restart_interval: int = 0,
+    subsample: bool = False,
+) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB → progressive (SOF2) JFIF
+    bytes. Quantizes exactly like :func:`encode_jpeg` (same tables, 4:4:4
+    by default), so a progressive file decodes to the SAME pixels as its
+    baseline twin — the round-trip identity the tests assert.
+    ``subsample=True`` emits 4:2:0 (Y 2×2, box-filtered chroma),
+    exercising the decoder's non-interleaved grid-stride path.
+    ``script`` overrides the default progression: a list of
+    ``(comps, Ss, Se, Ah, Al)`` with ``comps`` = "all" | "each" | a tuple
+    of component indices."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        raise ValueError("encode_jpeg_progressive needs uint8 (H,W) or (H,W,3)")
+    if a.ndim == 3 and a.shape[2] != 3:
+        raise ValueError(f"1 or 3 channels required, got {a.shape[2]}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    gray = a.ndim == 2
+    if subsample and gray:
+        raise ValueError("subsample requires a color image")
+
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r = a[:, :, 0].astype(np.float64)
+        g = a[:, :, 1].astype(np.float64)
+        b = a[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # box-filter chroma 2×2 (pad odd dims by edge replication)
+            def down(p):
+                hp = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                return (
+                    hp.reshape(hp.shape[0] // 2, 2, hp.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    qts = [_scaled_qt(QT_LUMA, quality)]
+    if not gray:
+        qts.append(_scaled_qt(QT_CHROMA, quality))
+
+    # quantized zigzag coefs per component, blocks in the PADDED grid
+    coefs = []
+    grid = []  # (bx_pad, by_pad, cbx, cby) per component
+    for ci, (p, (hs, vs)) in enumerate(zip(planes, samp)):
+        bxp, byp = mcus_x * hs, mcus_y * vs
+        pad = np.pad(
+            p,
+            ((0, byp * 8 - p.shape[0]), (0, bxp * 8 - p.shape[1])),
+            mode="edge",
+        )
+        coefs.append(
+            _encode_plane_blocks(pad, qts[0 if ci == 0 else 1]).astype(np.int64)
+        )
+        cbx = -(-(-(-w * hs // hmax)) // 8)
+        cby = -(-(-(-h * vs // vmax)) // 8)
+        grid.append((bxp, byp, cbx, cby))
+
+    dc_tab = _huff_codes(*_DC_PROG)
+    ac_tab = _huff_codes(*_AC_PROG)
+    script = list(script) if script is not None else list(_DEFAULT_SCRIPT)
+
+    # ---- entropy-code every scan ------------------------------------------
+    scan_payloads = []
+    n_comp = len(planes)
+    for comps_spec, ss, se, ahh, all_ in script:
+        if comps_spec == "all":
+            comp_lists = [tuple(range(n_comp))]
+        elif comps_spec == "each":
+            comp_lists = [(i,) for i in range(n_comp)]
+        else:
+            comp_lists = [tuple(comps_spec)]
+        for comp_idx in comp_lists:
+            if ss > 0 and len(comp_idx) != 1:
+                raise ValueError("AC scans must be single-component")
+            bw = _BitWriter()
+            rst = 0
+            pred = [0] * len(comp_idx)
+            ac = _ProgACEncoder(bw, ac_tab)
+
+            def restart_now():
+                nonlocal rst
+                ac.flush_eobrun()
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred[:] = [0] * len(comp_idx)
+
+            if ss == 0 and len(comp_idx) > 1:
+                for m in range(mcus_x * mcus_y):
+                    if restart_interval and m and m % restart_interval == 0:
+                        restart_now()
+                    my, mx = divmod(m, mcus_x)
+                    for si, ci in enumerate(comp_idx):
+                        hs, vs = samp[ci]
+                        bxp = grid[ci][0]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                blk = coefs[ci][(my * vs + v) * bxp + mx * hs + hh]
+                                _encode_dc_unit(bw, dc_tab, blk, ahh, all_, pred, si)
+            else:
+                (ci,) = comp_idx if len(comp_idx) == 1 else (comp_idx[0],)
+                bxp, _, cbx, cby = grid[ci]
+                unit = 0
+                for bi in range(cby):
+                    for bj in range(cbx):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            restart_now()
+                        unit += 1
+                        blk = coefs[ci][bi * bxp + bj]
+                        if ss == 0:
+                            _encode_dc_unit(bw, dc_tab, blk, ahh, all_, pred, 0)
+                        elif ahh == 0:
+                            ac.first_block(blk[ss : se + 1], all_)
+                        else:
+                            ac.refine_block(blk[ss : se + 1], all_)
+            ac.flush_eobrun()
+            bw.flush()
+            scan_payloads.append((comp_idx, ss, se, ahh, all_, bytes(bw.out)))
+
+    # ---- assemble segments -------------------------------------------------
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qts):
+        out += seg(0xDB, bytes([ti]) + bytes(int(v) for v in qt[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_PROG[0]) + bytes(_DC_PROG[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_PROG[0]) + bytes(_AC_PROG[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for comp_idx, ss, se, ahh, all_, payload in scan_payloads:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([ss, se, (ahh << 4) | all_])
+        out += seg(0xDA, sos)
+        out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_dc_unit(bw, dc_tab, blk, ah, al, pred, si) -> None:
+    if ah == 0:
+        v = int(blk[0]) >> al  # arithmetic shift, same as the decoder
+        diff = v - pred[si]
+        pred[si] = v
+        s, bits = _magnitude(diff)
+        code, length = dc_tab[s]
+        bw.write(code, length)
+        if s:
+            bw.write(bits, s)
+    else:
+        bw.write((int(blk[0]) >> al) & 1, 1)
+
+
+# --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
 
@@ -470,6 +768,7 @@ def decode_jpeg(data: bytes):
     frame = None
     restart_interval = 0
     out = None
+    prog = None  # progressive coefficient state across scans
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -526,12 +825,30 @@ def decode_jpeg(data: bytes):
                     raise ValueError(f"sampling factors {hs}x{vs} unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xC2:  # SOF2 — progressive DCT, Huffman
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError(f"sampling factors {hs}x{vs} unsupported")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline and progressive Huffman JPEG are supported"
+            )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if len(body) < 4 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
             scan = []
@@ -543,6 +860,17 @@ def decode_jpeg(data: bytes):
                 if comp is None:
                     raise ValueError(f"SOS references unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if frame.get("progressive"):
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                if prog is None:
+                    prog = _prog_state(frame)
+                end = _progressive_scan(
+                    data, pos + 2 + seglen, frame, scan,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                    huff, restart_interval, prog,
+                )
+                pos = _next_marker_pos(data, end)
+                continue
             if len(scan) != len(frame["comps"]):
                 # legal baseline JPEGs may ship one component per scan
                 # (non-interleaved, multiple SOS); decoding only the
@@ -557,6 +885,11 @@ def decode_jpeg(data: bytes):
             break
         pos += 2 + seglen
 
+    if out is None and prog is not None and prog["n_scans"] > 0:
+        out = _reassemble(
+            prog["stores"], frame["comps"], frame, qts,
+            prog["mcus_x"], prog["mcus_y"],
+        )
     if out is None:
         raise ValueError("no scan decoded")
     return out
@@ -634,16 +967,29 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
                     col = mx * comp["h"] + hh
                     stores[si][row * bx + col] = blk
 
-    # dequantize + batch IDCT + reassemble + upsample
+    return _reassemble(
+        stores, [c for c, _, _ in scan], frame, qts, mcus_x, mcus_y
+    )
+
+
+def _reassemble(stores, comps, frame, qts, mcus_x, mcus_y):
+    """Dequantize + batch IDCT + upsample + color transform. ``stores``
+    is one ``(n_blocks, 64)`` zigzag-order coefficient array per entry of
+    ``comps`` (blocks in the MCU-padded raster grid). Shared by the
+    sequential and progressive paths — a progressive file's accumulated
+    coefficients reassemble exactly like a sequential scan's."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     planes = []
-    for si, (comp, _, _) in enumerate(scan):
+    for si, comp in enumerate(comps):
         qt = qts.get(comp["tq"])
         if qt is None:
             raise ValueError("missing quant table")
         bx = mcus_x * comp["h"]
         by = mcus_y * comp["v"]
         de = np.zeros((len(stores[si]), 64), dtype=np.float64)
-        de[:, ZIGZAG] = stores[si] * qt[ZIGZAG]
+        de[:, ZIGZAG] = stores[si].astype(np.float64) * qt[ZIGZAG]
         blocks = de.reshape(-1, 8, 8)
         pix = np.einsum("xu,nuv,vy->nxy", _C.T, blocks, _C, optimize=True) + 128.0
         plane = (
@@ -665,3 +1011,237 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G, Huffman)
+# --------------------------------------------------------------------------
+
+
+def _prog_state(frame) -> dict:
+    """Allocate the cross-scan coefficient stores for a progressive frame
+    (one int32 ``(n_blocks, 64)`` zigzag array per component, blocks in
+    the MCU-padded raster grid), with the same hostile-header caps as the
+    sequential path."""
+    h, w = frame["h"], frame["w"]
+    if h * w > MAX_DECODE_PIXELS:
+        raise ValueError(f"frame {w}x{h} exceeds decode pixel cap")
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    stores = [
+        np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+    return {"stores": stores, "mcus_x": mcus_x, "mcus_y": mcus_y, "n_scans": 0}
+
+
+def _next_marker_pos(data: bytes, p: int) -> int:
+    """First position at/after ``p`` holding a non-stuffing, non-restart
+    marker (the segment walker resumes there after a progressive scan)."""
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _comp_block_dims(frame, comp) -> tuple:
+    """(cbx, cby): the component's REAL block dimensions — what a
+    non-interleaved scan covers (padding blocks of the MCU grid are only
+    coded in interleaved scans, T.81 A.2.2/A.2.3)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _dc_first_unit(br, blk, dc_lut, al, pred, si):
+    s = br.decode_symbol(dc_lut)
+    diff = _extend(br.receive(s), s) if s else 0
+    pred[si] += diff
+    blk[0] = pred[si] << al
+
+
+def _dc_refine_unit(br, blk, al):
+    if br.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first_unit(br, blk, ac_lut, ss, se, al, eobrun) -> int:
+    """One block of an AC first scan (Ah=0). Returns the updated EOB run
+    (count of FURTHER all-zero-band blocks this entry covers)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(br, blk, ac_lut, ss, se, al, eobrun) -> int:
+    """One block of an AC refinement scan (Ah=Al+1) — T.81 G.1.2.3
+    decode side: newly-nonzero coefficients arrive as ±1·2^Al; every
+    already-nonzero coefficient in the band costs one correction bit."""
+    p1 = 1 << al
+
+    def correct(c: int) -> int:
+        if br.read_bit() and (abs(c) & p1) == 0:
+            return c + (p1 if c > 0 else -p1)
+        return c
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            if c != 0:
+                blk[k] = correct(c)
+        return eobrun - 1
+
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(ac_lut)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                # the EOB run starts here: finish THIS block's band with
+                # correction bits; the run count covers later blocks
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        blk[k] = correct(c)
+                    k += 1
+                return eobrun
+            # r == 15: ZRL — skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("refinement scan symbol must have size 1")
+            val = p1 if br.read_bit() else -p1
+        # advance over r zero-history positions, paying a correction bit
+        # at every nonzero-history coefficient passed over
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                blk[k] = correct(c)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val:
+            if k > se:
+                raise ValueError("refinement run past band end")
+            blk[k] = val
+        k += 1
+    return eobrun
+
+
+def _progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, restart_interval, prog
+) -> int:
+    """Decode one progressive SOS into the cross-scan coefficient stores.
+    Returns the byte position where entropy data ended (marker search
+    resumes there)."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (ss <= se <= 63):
+            raise ValueError("bad spectral band")
+    if ah not in (0, al + 1):
+        raise ValueError("bad successive approximation (Ah must be 0 or Al+1)")
+    if al > 13:
+        raise ValueError("bad successive approximation bit position")
+
+    comps = frame["comps"]
+    stores = prog["stores"]
+    mcus_x, mcus_y = prog["mcus_x"], prog["mcus_y"]
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    eobrun = 0
+
+    def at_restart(unit: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.restart()
+            pred[:] = [0] * len(scan)
+            eobrun = 0
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan over MCUs (the only multi-component kind)
+        plan = []  # (store, stride, comp_h, comp_v, si)
+        for si, (comp, td, _) in enumerate(scan):
+            ci = next(
+                i for i, c in enumerate(comps) if c["id"] == comp["id"]
+            )
+            lut = huff.get((0, td)) if ah == 0 else None
+            if ah == 0 and lut is None:
+                raise ValueError("missing Huffman table")
+            plan.append((stores[ci], mcus_x * comp["h"], comp, lut, si))
+        for m in range(mcus_x * mcus_y):
+            at_restart(m)
+            my, mx = divmod(m, mcus_x)
+            for store, bx, comp, lut, si in plan:
+                for v in range(comp["v"]):
+                    for hh in range(comp["h"]):
+                        blk = store[(my * comp["v"] + v) * bx + mx * comp["h"] + hh]
+                        if ah == 0:
+                            _dc_first_unit(br, blk, lut, al, pred, si)
+                        else:
+                            _dc_refine_unit(br, blk, al)
+    else:
+        comp, td, ta = scan[0]
+        ci = next(i for i, c in enumerate(comps) if c["id"] == comp["id"])
+        store = stores[ci]
+        bx = mcus_x * comp["h"]  # padded grid row stride
+        cbx, cby = _comp_block_dims(frame, comp)
+        if ss == 0:
+            lut = huff.get((0, td))
+            if ah == 0 and lut is None:
+                raise ValueError("missing Huffman table")
+        else:
+            lut = huff.get((1, ta))
+            if lut is None:
+                raise ValueError("missing Huffman table")
+        unit = 0
+        for bi in range(cby):
+            for bj in range(cbx):
+                at_restart(unit)
+                unit += 1
+                blk = store[bi * bx + bj]
+                if ss == 0:
+                    if ah == 0:
+                        _dc_first_unit(br, blk, lut, al, pred, 0)
+                    else:
+                        _dc_refine_unit(br, blk, al)
+                elif ah == 0:
+                    eobrun = _ac_first_unit(br, blk, lut, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_unit(br, blk, lut, ss, se, al, eobrun)
+    prog["n_scans"] += 1
+    return br.pos

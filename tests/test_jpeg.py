@@ -84,12 +84,20 @@ class TestErrors:
             with pytest.raises(ValueError):
                 decode_jpeg(jb[:cut])
 
-    def test_progressive_rejected(self):
-        # flip the SOF0 marker (FFC0) to SOF2 (FFC2) — decoder must refuse
-        jb = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    def test_unsupported_processes_rejected(self):
+        # arithmetic-coded (SOF9) and lossless (SOF3) must refuse; a
+        # baseline stream relabeled SOF2 fails progressive scan checks
+        # (its SOS carries Se=63 on a multi-component scan)
+        for sof in (0xC9, 0xC3, 0xCA):
+            jb = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+            i = jb.find(b"\xff\xc0")
+            jb[i + 1] = sof
+            with pytest.raises(ValueError, match="baseline and progressive"):
+                decode_jpeg(bytes(jb))
+        jb = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
         i = jb.find(b"\xff\xc0")
         jb[i + 1] = 0xC2
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(jb))
 
     def test_encoder_input_validation(self):
@@ -212,3 +220,125 @@ class TestHostileHeaders:
         jb = encode_jpeg(np.zeros((16, 16), dtype=np.uint8), quality=80)
         with pytest.raises(ValueError, match="entropy data too short"):
             decode_jpeg(self._patch_sof_dims(jb, 4000, 4000))
+
+
+class TestProgressive:
+    """T.81 Annex G progressive path. A progressive file encodes the SAME
+    quantized coefficients as its baseline twin, so decoded pixels must be
+    bitwise identical — the round-trip identity asserted throughout."""
+
+    def test_gray_matches_baseline_twin(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        img = np.clip(
+            np.add.outer(np.arange(24) * 8, np.arange(40) * 3), 0, 255
+        ).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=80))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=80))
+        assert np.array_equal(base, prog)
+
+    def test_rgb_matches_baseline_twin(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        img = _smooth_rgb(33, 47, seed=3)
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+        assert np.array_equal(base, prog)
+
+    def test_spectral_selection_only_script(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        img = _smooth_rgb(16, 24, seed=9)
+        script = [("all", 0, 0, 0, 0), ("each", 1, 20, 0, 0), ("each", 21, 63, 0, 0)]
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=90, script=script))
+        assert np.array_equal(base, prog)
+
+    def test_eobrun_batching_on_flat_image(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        # flat image → all-zero AC bands → long EOB runs across blocks
+        img = np.full((64, 64), 130, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=75))
+        jb = encode_jpeg_progressive(img, quality=75)
+        assert np.array_equal(base, decode_jpeg(jb))
+
+    def test_restart_markers_in_progressive_scans(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        img = _smooth_rgb(32, 32, seed=5)
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, restart_interval=3)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_subsampled_420_scripts_agree(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        # 4:2:0 exercises the non-interleaved grid stride (padded row
+        # stride != component block width). Two structurally different
+        # scan scripts carry identical coefficients → identical pixels.
+        img = _smooth_rgb(35, 53, seed=11)
+        a = decode_jpeg(encode_jpeg_progressive(img, quality=85, subsample=True))
+        script = [("all", 0, 0, 0, 0), ("each", 1, 63, 0, 0)]
+        b = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsample=True, script=script)
+        )
+        assert a.shape == img.shape
+        assert np.array_equal(a, b)
+        # luma must not pay for chroma subsampling: Y-plane fidelity of
+        # the 4:2:0 decode matches the 4:4:4 baseline within 0.2 dB
+        # (chroma legitimately loses detail to the 2x2 box filter)
+        def luma(x):
+            x = x.astype(np.float64)
+            return 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+
+        base444 = decode_jpeg(encode_jpeg(img, quality=85))
+        y420 = _psnr(luma(img), luma(a))
+        y444 = _psnr(luma(img), luma(base444))
+        assert abs(y420 - y444) < 0.2, (y420, y444)
+        assert _psnr(img.astype(np.float64), a.astype(np.float64)) > 19.0
+
+    def test_odd_dims_and_single_block(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        for shape in [(7, 5), (8, 8), (9, 17)]:
+            img = (np.arange(shape[0] * shape[1]) % 251).astype(np.uint8).reshape(shape)
+            base = decode_jpeg(encode_jpeg(img, quality=92))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=92))
+            assert np.array_equal(base, prog), shape
+
+    def test_decode_image_pixels_routes_progressive_natively(self, spark):
+        from edspdf_spark.functions.multimodal import decode_image_pixels
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        img = _smooth_rgb(16, 16, seed=2)
+        jb = encode_jpeg_progressive(img, quality=90)
+        df = spark.createDataFrame(
+            [("a", bytearray(jb))], "doc_id string, media binary"
+        )
+        row = decode_image_pixels(df, "media").collect()[0]
+        assert row["codec"] == "jpeg"
+        assert (row["px_h"], row["px_w"], row["px_c"]) == (16, 16, 3)
+        got = np.frombuffer(bytes(row["pixels"]), dtype=np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(got, decode_jpeg(jb))
+
+    def test_bit_flips_in_progressive_stream_stay_valueerror_or_decode(self):
+        import numpy as np
+
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        img = _smooth_rgb(16, 16, seed=4)
+        jb = bytearray(encode_jpeg_progressive(img, quality=80))
+        rng = np.random.default_rng(17)
+        for trial in range(150):
+            mutated = bytearray(jb)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(2, len(jb)))
+                mutated[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out = decode_jpeg(bytes(mutated))
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass

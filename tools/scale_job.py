@@ -35,6 +35,9 @@ def main():
             # failures killed whole runs and inflated hi-level dispersion);
             # a real 32-core executor would be provisioned with far more.
             "spark.driver.memory": os.environ.get("SCALE_DRIVER_MEMORY", "48g"),
+            # config experiments (saturated-pair tuning): JSON dict of
+            # extra spark confs, e.g. '{"spark.sql.execution.arrow.maxRecordsPerBatch":"8192"}'
+            **json.loads(os.environ.get("SCALE_EXTRA_CONF", "{}")),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
