@@ -474,6 +474,16 @@ def update_cdx(
     )
     known = existing_cdx.select(F.col("filename").alias("path")).distinct()
     new_files = files.join(F.broadcast(known), on="path", how="left_anti")
+    # Driver-side collect, deliberately: the result is SHARD-cardinality
+    # (one ~200-byte path per ~1 GB shard — ~10⁵ rows / ~20 MB for a full
+    # Common Crawl dump; the corpus would have to reach ~10 ZB before
+    # this list pressured a driver heap). Folding the anti-join into the
+    # content scan instead would make the binaryFile source materialize
+    # every OLD shard's bytes just to drop the row — an anti-join is not
+    # a pushable metadata filter, while an explicit path list prunes at
+    # file-listing time. The collect trades 20 MB on the driver for not
+    # re-reading the already-indexed corpus; at 10^12-document scale
+    # that is the right trade by ~6 orders of magnitude.
     new_names = [r["path"] for r in new_files.collect()]
     if not new_names:
         return existing_cdx
