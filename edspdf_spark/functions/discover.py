@@ -169,7 +169,16 @@ def walk_sitemap_tree(
         if depth == max_depth - 1 or children.isEmpty():
             break
         level = fetch(children)
-        if level is None or level.isEmpty():
+        if level is None:
+            break
+        # pin the fetch result: several actions consume `level` below
+        # (emptiness probes, the visited union, next round's parse), and
+        # without a checkpoint each would re-execute the fetch layer —
+        # re-downloading every sitemap ~5x per level in an HTTP fetch,
+        # and letting a non-deterministic fetch feed DIFFERENT rows to
+        # the visited set than to the parser
+        level = level.localCheckpoint()
+        if level.isEmpty():
             break
         # a fetch layer may key its results by redirect-RESOLVED URLs
         # rather than the requested ones; those resolved locations were

@@ -567,8 +567,7 @@ def encode_jpeg_progressive(
         coefs.append(
             _encode_plane_blocks(pad, qts[0 if ci == 0 else 1]).astype(np.int64)
         )
-        cbx = -(-(-(-w * hs // hmax)) // 8)
-        cby = -(-(-(-h * vs // vmax)) // 8)
+        cbx, cby = _block_dims(w, h, hs, vs, hmax, vmax)
         grid.append((bxp, byp, cbx, cby))
 
     dc_tab = _huff_codes(*_DC_PROG)
@@ -753,12 +752,13 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """Baseline JPEG bytes → uint8 ndarray (H, W) or (H, W, 3).
+    """JPEG bytes → uint8 ndarray (H, W) or (H, W, 3).
 
-    Supports SOF0 (baseline sequential Huffman), 8-bit, 1 or 3
-    components, sampling factors 1–2, DRI/RSTn, 0xFF00 stuffing.
-    Everything else (progressive SOF2, arithmetic, 12-bit, CMYK)
-    raises ``ValueError``.
+    Supports SOF0/1 (baseline sequential Huffman) AND SOF2 (progressive
+    Huffman, full Annex G: spectral selection, successive approximation,
+    EOB runs), 8-bit, 1 or 3 components, sampling factors 1–2, DRI/RSTn,
+    fill bytes, 0xFF00 stuffing. Everything else (arithmetic coding,
+    lossless/hierarchical, 12-bit, CMYK) raises ``ValueError``.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -774,6 +774,9 @@ def decode_jpeg(data: bytes):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
@@ -809,7 +812,7 @@ def decode_jpeg(data: bytes):
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-ish)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -824,23 +827,7 @@ def decode_jpeg(data: bytes):
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise ValueError(f"sampling factors {hs}x{vs} unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:  # SOF2 — progressive DCT, Huffman
-            if len(body) < 6:
-                raise ValueError("truncated SOF segment")
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise ValueError(f"{prec}-bit precision unsupported")
-            if nc not in (1, 3):
-                raise ValueError(f"{nc}-component JPEG unsupported")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                hs, vs = hv >> 4, hv & 0x0F
-                if not (1 <= hs <= 2 and 1 <= vs <= 2):
-                    raise ValueError(f"sampling factors {hs}x{vs} unsupported")
-                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "only baseline and progressive Huffman JPEG are supported"
@@ -1034,16 +1021,32 @@ def _prog_state(frame) -> dict:
         np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64), dtype=np.int32)
         for c in frame["comps"]
     ]
-    return {"stores": stores, "mcus_x": mcus_x, "mcus_y": mcus_y, "n_scans": 0}
+    return {
+        "stores": stores,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "n_scans": 0,
+        "dc_done": set(),  # component ids whose DC-first scan has decoded
+    }
+
+
+#: Scan-count ceiling for progressive files (libjpeg allows 100; real
+#: encoders emit ~10). Bounds the per-scan block loops a crafted file
+#: with cheap EOB-run-only scans could otherwise drive.
+MAX_PROGRESSIVE_SCANS = 128
 
 
 def _next_marker_pos(data: bytes, p: int) -> int:
     """First position at/after ``p`` holding a non-stuffing, non-restart
-    marker (the segment walker resumes there after a progressive scan)."""
+    marker (the segment walker resumes there after a progressive scan).
+    Runs of 0xFF are legal fill bytes before a marker (T.81 B.1.1.2);
+    the position returned points at the LAST 0xFF of the run so the
+    walker reads the true marker byte, never a fill 0xFF as a marker."""
     while p + 1 < len(data):
         if (
             data[p] == 0xFF
             and data[p + 1] != 0x00
+            and data[p + 1] != 0xFF
             and not (0xD0 <= data[p + 1] <= 0xD7)
         ):
             return p
@@ -1051,15 +1054,22 @@ def _next_marker_pos(data: bytes, p: int) -> int:
     return len(data)
 
 
+def _block_dims(w: int, h: int, hs: int, vs: int, hmax: int, vmax: int) -> tuple:
+    """(cbx, cby): a component's REAL block dimensions per T.81 A.1.1 —
+    what a non-interleaved scan covers (padding blocks of the MCU grid
+    are only coded in interleaved scans, T.81 A.2.2/A.2.3). Shared by
+    encoder and decoder: the two sides must agree bit-for-bit."""
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
 def _comp_block_dims(frame, comp) -> tuple:
-    """(cbx, cby): the component's REAL block dimensions — what a
-    non-interleaved scan covers (padding blocks of the MCU grid are only
-    coded in interleaved scans, T.81 A.2.2/A.2.3)."""
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    cw = -(-frame["w"] * comp["h"] // hmax)
-    ch = -(-frame["h"] * comp["v"] // vmax)
-    return -(-cw // 8), -(-ch // 8)
+    return _block_dims(
+        frame["w"], frame["h"], comp["h"], comp["v"], hmax, vmax
+    )
 
 
 def _dc_first_unit(br, blk, dc_lut, al, pred, si):
@@ -1111,6 +1121,12 @@ def _ac_refine_unit(br, blk, ac_lut, ss, se, al, eobrun) -> int:
         return c
 
     if eobrun > 0:
+        # fast path: a block with an all-zero band costs no bits under an
+        # EOB run — skip the per-coefficient Python loop (bounds hostile
+        # EOBn-heavy streams to numpy-check cost per block)
+        band = blk[ss : se + 1]
+        if not band.any():
+            return eobrun - 1
         for k in range(ss, se + 1):
             c = int(blk[k])
             if c != 0:
@@ -1177,10 +1193,37 @@ def _progressive_scan(
         raise ValueError("bad successive approximation (Ah must be 0 or Al+1)")
     if al > 13:
         raise ValueError("bad successive approximation bit position")
+    if prog["n_scans"] >= MAX_PROGRESSIVE_SCANS:
+        raise ValueError("too many progressive scans")
 
     comps = frame["comps"]
     stores = prog["stores"]
     mcus_x, mcus_y = prog["mcus_x"], prog["mcus_y"]
+
+    # hostile-header plausibility (the sequential path's analogue in
+    # _decode_scan): T.81 G.1.1.1.1 requires a component's DC-first scan
+    # before any of its other scans, and a DC-first scan has no EOB-run
+    # batching — every block costs at least one entropy bit. So a forged
+    # header's declared block count must be backed by real bytes before
+    # any per-block Python loop starts; AC scans then only run on
+    # components that already paid that cost.
+    if ss == 0 and ah == 0:
+        n_scan_blocks = 0
+        for comp, _, _ in scan:
+            if len(scan) > 1:  # interleaved: the padded MCU grid is coded
+                n_scan_blocks += mcus_x * comp["h"] * mcus_y * comp["v"]
+            else:
+                cbx, cby = _comp_block_dims(frame, comp)
+                n_scan_blocks += cbx * cby
+        if n_scan_blocks > (len(data) - pos) * 8 + 8:
+            raise ValueError("entropy data too short for declared frame size")
+        prog["dc_done"].update(c["id"] for c, _, _ in scan)
+    else:
+        missing = [c["id"] for c, _, _ in scan if c["id"] not in prog["dc_done"]]
+        if missing:
+            raise ValueError(
+                "progressive scan before the component's DC-first scan"
+            )
     br = _BitReader(data, pos)
     pred = [0] * len(scan)
     eobrun = 0

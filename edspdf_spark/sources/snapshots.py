@@ -351,10 +351,15 @@ class SnapshotTable:
         retained = []
         v = self.current_version()
         while v != 0 and len(retained) < keep_last:
-            # ancestors beyond a previous expiry's retention are already
-            # gone from disk; a gap means the retained lineage ends here
-            # (keep_last larger than what survives must not raise)
-            if not os.path.exists(os.path.join(self.snap_dir, f"v{v}.json")):
+            # ANCESTORS beyond a previous expiry's retention are already
+            # gone from disk; a gap there means the retained lineage ends
+            # (keep_last larger than what survives must not raise). The
+            # HEAD snapshot is different: CURRENT pointing at a missing
+            # file is corruption, and proceeding would compute an empty
+            # keep-set and delete the whole table — let _snapshot raise.
+            if retained and not os.path.exists(
+                os.path.join(self.snap_dir, f"v{v}.json")
+            ):
                 break
             retained.append(v)
             v = self._snapshot(v).get("parent", 0)

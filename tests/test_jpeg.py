@@ -342,3 +342,59 @@ class TestProgressive:
                 assert out.dtype == np.uint8
             except ValueError:
                 pass
+
+
+class TestFillBytesAndProgressiveGuards:
+    def test_fill_bytes_between_progressive_scans(self):
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; real encoders pad with them. Decoded pixels must be
+        # IDENTICAL to the unpadded stream, not silently wrong.
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        img = _smooth_rgb(24, 24, seed=6)
+        jb = encode_jpeg_progressive(img, quality=85)
+        want = decode_jpeg(jb)
+        # insert fill bytes before EVERY SOS after the first
+        out = bytearray()
+        i = 0
+        seen_sos = 0
+        while i < len(jb) - 1:
+            if jb[i] == 0xFF and jb[i + 1] == 0xDA:
+                seen_sos += 1
+                if seen_sos > 1:
+                    out += b"\xff" * 3  # fill run
+            out.append(jb[i])
+            i += 1
+        out.append(jb[-1])
+        assert seen_sos > 1
+        got = decode_jpeg(bytes(out))
+        assert np.array_equal(want, got)
+
+    def test_fill_bytes_between_ordinary_segments(self):
+        jb = encode_jpeg(_smooth_rgb(16, 16), quality=80)
+        i = jb.find(b"\xff\xc0")
+        padded = jb[:i] + b"\xff\xff" + jb[i:]
+        assert np.array_equal(decode_jpeg(jb), decode_jpeg(padded))
+
+    def test_forged_progressive_dims_raise_before_block_loops(self):
+        import struct
+
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        jb = encode_jpeg_progressive(np.zeros((16, 16), dtype=np.uint8))
+        i = jb.find(b"\xff\xc2")
+        forged = jb[: i + 5] + struct.pack(">HH", 7000, 7000) + jb[i + 9 :]
+        with pytest.raises(ValueError, match="entropy data too short"):
+            decode_jpeg(forged)
+
+    def test_ac_scan_before_dc_first_raises(self):
+        from edspdf_spark.kernel.jpeg import encode_jpeg_progressive
+
+        # reorder the default script so an AC scan leads: spec-invalid
+        # (G.1.1.1.1), must refuse rather than decode garbage
+        script = [("each", 1, 63, 0, 0), ("all", 0, 0, 0, 0)]
+        jb = encode_jpeg_progressive(
+            np.zeros((8, 8), dtype=np.uint8), script=script
+        )
+        with pytest.raises(ValueError, match="DC-first"):
+            decode_jpeg(jb)

@@ -244,3 +244,18 @@ def test_expire_with_larger_keep_last_than_prior_expiry(spark, base):
     # new appends extend the retained lineage normally afterwards
     assert t.append(_df(spark, 10, 12), "b9") is True
     assert t.read().count() == 6
+
+
+def test_expire_with_missing_head_snapshot_raises_loudly(spark, base):
+    # CURRENT pointing at a missing snapshot file is corruption, not a
+    # lineage gap: expire must raise, NOT compute an empty keep-set and
+    # delete the whole table
+    t = SnapshotTable(spark, base)
+    t.append(_df(spark, 0, 5), "b0")
+    t.append(_df(spark, 5, 10), "b1")
+    head = t.current_version()
+    os.unlink(os.path.join(base, "snapshots", f"v{head}.json"))
+    with pytest.raises(FileNotFoundError):
+        t.expire_snapshots(keep_last=1, orphan_min_age_s=0.0)
+    # the surviving ancestor snapshot was not touched
+    assert t.read(version=head - 1).count() == 5
