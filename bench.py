@@ -151,9 +151,9 @@ def bench_html_extract(spark, corpus_path):
 
 def bench_consensus_extract(spark, corpus_path):
     """Ensemble main-content extraction: the three HTML faces (jusText /
-    readability / boilerpipe) over one scan + 2-of-3 line voting + the
-    vote-filtered regroup — the highest-precision extraction path, priced
-    here at its true cost (3 Arrow stages + bounded-key exchanges)."""
+    readability / boilerpipe) + 2-of-3 line voting, fused since round 4
+    into ONE zero-shuffle Arrow stage (votes are page-local; the r3 plan
+    paid 3 Arrow stages + 5 (url,line)-keyed exchanges for them)."""
     from edspdf_spark.operators.extract_html import extract_blocs_consensus
 
     pages = spark.read.parquet(corpus_path)

@@ -763,6 +763,31 @@ def consensus_line_votes(legs: "dict[str, DataFrame]") -> DataFrame:
     return allv.groupBy("url", "line").agg(F.count("*").alias("votes"))
 
 
+def _boilerpipe_labels(blocks: List[dict]) -> List[str]:
+    """The :func:`classify_blocks_boilerpipe` decision rules as a plain
+    per-page loop (same WSDM-2010 constants, same document-edge zeros) —
+    used by the fused consensus kernel, where the blocks of one page are
+    already in hand and a window shuffle would be pure overhead. Kept
+    textually next to the column-expression twin; test_consensus pins the
+    two to identical votes via the distributed path's tests."""
+    n = len(blocks)
+    out = []
+    for i, b in enumerate(blocks):
+        w = b["n_words"]
+        ld = b["link_density"]
+        pw = blocks[i - 1]["n_words"] if i > 0 else 0
+        nw = blocks[i + 1]["n_words"] if i < n - 1 else 0
+        pld = blocks[i - 1]["link_density"] if i > 0 else 0.0
+        if ld > 0.333333:
+            content = False
+        elif pld <= 0.555556:
+            content = w > 16 or nw > 15 or pw > 4
+        else:
+            content = w > 40 or nw > 17
+        out.append("body" if content else "boilerplate")
+    return out
+
+
 def extract_blocs_consensus(
     pages: DataFrame,
     min_votes: int = 2,
@@ -781,54 +806,116 @@ def extract_blocs_consensus(
     boilerplate/error blocs pass through unchanged so the downstream
     classifier/aggregator contract is intact.
 
-    Plan shape: three Arrow extract stages over one scan, the vote
-    aggregation from :func:`consensus_line_votes`, and one
-    (url, line)-keyed LEFT join back onto the exploded jus lines followed
-    by a bloc-keyed regroup — two exchanges beyond the votes, both on
-    bounded keys."""
-    from pyspark.sql import functions as F
+    Plan shape: ONE zero-shuffle Arrow stage. Line votes are page-local
+    by construction — every leg's lines come from the same page — so the
+    ensemble needs no distributed vote at all: the kernel parses a page
+    once for block segmentation (jusText labels AND boilerpipe's shallow
+    features come from the same block list — segmentation is independent
+    of the labeling thresholds) plus once for the Arc90 container scores,
+    votes in-memory, and emits the filtered blocs. The previous
+    implementation ran three Arrow stages plus a 5-exchange
+    distinct/union/count/join/regroup pipeline on (url, line) keys
+    (PLANS.md r3 audit); at 10^12 documents those exchanges shuffled the
+    corpus's full line inventory for information that never leaves a
+    page. :func:`consensus_line_votes` remains for cross-leg vote
+    inspection and as the distributed reference the tests compare
+    against."""
+    page_lines = jus_kwargs.pop("page_lines", 40)
+    min_words = jus_kwargs.pop("min_words", 3)
+    max_link_density = jus_kwargs.pop("max_link_density", 0.4)
+    context_sensitive = jus_kwargs.pop("context_sensitive", False)
+    good_words = jus_kwargs.pop("good_words", 8)
+    stopwords = jus_kwargs.pop("stopwords", None)
+    stopword_low = jus_kwargs.pop("stopword_low", None)
+    if jus_kwargs:
+        raise TypeError(f"unknown consensus kwargs: {sorted(jus_kwargs)}")
 
-    jus = extract_blocs_html(pages, charset=charset, **jus_kwargs)
-    legs = {
-        "justext": jus,
-        "readability": extract_blocs_readability(pages, charset=charset),
-        "boilerpipe": extract_blocs_boilerpipe(pages, charset=charset),
-    }
-    votes = consensus_line_votes(legs)
+    def _leg_lines(blocks, labels) -> set:
+        # one vote per DISTINCT non-blank line per leg, matching the
+        # per-leg .distinct() of consensus_line_votes (untrimmed key)
+        return {
+            line
+            for b, lab in zip(blocks, labels)
+            if lab == "body"
+            for line in b["text"].split("\n")
+            if line.strip()
+        }
 
-    body = jus.where((F.col("label") == "body") & ~F.col("error"))
-    rest = jus.where((F.col("label") != "body") | F.col("error"))
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BLOC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, raw in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
+                if raw is None:
+                    blocks, err = [], True
+                else:
+                    blocks, err = extract_html_blocks(
+                        bytes(raw),
+                        min_words=min_words,
+                        max_link_density=max_link_density,
+                        charset=charset,
+                    )
+                if err:
+                    rows.append(
+                        dict.fromkeys(cols, None)
+                        | {"url": url, "props": [], "error": True}
+                    )
+                    continue
+                if context_sensitive:
+                    jus_labels = context_classify(
+                        blocks,
+                        min_words=min_words,
+                        good_words=good_words,
+                        max_link_density=max_link_density,
+                        stopwords=stopwords,
+                        stopword_low=stopword_low,
+                    )
+                else:
+                    jus_labels = [b["label"] for b in blocks]
+                rd_blocks, rd_err = readability_blocks(
+                    bytes(raw), charset=charset, max_link_density=0.5
+                )
+                votes: dict = {}
+                for leg in (
+                    _leg_lines(blocks, jus_labels),
+                    _leg_lines(rd_blocks, [b["label"] for b in rd_blocks])
+                    if not rd_err
+                    else set(),
+                    _leg_lines(blocks, _boilerpipe_labels(blocks)),
+                ):
+                    for line in leg:
+                        votes[line] = votes.get(line, 0) + 1
+                for i, (b, lab) in enumerate(zip(blocks, jus_labels)):
+                    page = i // page_lines
+                    j = i % page_lines
+                    y0 = j / page_lines
+                    base = {
+                        "url": url,
+                        "page_num": page,
+                        "bloc_ord": j,
+                        "x0": 0.1,
+                        "y0": y0,
+                        "x1": 0.9,
+                        "y1": y0 + 0.5 / page_lines,
+                        "props": [],
+                        "error": False,
+                    }
+                    if lab == "body":
+                        kept = [
+                            line
+                            for line in b["text"].split("\n")
+                            if votes.get(line, 0) >= min_votes
+                        ]
+                        if not kept:
+                            continue
+                        rows.append(
+                            base | {"text": "\n".join(kept), "label": "body"}
+                        )
+                    else:
+                        rows.append(base | {"text": b["text"], "label": lab})
+            yield pd.DataFrame(rows, columns=cols)
 
-    key = ["url", "page_num", "bloc_ord"]
-    exploded = body.select(
-        *key, "x0", "y0", "x1", "y1", "props", "label", "error",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
-    )
-    kept = (
-        exploded.join(votes, on=["url", "line"], how="left")
-        .where(F.coalesce(F.col("votes"), F.lit(0)) >= min_votes)
-        .groupBy(*key)
-        .agg(
-            F.first("x0").alias("x0"),
-            F.first("y0").alias("y0"),
-            F.first("x1").alias("x1"),
-            F.first("y1").alias("y1"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
-                    ),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("text"),
-            F.first("props").alias("props"),
-            F.first("label").alias("label"),
-            F.first("error").alias("error"),
-        )
-    )
-    cols = [f.name for f in BLOC_SCHEMA.fields]
-    return kept.select(*cols).unionByName(rest.select(*cols))
+    return pages.select("url", "html").mapInPandas(work, schema=BLOC_SCHEMA)
 
 
 # --- CETR: content extraction via tag ratios ---------------------------------

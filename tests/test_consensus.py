@@ -92,3 +92,66 @@ def test_error_pages_pass_through(spark):
     )
     rows = extract_blocs_consensus(df, min_votes=2).collect()
     assert len(rows) == 1 and rows[0].error
+
+
+def test_fused_kernel_matches_distributed_votes(spark):
+    """The fused single-stage kernel must reproduce the distributed
+    reference exactly: every output body line has >= min_votes in
+    consensus_line_votes, and every jusText body line with enough votes
+    appears in the output (same blocs, same order, same text)."""
+    from edspdf_spark.operators.extract_html import (
+        extract_blocs_boilerpipe,
+        extract_blocs_html,
+        extract_blocs_readability,
+    )
+
+    pages_rows = [
+        ("p0", PAGE),
+        (
+            "p1",
+            (
+                "<html><nav><a href='/'>Menu</a> Home About</nav><article>"
+                "<p>A first real paragraph with plenty of ordinary words to "
+                "be counted as good body content by every face.</p>"
+                "<p>Read on</p>"
+                "<p>A second real paragraph, also long enough for all of the "
+                "extraction heuristics to keep it.</p></article>"
+                "<footer><a href='/p'>Privacy</a></footer></html>"
+            ).encode(),
+        ),
+        ("p2", b"no markup at all"),  # parse error page
+    ]
+    pages = spark.createDataFrame(pages_rows, "url string, html binary")
+    kw = dict(min_words=3, max_link_density=0.4, context_sensitive=True)
+
+    jus = extract_blocs_html(pages, **kw)
+    legs = {
+        "justext": jus,
+        "readability": extract_blocs_readability(pages),
+        "boilerpipe": extract_blocs_boilerpipe(pages),
+    }
+    votes = {
+        (r["url"], r["line"]): r["votes"]
+        for r in consensus_line_votes(legs).collect()
+    }
+    out = extract_blocs_consensus(pages, min_votes=2, **kw).collect()
+
+    # reference reconstruction from the jus leg + distributed votes
+    expected = []
+    for r in jus.collect():
+        if r.error:
+            expected.append((r.url, None, None, None, True))
+            continue
+        if r.label == "body":
+            kept = [
+                ln
+                for ln in r.text.split("\n")
+                if votes.get((r.url, ln), 0) >= 2
+            ]
+            if not kept:
+                continue
+            expected.append((r.url, r.page_num, r.bloc_ord, "\n".join(kept), False))
+        else:
+            expected.append((r.url, r.page_num, r.bloc_ord, r.text, False))
+    got = [(r.url, r.page_num, r.bloc_ord, r.text, r.error) for r in out]
+    assert sorted(got, key=str) == sorted(expected, key=str)

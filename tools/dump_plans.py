@@ -337,14 +337,18 @@ def main() -> None:
         ),
         (
             "consensus_extract (ensemble extraction path)",
-            "Three Arrow extraction faces over ONE shared page scan, "
-            "line-vote aggregation, and a vote-filtered regroup back onto "
-            "the jusText blocs. Expected: the three faces stay in the "
-            "scan's stage (pure mapInPandas, no exchange); the only "
-            "exchanges are keyed on (url, line) — the vote count and the "
-            "join back — plus the bloc-keyed regroup. All keys are bounded "
-            "by one document's line count; nothing is keyed finer, no "
-            "self-join of the corpus, no crossJoin.",
+            "Three extraction faces + 2-of-3 line voting FUSED into one "
+            "Arrow stage (round 4): line votes are page-local by "
+            "construction, so the ensemble needs no distributed vote — "
+            "the kernel parses each page twice (block segmentation, "
+            "shared by the jusText labels and boilerpipe's shallow "
+            "features, plus the Arc90 container scores), votes in-memory "
+            "and emits the filtered blocs. Expected: ONE scan, ONE "
+            "mapInPandas, ZERO exchanges (the r3 plan paid three Arrow "
+            "stages plus 5 (url,line)/bloc-keyed exchanges for the same "
+            "rows — byte-identity held by the html_boilerplate and "
+            "extraction_eval consensus oracles and the fused-vs-"
+            "distributed parity test in tests/test_consensus.py).",
             (lambda _f, _x: _x.extract_blocs_consensus(
                 _f.html_pages_from_documents(spark, SF_DIR),
                 min_votes=2,
