@@ -2918,8 +2918,21 @@ def _q_ann_indexed(spark, sf_dir):
     source, ``functions.similarity.mine_hard_negatives`` on its
     oracle-identical ``exact_expr`` kernel; the BLAS twin is
     parity-asserted in tests/test_hard_negatives.py). Each leg keeps its
-    own value-level oracle (4-way union)."""
-    from edspdf_spark.functions.similarity import mine_hard_negatives
+    own value-level oracle (5-way union).
+
+    The fifth leg drives the int8 storage path
+    (``quantize_embeddings_int8`` → ``dequantize_embeddings_int8``) over
+    every vector: ``rank`` carries a position-weighted integer checksum
+    of the DEQUANTIZED values (``Σ_j floor(q_j·scale·1e6 + 0.5)·j mod
+    2^31-1`` — exact-integer both sides, so any per-element code or
+    scale error flips it) and the overloaded ``vec_id`` column carries
+    the micro-quantized scale. The DuckDB oracle replays the documented
+    half-up quantization arithmetic element-by-element."""
+    from edspdf_spark.functions.similarity import (
+        dequantize_embeddings_int8,
+        mine_hard_negatives,
+        quantize_embeddings_int8,
+    )
 
     exact = _q_ann_cosine(spark, sf_dir).select(
         F.lit("exact").alias("method"), "query_id", "rank", "vec_id"
@@ -2941,7 +2954,26 @@ def _q_ann_indexed(spark, sf_dir):
     hardneg = mine_hard_negatives(
         emb, queries, pos, k=3, method="exact_expr"
     ).select(F.lit("hardneg").alias("method"), "query_id", "rank", "vec_id")
-    return exact.unionByName(lsh).unionByName(ivf).unionByName(hardneg)
+    qd = dequantize_embeddings_int8(quantize_embeddings_int8(emb), out_col="dq")
+    int8 = qd.select(
+        F.lit("int8").alias("method"),
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            "CAST(aggregate(zip_with(dq, sequence(1, size(dq)),"
+            " (x, i) -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT)"
+            " * CAST(i AS BIGINT)),"
+            " 0L, (a, x) -> a + x) % 2147483647 AS INT)"
+        ).alias("rank"),
+        F.floor(F.col("q_scale") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("vec_id"),
+    )
+    return (
+        exact.unionByName(lsh)
+        .unionByName(ivf)
+        .unionByName(hardneg)
+        .unionByName(int8)
+    )
 
 
 def _ann_indexed_oracle() -> str:
@@ -2983,6 +3015,29 @@ neg AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id FROM neg WHERE rank <= 3
 """
+    int8 = """
+WITH v8 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s8 AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v8
+),
+c8 AS (
+  SELECT vec_id, scale,
+         SUM(CAST(floor(
+               CASE WHEN scale > 0 THEN floor(v[i] / scale + 0.5) ELSE 0.0 END
+               * scale * 1000000.0 + 0.5) AS BIGINT) * i) AS chk
+  FROM s8, UNNEST(generate_series(1, len(v))) AS t(i)
+  GROUP BY vec_id, scale
+)
+SELECT vec_id AS query_id,
+       CAST(chk % 2147483647 AS INT) AS rank,
+       CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS vec_id
+FROM c8
+"""
     return f"""
 SELECT 'exact' AS method, query_id, rank, vec_id FROM ({_ann_cosine_oracle()})
 UNION ALL
@@ -2991,6 +3046,8 @@ UNION ALL
 SELECT 'ivf' AS method, query_id, rank, vec_id FROM ({_ivf_serve_oracle()})
 UNION ALL
 SELECT 'hardneg' AS method, query_id, rank, vec_id FROM ({hardneg})
+UNION ALL
+SELECT 'int8' AS method, query_id, rank, vec_id FROM ({int8})
 """
 
 
@@ -4289,6 +4346,59 @@ def _q_html_boilerplate(spark, sf_dir):
         F.lit("structure").alias("algo"),
     )
 
+    # --- web-table leg (extract_tables): even docs get one 3-row table
+    # with a <th> header row, entity cells (&amp;, &#39;) and the doc's
+    # own 12-char text slice; a commented-out ghost table must NOT parse.
+    # Odd docs get TWO tables (table_idx coverage) with uppercase tags
+    # and an attribute-laden cell. Ground-truth oracle (closed-form
+    # cells; the slice replays only the whitespace collapse).
+    from edspdf_spark.operators.extract_html import extract_tables
+
+    t_even = F.concat(
+        F.lit(
+            "<html><body><!-- <table><tr><td>ghost</td></tr></table> -->"
+            "<table class='data'><tr><th>Name</th><th>Qty &amp; Price</th>"
+            "</tr><tr><td>item "
+        ),
+        did_s,
+        F.lit("</td><td>"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td></tr><tr><td>"),
+        F.substring(F.col("text"), 1, 12),
+        F.lit("</td><td>x&#39;y</td></tr></table></body></html>"),
+    )
+    t_odd = F.concat(
+        F.lit("<TABLE><TR><TD class='a'>A "),
+        did_s,
+        F.lit(
+            "</TD><TD>B</TD></TR></TABLE><p>between</p>"
+            "<table><tr><td>only "
+        ),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    tb_pages = docs.select(
+        did_s.alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, t_even)
+        .otherwise(t_odd)
+        .cast("binary")
+        .alias("html"),
+    )
+    tb = extract_tables(tb_pages).select(
+        "url",
+        F.concat_ws(
+            ":",
+            F.lit("tbl"),
+            F.col("table_idx").cast("string"),
+            F.col("row_idx").cast("string"),
+            F.col("col_idx").cast("string"),
+        ).alias("label"),
+        F.concat_ws(
+            "|", F.col("is_header").cast("string"), F.col("cell")
+        ).alias("text"),
+        F.lit("tables").alias("algo"),
+    )
+
     return (
         jus.unionByName(rd)
         .unionByName(bp)
@@ -4308,6 +4418,7 @@ def _q_html_boilerplate(spark, sf_dir):
         .unionByName(pdd)
         .unionByName(li)
         .unionByName(cb)
+        .unionByName(tb)
     )
 
 
@@ -4711,6 +4822,47 @@ UNION ALL
 SELECT CAST(doc_id AS VARCHAR) AS url, 'code:0' AS label,
        '|call(' || CAST(doc_id % 5 AS VARCHAR) || ')' AS text,
        'structure' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+-- tables: even docs — th header row, entity cells, the doc's own
+-- 12-char slice; the commented-out ghost table must not parse
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:0:0' AS label,
+       'true|Name' AS text, 'tables' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:0:1' AS label,
+       'true|Qty & Price' AS text, 'tables' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:1:0' AS label,
+       'false|item ' || CAST(doc_id AS VARCHAR) AS text, 'tables' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:1:1' AS label,
+       'false|' || CAST(doc_id % 7 AS VARCHAR) AS text, 'tables' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:2:0' AS label,
+       'false|' || trim(regexp_replace(substr(text, 1, 12), '\\s+', ' ', 'g'))
+         AS text,
+       'tables' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:2:1' AS label,
+       'false|x''y' AS text, 'tables' AS algo
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+-- tables: odd docs — two tables, uppercase tags, attribute-laden cell
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:0:0' AS label,
+       'false|A ' || CAST(doc_id AS VARCHAR) AS text, 'tables' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:0:0:1' AS label,
+       'false|B' AS text, 'tables' AS algo
+FROM documents WHERE doc_id % 2 = 1
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url, 'tbl:1:0:0' AS label,
+       'false|only ' || CAST(doc_id % 5 AS VARCHAR) AS text, 'tables' AS algo
 FROM documents WHERE doc_id % 2 = 1
 """
 
