@@ -191,6 +191,22 @@ def _doc_to_html(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+def html_page_batch(pdf: pd.DataFrame, reps: int = 1) -> pd.DataFrame:
+    """Pandas-batch half of :func:`html_pages_from_documents` —
+    ``(doc_id, text)`` rows → ``(url, html)`` pages. Importable so
+    Arrow-stage consumers (``extract_blocs_consensus(page_builder=...)``)
+    can run the synthesis INSIDE their own stage instead of stacking a
+    second ``MapInPandas`` under it."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        for rep in range(reps):
+            did = int(r.doc_id) + rep * 1_000_000
+            rows.append(
+                {"url": f"web://{did:09d}", "html": _doc_to_html(did, r.text)}
+            )
+    return pd.DataFrame(rows, columns=["url", "html"])
+
+
 def html_pages_from_documents(spark, sf_dir: str, reps: int = 1):
     """documents table → (url, html) web-page corpus; ``reps`` replicates
     the texts under distinct urls for bench-scale workloads."""
@@ -198,14 +214,7 @@ def html_pages_from_documents(spark, sf_dir: str, reps: int = 1):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                for rep in range(reps):
-                    did = int(r.doc_id) + rep * 1_000_000
-                    rows.append(
-                        {"url": f"web://{did:09d}", "html": _doc_to_html(did, r.text)}
-                    )
-            yield pd.DataFrame(rows, columns=["url", "html"])
+            yield html_page_batch(pdf, reps)
 
     return docs.mapInPandas(gen, schema="url string, html binary")
 

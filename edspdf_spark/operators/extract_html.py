@@ -792,6 +792,7 @@ def extract_blocs_consensus(
     pages: DataFrame,
     min_votes: int = 2,
     charset: str = "utf-8",
+    page_builder=None,
     **jus_kwargs,
 ) -> DataFrame:
     """Ensemble main-content extraction: run the three HTML faces
@@ -819,7 +820,17 @@ def extract_blocs_consensus(
     corpus's full line inventory for information that never leaves a
     page. :func:`consensus_line_votes` remains for cross-leg vote
     inspection and as the distributed reference the tests compare
-    against."""
+    against.
+
+    ``page_builder`` (optional): a pandas-batch hook ``pd.DataFrame →
+    pd.DataFrame(url, html)`` applied INSIDE the Arrow stage before the
+    consensus kernel, so callers that synthesize pages from another
+    relation (e.g. the harness's documents→html adapter) fuse into the
+    same single ``MapInPandas`` instead of stacking two Arrow stages
+    back-to-back (one avoidable Arrow serialization round per batch).
+    When given, ``pages`` is consumed with whatever columns the builder
+    expects; output parity with the two-stage path is asserted in
+    tests/test_consensus.py."""
     page_lines = jus_kwargs.pop("page_lines", 40)
     min_words = jus_kwargs.pop("min_words", 3)
     max_link_density = jus_kwargs.pop("max_link_density", 0.4)
@@ -844,6 +855,8 @@ def extract_blocs_consensus(
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in BLOC_SCHEMA.fields]
         for pdf in batches:
+            if page_builder is not None:
+                pdf = page_builder(pdf)
             rows = []
             for url, raw in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
                 if raw is None:
@@ -915,7 +928,8 @@ def extract_blocs_consensus(
                         rows.append(base | {"text": b["text"], "label": lab})
             yield pd.DataFrame(rows, columns=cols)
 
-    return pages.select("url", "html").mapInPandas(work, schema=BLOC_SCHEMA)
+    src = pages if page_builder is not None else pages.select("url", "html")
+    return src.mapInPandas(work, schema=BLOC_SCHEMA)
 
 
 # --- CETR: content extraction via tag ratios ---------------------------------

@@ -155,3 +155,38 @@ def test_fused_kernel_matches_distributed_votes(spark):
             expected.append((r.url, r.page_num, r.bloc_ord, r.text, False))
     got = [(r.url, r.page_num, r.bloc_ord, r.text, r.error) for r in out]
     assert sorted(got, key=str) == sorted(expected, key=str)
+
+
+def test_page_builder_fuses_synthesis_into_one_arrow_stage(spark):
+    """page_builder runs the documents→html synthesis INSIDE the
+    consensus kernel's Arrow stage: output is row-identical to the
+    two-stage (separate mapInPandas) path, and the fused plan contains
+    exactly ONE MapInPandas node."""
+    import pandas as pd
+
+    from edspdf_spark.fixtures import html_page_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * 30 + "plenty of ordinary body words here")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    kw = dict(min_votes=2, min_words=3, max_link_density=0.4,
+              context_sensitive=True)
+
+    def synth(batches):
+        for pdf in batches:
+            yield html_page_batch(pdf)
+
+    two_stage = extract_blocs_consensus(
+        docs.mapInPandas(synth, "url string, html binary"), **kw
+    )
+    fused = extract_blocs_consensus(docs, page_builder=html_page_batch, **kw)
+
+    key = lambda r: (r.url, r.page_num, r.bloc_ord, r.text, r.label, r.error)
+    assert sorted(map(key, fused.collect())) == sorted(
+        map(key, two_stage.collect())
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan

@@ -343,16 +343,22 @@ def main() -> None:
             "the kernel parses each page twice (block segmentation, "
             "shared by the jusText labels and boilerpipe's shallow "
             "features, plus the Arc90 container scores), votes in-memory "
-            "and emits the filtered blocs. Expected: ONE scan, ONE "
+            "and emits the filtered blocs. The harness's documents→html "
+            "page synthesis rides the SAME stage via page_builder (round "
+            "5 — the r4 driver-path plan stacked a second MapInPandas "
+            "under the kernel for it). Expected: ONE scan, ONE "
             "mapInPandas, ZERO exchanges (the r3 plan paid three Arrow "
             "stages plus 5 (url,line)/bloc-keyed exchanges for the same "
             "rows — byte-identity held by the html_boilerplate and "
             "extraction_eval consensus oracles and the fused-vs-"
             "distributed parity test in tests/test_consensus.py).",
             (lambda _f, _x: _x.extract_blocs_consensus(
-                _f.html_pages_from_documents(spark, SF_DIR),
+                spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                    "doc_id", "text"
+                ),
                 min_votes=2,
                 context_sensitive=True,
+                page_builder=_f.html_page_batch,
             ))(
                 __import__("edspdf_spark.fixtures", fromlist=["x"]),
                 __import__(
