@@ -24,11 +24,15 @@ so the whole downstream kernel (style fold, y-flip normalization, bounds
 filter, fuzzy reading-order sort) is shared with the synthetic-payload
 path and stays byte-identical to the reference semantics.
 
-Scope: no encryption, no Type3/Type1-embedded glyph metrics beyond
-/Widths, no CMaps other than Identity-H/V, no inline-image content, no
-page rotation ≠ 0/90/180/270. Out-of-scope constructs raise
-:class:`PdfParseError`, which the extractor maps to ``error=True`` exactly
-like the reference maps ``PDFException`` (pdfminer.py:130-135).
+Scope: RC4 encryption with an EMPTY user password (standard security
+handler V1/V2, revision 2/3 — the common viewer-restriction case) is
+decrypted transparently; AES or real-password files raise. Inline-image
+content (``BI…ID…EI``) is skipped by the content tokenizer without
+losing the surrounding text operators. Still out of scope:
+Type3/Type1-embedded glyph metrics beyond /Widths, CMaps other than
+Identity-H/V, page rotation ≠ 0/90/180/270. Out-of-scope constructs
+raise :class:`PdfParseError`, which the extractor maps to ``error=True``
+exactly like the reference maps ``PDFException`` (pdfminer.py:130-135).
 """
 
 from __future__ import annotations
@@ -317,6 +321,65 @@ def _apply_filters(raw: bytes, d: dict, resolve) -> bytes:
 _OBJ_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
 _TRAILER_RE = re.compile(rb"trailer")
 
+# PDF 32000-1 §7.6.3.3 password padding string (public spec constant)
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (public algorithm) — used only to open the standard
+    security handler's empty-user-password files."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for t, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[t] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o_entry: bytes, p: int, file_id: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 2: file encryption key from the (empty) user password."""
+    import hashlib
+
+    padded = (password + _PW_PAD)[:32]
+    h = hashlib.md5(
+        padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    ).digest()
+    key = h[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()[:n]
+    return key
+
+
+def _check_user_password(key: bytes, u_entry: bytes, file_id: bytes, r: int) -> bool:
+    """Algorithms 4 (R2) / 5 (R3): does ``key`` open the file — i.e. was
+    it derived from the real (empty) user password?"""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PW_PAD) == u_entry[:32]
+    x = _rc4(key, hashlib.md5(_PW_PAD + file_id).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == u_entry[:16]
+
 
 class PdfDocument:
     def __init__(self, data: bytes):
@@ -324,8 +387,10 @@ class PdfDocument:
             raise PdfParseError("missing %PDF- header")
         self.data = data
         self.objs: Dict[int, object] = {}
+        self._gens: Dict[int, int] = {}
         self._font_cache: Dict[int, "_Font"] = {}
         self._scan()
+        self._decrypt_if_needed()
         self._expand_object_streams()
         self.root = self._find_root()
 
@@ -354,6 +419,7 @@ class PdfDocument:
             if m.start() > 0 and data[m.start() - 1 : m.start()].isdigit():
                 continue
             num = int(m.group(1))
+            self._gens[num] = int(m.group(2))
             try:
                 val, pos = parse_value(data, m.end())
             except PdfParseError:
@@ -371,6 +437,80 @@ class PdfDocument:
             else:
                 covered = pos
             self.objs[num] = val
+
+    # -- encryption (standard security handler, RC4, empty user password) --
+    def _encrypt_dict(self):
+        """The /Encrypt dict + first file ID from the LAST trailer that
+        carries one (classic ``trailer`` keyword or an XRef-stream dict)."""
+        enc_ref, file_id = None, b""
+        for m in _TRAILER_RE.finditer(self.data):
+            try:
+                d, _ = parse_value(self.data, m.end())
+            except PdfParseError:
+                continue
+            if isinstance(d, dict) and "Encrypt" in d:
+                enc_ref = d["Encrypt"]
+                ids = d.get("ID")
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    file_id = ids[0]
+        if enc_ref is None:
+            for v in self.objs.values():
+                d = v.dict if isinstance(v, StreamObj) else v
+                if isinstance(d, dict) and d.get("Type") == "XRef" and "Encrypt" in d:
+                    enc_ref = d["Encrypt"]
+                    ids = d.get("ID")
+                    if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                        file_id = ids[0]
+        if enc_ref is None:
+            return None, b""
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfParseError("unresolvable /Encrypt dictionary")
+        return enc, file_id
+
+    def _decrypt_if_needed(self) -> None:
+        """Standard security handler (PDF 32000-1 §7.6.3), RC4 V1/V2,
+        revision 2/3, EMPTY user password — the overwhelmingly common
+        "encrypted but openable by anyone" crawl case (viewer-restriction
+        PDFs). Derives the file key from /O + /P + /ID (Algorithm 2),
+        verifies the empty user password against /U (Algorithms 4/5), then
+        RC4-decrypts every stream in place with its per-object key
+        (Algorithm 1) so the rest of the parser never knows the file was
+        encrypted. AES (/V 4+ or /R 4+) and real-password files raise
+        :class:`PdfParseError` → ``error=True``, the declared-gap path."""
+        enc, file_id = self._encrypt_dict()
+        if enc is None:
+            return
+        if self.resolve(enc.get("Filter")) != "Standard":
+            raise PdfParseError("unsupported encryption filter")
+        v = int(self.resolve(enc.get("V", 0)) or 0)
+        r = int(self.resolve(enc.get("R", 0)) or 0)
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfParseError(f"unsupported encryption V={v} R={r} (AES?)")
+        o_entry = self.resolve(enc.get("O"))
+        u_entry = self.resolve(enc.get("U"))
+        p = int(self.resolve(enc.get("P", -1)))
+        if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
+            raise PdfParseError("malformed /Encrypt dictionary")
+        n = 5 if r == 2 else max(5, int(self.resolve(enc.get("Length", 40))) // 8)
+        key = _std_file_key(b"", o_entry, p, file_id, r, n)
+        if not _check_user_password(key, u_entry, file_id, r):
+            raise PdfParseError("encrypted with a non-empty user password")
+        import hashlib
+
+        enc_id = id(enc)
+        for num, val in self.objs.items():
+            if not isinstance(val, StreamObj):
+                continue
+            d = val.dict
+            # XRef streams are never encrypted; skip the Encrypt dict too
+            if d.get("Type") == "XRef" or id(d) == enc_id:
+                continue
+            gen = self._gens.get(num, 0)
+            okey = hashlib.md5(
+                key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            ).digest()[: min(n + 5, 16)]
+            val.raw = _rc4(okey, val.raw)
 
     def _stream_extent(self, d: dict, start: int) -> Tuple[bytes, int]:
         data = self.data

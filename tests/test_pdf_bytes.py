@@ -491,3 +491,158 @@ def test_q_restores_text_state():
     a = parse_pdf(base)
     b = parse_pdf(wrapped)
     assert a[1] and a == b
+
+
+# --- encrypted / inline-image corpus-resilience fixtures ---------------------
+# Independent test-side RC4 + key-schedule implementation (PDF 32000-1
+# §7.6.3, public spec) so the fixtures don't certify the kernel with its
+# own code.
+
+_TPAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _t_rc4(key, data):
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _encrypted_pdf(content: bytes, r: int = 3, user_pw: bytes = b"") -> bytes:
+    """The `_raw_pdf` document, RC4-encrypted per the standard security
+    handler (revision ``r`` ∈ {2, 3}) with owner-restriction-only
+    permissions: user password ``user_pw`` (empty = openable by anyone)."""
+    import hashlib
+    import struct
+    import zlib
+
+    file_id = bytes(range(16))
+    o_entry = bytes(range(32, 64))  # arbitrary: owner pw never validated
+    p = -44
+    n = 5 if r == 2 else 16
+    length = 40 if r == 2 else 128
+
+    padded = (user_pw + _TPAD)[:32]
+    key = hashlib.md5(
+        padded + o_entry + struct.pack("<i", p) + file_id
+    ).digest()[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()[:n]
+    if r == 2:
+        u_entry = _t_rc4(key, _TPAD)
+    else:
+        x = _t_rc4(key, hashlib.md5(_TPAD + file_id).digest())
+        for i in range(1, 20):
+            x = _t_rc4(bytes(b ^ i for b in key), x)
+        u_entry = x + b"\x00" * 16
+
+    def objkey(num):
+        return hashlib.md5(
+            key + num.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[: min(n + 5, 16)]
+
+    comp = _t_rc4(objkey(1), zlib.compress(content))
+    tou = _t_rc4(
+        objkey(4),
+        zlib.compress(b"1 beginbfrange <0000> <FFFF> <0000> endbfrange"),
+    )
+    hx = lambda b: b"<" + b.hex().encode() + b">"
+    objs = [
+        b"<</Filter/FlateDecode/Length %d>>\nstream\n%s\nendstream" % (len(comp), comp),
+        b"<</Type/FontDescriptor/FontName/F/Flags 4/FontBBox[0 -200 500 800]"
+        b"/ItalicAngle 0/Ascent 800/Descent -200/StemV 80>>",
+        b"<</Type/Font/Subtype/CIDFontType2/BaseFont/F"
+        b"/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>"
+        b"/FontDescriptor 2 0 R/DW 500/CIDToGIDMap/Identity>>",
+        b"<</Filter/FlateDecode/Length %d>>\nstream\n%s\nendstream" % (len(tou), tou),
+        b"<</Type/Font/Subtype/Type0/BaseFont/F/Encoding/Identity-H"
+        b"/DescendantFonts[3 0 R]/ToUnicode 4 0 R>>",
+        b"<</Type/Page/Parent 7 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 1 0 R>>",
+        b"<</Type/Pages/Kids[6 0 R]/Count 1>>",
+        b"<</Type/Catalog/Pages 7 0 R>>",
+        b"<</Filter/Standard/V %d/R %d/Length %d/P %d/O %s/U %s>>"
+        % (1 if r == 2 else 2, r, length, p, hx(o_entry), hx(u_entry)),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = [0]
+    for i, b in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + b + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<</Size %d/Root 8 0 R/Encrypt 9 0 R/ID[%s %s]>>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, hx(file_id), hx(file_id), xref)
+    )
+    return bytes(out)
+
+
+_ENC_CONTENT = b"BT /F1 10 Tf 1 0 0 1 100 700 Tm <00480069> Tj ET"
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_rc4_empty_password_pdf_extracts_text(r):
+    """An RC4-encrypted viewer-restriction PDF (empty user password, the
+    common crawl case) must extract the SAME text as its unencrypted
+    twin instead of dying to error=True."""
+    from edspdf_spark.kernel.pdf import parse_pdf
+
+    plain = parse_pdf(_raw_pdf(_ENC_CONTENT))
+    enc = parse_pdf(_encrypted_pdf(_ENC_CONTENT, r=r))
+    assert enc == plain
+    assert "".join(t for ln in enc[1] for _, _, t in ln[5]) == "Hi"
+
+
+def test_rc4_real_password_pdf_stays_declared_gap():
+    """A REAL user password can't be opened — must raise PdfParseError
+    (→ error=True downstream), never emit garbage text."""
+    from edspdf_spark.kernel.pdf import PdfParseError, parse_pdf
+
+    with pytest.raises(PdfParseError, match="password"):
+        parse_pdf(_encrypted_pdf(_ENC_CONTENT, r=3, user_pw=b"secret"))
+
+
+def test_aes_encrypted_pdf_stays_declared_gap():
+    """AES (/V 4 /R 4) stays a declared gap: raise, don't garble."""
+    from edspdf_spark.kernel.pdf import PdfParseError, parse_pdf
+
+    data = _encrypted_pdf(_ENC_CONTENT, r=3).replace(
+        b"/V 2/R 3", b"/V 4/R 4"
+    )
+    with pytest.raises(PdfParseError, match="unsupported encryption"):
+        parse_pdf(data)
+
+
+def test_inline_image_content_keeps_surrounding_text():
+    """A BI…ID…EI inline image (with a false-positive 'EI' inside the
+    binary pixel data) must be skipped without losing the text operators
+    on either side of it."""
+    from edspdf_spark.kernel.pdf import parse_pdf
+
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 100 700 Tm <00480069> Tj ET "
+        b"q BI /W 2 /H 2 /CS /RGB /BPC 8 ID \x00\x11\x22EI\x99\xfe\x01 EI Q "
+        b"BT /F1 10 Tf 1 0 0 1 100 650 Tm <004f006b> Tj ET"
+    )
+    pages, lines = parse_pdf(_raw_pdf(content))
+    texts = ["".join(t for _, _, t in ln[5]) for ln in lines]
+    assert texts == ["Hi", "Ok"]
