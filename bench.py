@@ -527,6 +527,7 @@ def main():
     # if N spans enough wall-clock to catch a normal-speed moment
     headline = {"pipeline_documents", "pipeline_synthetic_skewed"}
     timings = {}
+    stats = {}
     for name, fn in queries.items():
         # session-position hygiene: a long shared session accumulates
         # cached relations and heap garbage from earlier queries; the
@@ -536,13 +537,32 @@ def main():
         # query families keeps each timing about the query, not about
         # where it sits in the session.
         spark.catalog.clearCache()
+        # localCheckpoint RDDs (pagerank, components) survive clearCache;
+        # drop them too so no query pays for a predecessor's block cache
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
+        # hygiene is load-bearing (two phantom r3 regressions traced to
+        # it) — assert it held, don't just hope
+        assert (
+            spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+        ), f"relation cache not empty before {name}"
         spark.sparkContext._jvm.System.gc()
         walls = []
         for _ in range(max(reps, 6) if name in headline else reps):
             t0 = time.perf_counter()
             fn()
             walls.append(time.perf_counter() - t0)
-        timings[name] = round(min(walls), 3)
+        walls.sort()
+        timings[name] = round(walls[0], 3)
+        # per-query dispersion so future regressions are A/B-able from
+        # the recorded BENCH_r*.json alone (no session archaeology):
+        # reps + min/median/max of the raw walls
+        stats[name] = {
+            "reps": len(walls),
+            "min": round(walls[0], 3),
+            "median": round(walls[len(walls) // 2], 3),
+            "max": round(walls[-1], 3),
+        }
 
     total_docs = n_documents + SYNTH_DOCS
     pipeline_secs = timings["pipeline_documents"] + timings["pipeline_synthetic_skewed"]
@@ -555,6 +575,7 @@ def main():
                 "value": docs_per_sec,
                 "unit": "docs/sec",
                 "queries": timings,
+                "query_stats": stats,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "docs": total_docs,
