@@ -2452,10 +2452,24 @@ def _q_multimodal(spark, sf_dir):
     (x, y) is ``(doc_id·31 + x·7 + y·13) % 251`` — at that exact grid
     size every pooling cell is one pixel, so all 64 hash bits are pure
     integer comparisons the oracle replays from the pixel formula
-    (ground truth, not a re-implementation)."""
+    (ground truth, not a re-implementation).
+
+    The fourth leg drives the native VP8L (lossless WebP) codec through
+    the production router (``decode_image_pixels``): 4×3 RGB images
+    whose pixels are closed-form in doc_id, encoded per-doc through a
+    rotating variant (plain / subtract-green / bundled-palette /
+    color-cache — every encoder-reachable decoder path), decoded by the
+    Arrow stage, and summarized as a position-weighted byte checksum the
+    oracle replays from the generation formula (ground truth — the
+    decoded RGBA bytes must match the synthesis exactly)."""
     import pandas as pd
 
-    from edspdf_spark.functions.multimodal import encode_image, image_dhash
+    from edspdf_spark.functions.multimodal import (
+        decode_image_pixels,
+        encode_image,
+        image_dhash,
+    )
+    from edspdf_spark.kernel.webp import encode_webp_lossless
 
     meta = _q_media_meta(spark, sf_dir).select(
         F.lit("meta").alias("probe"),
@@ -2491,7 +2505,59 @@ def _q_multimodal(spark, sf_dir):
         "doc_id",
         F.concat_ws(",", "dhash_hi", "dhash_lo").alias("sig"),
     )
-    return meta.unionAll(frames).unionAll(dh)
+
+    def webp_pages(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                v = i % 4
+                if v == 2:
+                    g = np.array(
+                        [((i + p) % 4) * 60 for p in range(12)], np.uint8
+                    ).reshape(3, 4)
+                    media = encode_webp_lossless(
+                        np.stack([g, g, g], axis=-1), palette=True
+                    )
+                else:
+                    arr = np.array(
+                        [
+                            (i * 7 + p * 5 + c * 11) % 256
+                            for p in range(12)
+                            for c in range(3)
+                        ],
+                        np.uint8,
+                    ).reshape(3, 4, 3)
+                    media = encode_webp_lossless(
+                        arr,
+                        subtract_green=(v == 1),
+                        cache_bits=3 if v == 3 else 0,
+                    )
+                rows.append((i, media))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    wp = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        webp_pages, "doc_id bigint, media binary"
+    )
+
+    def webp_sig(batches):
+        for pdf in batches:
+            sigs = []
+            for codec, w_, h_, c_, px in zip(
+                pdf["codec"], pdf["px_w"], pdf["px_h"], pdf["px_c"],
+                pdf["pixels"],
+            ):
+                chk = sum(b * (j + 1) for j, b in enumerate(bytes(px)))
+                sigs.append(f"{codec},{int(w_)},{int(h_)},{int(c_)},{chk}")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    webp_leg = decode_image_pixels(wp).mapInPandas(
+        webp_sig, "doc_id bigint, sig string"
+    ).select(F.lit("webp").alias("probe"), "doc_id", "sig")
+
+    return meta.unionAll(frames).unionAll(dh).unionAll(webp_leg)
 
 
 _MULTIMODAL_ORACLE = f"""
@@ -2521,6 +2587,18 @@ FROM (
          UNNEST(generate_series(0, 7)) AS tx(x)
   ) GROUP BY doc_id
 )
+UNION ALL
+SELECT 'webp' AS probe, doc_id,
+       'webp,4,3,4,' || CAST(SUM(val * (p * 4 + c + 1)) AS VARCHAR) AS sig
+FROM (
+  SELECT d.doc_id, p, c,
+         CASE WHEN c = 3 THEN 255
+              WHEN d.doc_id % 4 = 2 THEN ((d.doc_id + p) % 4) * 60
+              ELSE (d.doc_id * 7 + p * 5 + c * 11) % 256 END AS val
+  FROM documents d,
+       UNNEST(generate_series(0, 11)) AS tp(p),
+       UNNEST(generate_series(0, 3)) AS tc(c)
+) GROUP BY doc_id
 """
 
 

@@ -275,12 +275,13 @@ def decode_png(data: bytes):
 
 
 def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Pixel decode as an Arrow-batched stage: PNG plus baseline and
-    progressive JPEG decode NATIVELY (stdlib zlib + the engine's PNG
-    un-predictor; ``kernel/jpeg.py`` for T.81 baseline + Annex-G
-    progressive — no imaging library needed, covering the two dominant
-    crawl-JPEG classes); WebP / arithmetic / other codecs decode via PIL when
-    available, else their rows come back with ``codec`` set and NULL
+    """Pixel decode as an Arrow-batched stage: PNG, baseline and
+    progressive JPEG, and lossless WebP (VP8L) decode NATIVELY (stdlib
+    zlib + the engine's PNG un-predictor; ``kernel/jpeg.py`` for T.81
+    baseline + Annex-G progressive; ``kernel/webp.py`` for the VP8L
+    bitstream with all four transforms — no imaging library needed);
+    lossy-VP8 WebP / arithmetic-coded JPEG / other codecs decode via PIL
+    when available, else their rows come back with ``codec`` set and NULL
     pixels so the pipeline can route or quarantine them (poison-pill
     tolerance — one undecodable blob must never kill a partition).
 
@@ -331,6 +332,27 @@ def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
                             # arithmetic/12-bit/CMYK (or truncated):
                             # route to PIL when present, else keep the
                             # codec tag with NULL pixels
+                            if _pil is not None:  # pragma: no cover - no PIL here
+                                import io
+
+                                arr = np.asarray(_pil.open(io.BytesIO(b)))
+                                h, w = arr.shape[:2]
+                                c = arr.shape[2] if arr.ndim == 3 else 1
+                                pixels = arr.tobytes()
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        codec = "webp"
+                        try:
+                            # native VP8L (lossless) decoder — stdlib +
+                            # NumPy, kernel/webp.py; lossy VP8 raises
+                            from edspdf_spark.kernel.webp import decode_webp
+
+                            arr = decode_webp(b)
+                            h, w = arr.shape[:2]
+                            c = arr.shape[2]
+                            pixels = arr.tobytes()
+                        except ValueError:
+                            # lossy VP8 (bool-coder) or truncated: PIL
+                            # when present, else codec tag + NULL pixels
                             if _pil is not None:  # pragma: no cover - no PIL here
                                 import io
 
