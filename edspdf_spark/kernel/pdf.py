@@ -1042,6 +1042,26 @@ def _interpret_page(doc: PdfDocument, page: dict, ctm) -> List[_Char]:
         x, y = ts.linematrix
         needcharspace = False
         descent = font.descent * fontsize
+        # hot loop: everything but x is constant per string — hoist the
+        # translate/apply-matrix algebra out of the per-char calls. Every
+        # retained expression keeps the ORIGINAL association order
+        # (x*a + y*c + e etc.), so geometry stays bit-identical to the
+        # pre-optimization kernel (pinned by test_letter_pdf_snapshot).
+        a, b, c, d, e, f = matrix
+        upright = (0 < a * d * scaling) and (b * c <= 0)
+        yc = y * c
+        yd = y * d
+        dr = descent + rise
+        drf = descent + rise + fontsize
+        cdr = c * dr
+        ddr = d * dr
+        cdrf = c * drf
+        ddrf = d * drf
+        cw = font.char_width
+        ct = font.char_text
+        fontname = font.fontname
+        decode = font.decode
+        append = chars.append
         for obj in seq:
             if isinstance(obj, (int, float)):
                 x -= obj * dxscale
@@ -1049,20 +1069,19 @@ def _interpret_page(doc: PdfDocument, page: dict, ctm) -> List[_Char]:
                 continue
             if not isinstance(obj, bytes):
                 continue
-            for cid in font.decode(obj):
+            for cid in decode(obj):
                 if needcharspace:
                     x += charspace
-                adv = font.char_width(cid) * fontsize * scaling
-                trm = _translate_matrix(matrix, (x, y))
-                a, b, c, d, _e, _f = trm
-                upright = (0 < a * d * scaling) and (b * c <= 0)
-                p0 = _apply_matrix_pt(trm, (0.0, descent + rise))
-                p1 = _apply_matrix_pt(trm, (adv, descent + rise + fontsize))
-                x0, x1 = (p0[0], p1[0]) if p0[0] <= p1[0] else (p1[0], p0[0])
-                y0, y1 = (p0[1], p1[1]) if p0[1] <= p1[1] else (p1[1], p0[1])
-                chars.append(
-                    _Char(x0, y0, x1, y1, font.char_text(cid), font.fontname, upright)
-                )
+                adv = cw(cid) * fontsize * scaling
+                ex = x * a + yc + e
+                fy = x * b + yd + f
+                p0x = a * 0.0 + cdr + ex
+                p0y = b * 0.0 + ddr + fy
+                p1x = a * adv + cdrf + ex
+                p1y = b * adv + ddrf + fy
+                x0, x1 = (p0x, p1x) if p0x <= p1x else (p1x, p0x)
+                y0, y1 = (p0y, p1y) if p0y <= p1y else (p1y, p0y)
+                append(_Char(x0, y0, x1, y1, ct(cid), fontname, upright))
                 x += adv
                 if cid == 32 and wordspace:
                     x += wordspace
@@ -1171,16 +1190,28 @@ def _voverlap(a: _Char, b: _Char) -> float:
 
 
 def _group_lines(chars: List[_Char]) -> List[List[_Char]]:
-    """pdfminer LTLayoutContainer.group_objects, horizontal-only."""
+    """pdfminer LTLayoutContainer.group_objects, horizontal-only.
+    The pair test inlines :func:`_voverlap` / :func:`_hdistance`
+    (same expressions — they stay as the documented reference and for
+    tests) — this loop runs once per char on every page."""
     lines: List[List[_Char]] = []
     line: Optional[List[_Char]] = None
     obj0: Optional[_Char] = None
     for obj1 in chars:
         if obj0 is not None:
-            halign = (
-                _voverlap(obj0, obj1) > _LINE_OVERLAP * min(obj0.height, obj1.height)
-                and _hdistance(obj0, obj1) < _CHAR_MARGIN * max(obj0.width, obj1.width)
-            )
+            # _voverlap(obj0, obj1) > _LINE_OVERLAP * min(heights)
+            if obj1.y0 <= obj0.y1 and obj0.y0 <= obj1.y1:
+                vo = min(abs(obj0.y0 - obj1.y1), abs(obj0.y1 - obj1.y0))
+            else:
+                vo = 0.0
+            halign = vo > _LINE_OVERLAP * min(obj0.height, obj1.height)
+            if halign:
+                # _hdistance(obj0, obj1) < _CHAR_MARGIN * max(widths)
+                if obj1.x0 <= obj0.x1 and obj0.x0 <= obj1.x1:
+                    hd = 0.0
+                else:
+                    hd = min(abs(obj0.x0 - obj1.x1), abs(obj0.x1 - obj1.x0))
+                halign = hd < _CHAR_MARGIN * max(obj0.width, obj1.width)
             if halign and line is not None:
                 line.append(obj1)
             elif line is not None:
