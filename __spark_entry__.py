@@ -2485,6 +2485,8 @@ def _q_multimodal(spark, sf_dir):
     )
 
     def dh_pages(batches):
+        import numpy as np
+
         for pdf in batches:
             medias = []
             for did in pdf["doc_id"]:
@@ -2494,7 +2496,17 @@ def _q_multimodal(spark, sf_dir):
                     for y in range(8)
                     for x in range(9)
                 )
-                medias.append(encode_image(9, 8, 1, payload))
+                if i % 5 == 0:
+                    # every 5th doc carries the SAME grid as real WebP
+                    # bytes: the decoded RGBA intensity is 3v+255 per
+                    # pixel, an order-preserving map, so the hash bits —
+                    # and therefore the oracle formula — are unchanged
+                    g = np.frombuffer(payload, np.uint8).reshape(8, 9)
+                    from edspdf_spark.kernel.webp import encode_webp_lossless
+
+                    medias.append(encode_webp_lossless(np.stack([g] * 3, -1)))
+                else:
+                    medias.append(encode_image(9, 8, 1, payload))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
 
     media9 = _docs(spark, sf_dir).select("doc_id").mapInPandas(

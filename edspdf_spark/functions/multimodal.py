@@ -413,6 +413,14 @@ def image_dhash(
     and XOR never touch the int64 sign bit. NULL halves for non-image /
     corrupt / too-small blobs (smaller than the cell grid).
 
+    Accepts the typed container AND real codec bytes: PNG, baseline /
+    progressive JPEG and lossless WebP route through the native kernel
+    decoders (no imaging library), so a crawl's image column hashes
+    directly; undecodable blobs (lossy VP8, arithmetic JPEG, corrupt)
+    keep NULL halves. Intensity is the per-pixel channel sum, so a
+    decoded RGBA plane (constant alpha 255) produces the same bits as
+    its RGB source — the comparison is translation-invariant.
+
     Near-dup images differ in a few bits; pair generation is
     :func:`dhash_candidate_pairs`. One Arrow ``mapInPandas`` stage, zero
     shuffle.
@@ -421,39 +429,58 @@ def image_dhash(
     if n_bits != 64:
         raise ValueError("hash_w*hash_h must be 64 (two 32-bit halves)")
 
+    def dhash_bits(px: np.ndarray):
+        h, w = px.shape[:2]
+        if w < hash_w + 1 or h < hash_h:
+            return None, None
+        inten = px.astype(np.int64).sum(axis=2) if px.ndim == 3 else px.astype(np.int64)
+        xs = [(i * w) // (hash_w + 1) for i in range(hash_w + 2)]
+        ys = [(j * h) // hash_h for j in range(hash_h + 1)]
+        s = np.zeros((hash_h, hash_w + 1), dtype=np.int64)
+        n = np.zeros((hash_h, hash_w + 1), dtype=np.int64)
+        for j in range(hash_h):
+            for i in range(hash_w + 1):
+                block = inten[ys[j]:ys[j + 1], xs[i]:xs[i + 1]]
+                s[j, i] = int(block.sum())
+                n[j, i] = block.size
+        v = 0
+        for j in range(hash_h):
+            for i in range(hash_w):
+                if s[j, i] * n[j, i + 1] > s[j, i + 1] * n[j, i]:
+                    v |= 1 << (j * hash_w + i)
+        return v >> 32, v & 0xFFFFFFFF
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             his, los = [], []
             for blob in pdf[media_col]:
                 hi = lo = None
-                if blob is not None and len(blob) >= 13 and bytes(blob[:4]) == MAGIC_IMAGE:
-                    w, h, c = struct.unpack(">IIB", bytes(blob[4:13]))
+                b = bytes(blob) if blob is not None else b""
+                if len(b) >= 13 and b[:4] == MAGIC_IMAGE:
+                    w, h, c = struct.unpack(">IIB", b[4:13])
                     need = w * h * c
-                    if (
-                        c >= 1
-                        and w >= hash_w + 1
-                        and h >= hash_h
-                        and len(blob) >= 13 + need
-                    ):
-                        px = np.frombuffer(
-                            bytes(blob[13 : 13 + need]), dtype=np.uint8
-                        ).reshape(h, w, c)
-                        inten = px.astype(np.int64).sum(axis=2)
-                        xs = [(i * w) // (hash_w + 1) for i in range(hash_w + 2)]
-                        ys = [(j * h) // hash_h for j in range(hash_h + 1)]
-                        s = np.zeros((hash_h, hash_w + 1), dtype=np.int64)
-                        n = np.zeros((hash_h, hash_w + 1), dtype=np.int64)
-                        for j in range(hash_h):
-                            for i in range(hash_w + 1):
-                                block = inten[ys[j]:ys[j + 1], xs[i]:xs[i + 1]]
-                                s[j, i] = int(block.sum())
-                                n[j, i] = block.size
-                        v = 0
-                        for j in range(hash_h):
-                            for i in range(hash_w):
-                                if s[j, i] * n[j, i + 1] > s[j, i + 1] * n[j, i]:
-                                    v |= 1 << (j * hash_w + i)
-                        hi, lo = v >> 32, v & 0xFFFFFFFF
+                    if c >= 1 and len(b) >= 13 + need:
+                        px = np.frombuffer(b[13 : 13 + need], dtype=np.uint8).reshape(
+                            h, w, c
+                        )
+                        hi, lo = dhash_bits(px)
+                elif len(b) >= 12:
+                    try:
+                        if b[:8] == _PNG_SIG:
+                            hi, lo = dhash_bits(decode_png(b))
+                        elif b[:2] == b"\xff\xd8":
+                            from edspdf_spark.kernel.jpeg import decode_jpeg
+
+                            arr = decode_jpeg(b)
+                            if arr.ndim == 2:
+                                arr = arr[:, :, None]
+                            hi, lo = dhash_bits(arr)
+                        elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                            from edspdf_spark.kernel.webp import decode_webp
+
+                            hi, lo = dhash_bits(decode_webp(b))
+                    except ValueError:
+                        hi = lo = None
                 his.append(hi)
                 los.append(lo)
             yield pd.DataFrame(

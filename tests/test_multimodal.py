@@ -354,3 +354,40 @@ def test_image_dhash_string_ids(spark):
     )
     r = image_dhash(df).collect()[0]
     assert r.doc_id == "img-a" and r.dhash_hi is not None
+
+
+def test_image_dhash_real_codec_bytes_match_container(spark):
+    """PNG / JPEG-free check: a WebP (and PNG) encoding of the same pixel
+    grid must hash to the SAME 64 bits as the typed container — decoded
+    RGBA intensity is 3v+255 per pixel, an order-preserving map of the
+    grayscale source, so every cross-multiplied comparison is unchanged.
+    Undecodable real-codec bytes (lossy VP8) keep NULL halves."""
+    import struct as _struct
+
+    import numpy as np
+
+    from edspdf_spark.functions.multimodal import encode_image, image_dhash
+    from edspdf_spark.kernel.webp import encode_webp_lossless
+
+    # 97-stride wraps mod 251 inside every row, so the hash has both 0
+    # and 1 bits — the cross-codec equality below is a 64-bit check, not
+    # a zeros-equal-zeros tautology
+    payload = bytes((x * 97 + y * 13) % 251 for y in range(8) for x in range(9))
+    g = np.frombuffer(payload, np.uint8).reshape(8, 9)
+    container = encode_image(9, 8, 1, payload)
+    webp = encode_webp_lossless(np.stack([g] * 3, -1))
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(container)), (1, bytearray(webp)), (2, bytearray(lossy))],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in image_dhash(df).collect()}
+    assert rows[0].dhash_hi is not None
+    assert (rows[0].dhash_hi, rows[0].dhash_lo) != (0, 0)
+    assert (rows[1].dhash_hi, rows[1].dhash_lo) == (
+        rows[0].dhash_hi, rows[0].dhash_lo,
+    )
+    assert rows[2].dhash_hi is None and rows[2].dhash_lo is None
