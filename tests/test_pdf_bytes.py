@@ -646,3 +646,32 @@ def test_inline_image_content_keeps_surrounding_text():
     pages, lines = parse_pdf(_raw_pdf(content))
     texts = ["".join(t for _, _, t in ln[5]) for ln in lines]
     assert texts == ["Hi", "Ok"]
+
+
+def test_rc4_encrypt_dict_in_xref_stream_trailer():
+    """Hybrid/xref-stream files carry /Encrypt in the XRef stream dict
+    instead of a classic trailer — the fallback scan must find it (and
+    never try to RC4 the XRef stream itself)."""
+    import re
+    import struct as _struct
+
+    from edspdf_spark.kernel.pdf import parse_pdf
+
+    data = _encrypted_pdf(_ENC_CONTENT, r=3)
+    # strip /Encrypt + /ID from the classic trailer...
+    stripped = re.sub(
+        rb"trailer\n<</Size (\d+)/Root 8 0 R/Encrypt 9 0 R/ID\[[^\]]*\]>>",
+        rb"trailer\n<</Size \1/Root 8 0 R>>",
+        data,
+    )
+    assert stripped != data
+    # ...and graft an XRef-typed stream object carrying them instead
+    file_id = bytes(range(16))
+    xref_obj = (
+        b"10 0 obj\n<</Type/XRef/Encrypt 9 0 R/ID[<" + file_id.hex().encode()
+        + b"> <" + file_id.hex().encode() + b">]/Length 1>>\n"
+        b"stream\nx\nendstream\nendobj\n"
+    )
+    patched = stripped.replace(b"trailer\n", xref_obj + b"trailer\n")
+    plain = parse_pdf(_raw_pdf(_ENC_CONTENT))
+    assert parse_pdf(patched) == plain
