@@ -2120,6 +2120,10 @@ def _q_lsh_pairs(spark, sf_dir):
 
 
 def _lsh_pairs_oracle() -> str:
+    # replays LSH_MAX_BUCKET_SIZE (= 10_000): at driver scales no bucket
+    # comes near the cap, but the sf1 cap-binding sweep (tools/make_sf1.py)
+    # proved the un-capped oracle diverges exactly when the hot-bucket
+    # drop fires — the replay keeps the oracle value-exact at EVERY scale
     inner = _minhash_oracle()
     return f"""
 WITH sig AS ({inner}),
@@ -2131,10 +2135,16 @@ bands AS (
   SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
   UNION ALL
   SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+),
+ok AS (
+  SELECT band, bucket FROM bands
+  GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND 10000
 )
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-FROM bands l JOIN bands r
-  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+FROM ok o
+JOIN bands l ON l.band = o.band AND l.bucket = o.bucket
+JOIN bands r ON r.band = o.band AND r.bucket = o.bucket
+WHERE l.doc_id < r.doc_id
 """
 
 
@@ -2158,10 +2168,22 @@ FROM (
     SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM isig
     UNION ALL
     SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM isig
+  ),
+  -- LSH_MAX_BUCKET_SIZE replay, per side (the incremental path caps the
+  -- new-dump and snapshot bucket populations independently)
+  n_ok AS (
+    SELECT band, bucket FROM ibands WHERE doc_id % 2 = 1
+    GROUP BY band, bucket HAVING COUNT(*) <= 10000
+  ),
+  o_ok AS (
+    SELECT band, bucket FROM ibands WHERE doc_id % 2 = 0
+    GROUP BY band, bucket HAVING COUNT(*) <= 10000
   )
   SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
   FROM ibands l JOIN ibands r
     ON l.band = r.band AND l.bucket = r.bucket
+  JOIN n_ok ON n_ok.band = l.band AND n_ok.bucket = l.bucket
+  JOIN o_ok ON o_ok.band = l.band AND o_ok.bucket = l.bucket
   WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
 )
 UNION ALL
