@@ -2591,7 +2591,22 @@ def _q_multimodal(spark, sf_dir):
         webp_sig, "doc_id bigint, sig string"
     ).select(F.lit("webp").alias("probe"), "doc_id", "sig")
 
-    return meta.unionAll(frames).unionAll(dh).unionAll(webp_leg)
+    # real-codec header meta over the same WebP pages: dims from the
+    # VP8L 14-bit fields, channels from the alpha-hint bit (fixtures are
+    # opaque → 3) — header-only parse, closed-form oracle
+    from edspdf_spark.functions.multimodal import with_media_meta
+
+    wmeta = with_media_meta(wp).select(
+        F.lit("webpmeta").alias("probe"),
+        "doc_id",
+        F.concat_ws(
+            ",", "media_type", "width", "height", "channels"
+        ).alias("sig"),
+    )
+
+    return (
+        meta.unionAll(frames).unionAll(dh).unionAll(webp_leg).unionAll(wmeta)
+    )
 
 
 _MULTIMODAL_ORACLE = f"""
@@ -2621,6 +2636,8 @@ FROM (
          UNNEST(generate_series(0, 7)) AS tx(x)
   ) GROUP BY doc_id
 )
+UNION ALL
+SELECT 'webpmeta' AS probe, doc_id, 'image,4,3,3' AS sig FROM documents
 UNION ALL
 SELECT 'webp' AS probe, doc_id,
        'webp,4,3,4,' || CAST(SUM(val * (p * 4 + c + 1)) AS VARCHAR) AS sig

@@ -74,25 +74,86 @@ def encode_video(
     return MAGIC_VIDEO + struct.pack(">IIII", width, height, n_frames, fps_milli) + payload
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _parse_one(blob: Optional[bytes]) -> dict:
+    """Header-only meta: the synthetic typed containers AND the real
+    codec headers a crawl actually carries — PNG IHDR, JPEG SOFn,
+    WebP (VP8L dims / VP8 key-frame dims / VP8X canvas), GIF logical
+    screen. Header parsing only (no entropy decode), so the meta pass
+    stays O(bytes-read ≈ 32) per blob at any corpus size."""
     out = dict.fromkeys([f.name for f in MEDIA_META_SCHEMA.fields])
     out["n_bytes"] = 0 if blob is None else len(blob)
     if blob is None or len(blob) < 4:
         return out
-    magic = bytes(blob[:4])
+    b = bytes(blob)
+    magic = b[:4]
     try:
-        if magic == MAGIC_IMAGE and len(blob) >= 13:
-            w, h, c = struct.unpack(">IIB", bytes(blob[4:13]))
+        if magic == MAGIC_IMAGE and len(b) >= 13:
+            w, h, c = struct.unpack(">IIB", b[4:13])
             out.update(media_type="image", width=w, height=h, channels=c)
-        elif magic == MAGIC_AUDIO and len(blob) >= 12:
-            sr, ns = struct.unpack(">II", bytes(blob[4:12]))
+        elif magic == MAGIC_AUDIO and len(b) >= 12:
+            sr, ns = struct.unpack(">II", b[4:12])
             out.update(media_type="audio", sample_rate=sr, n_samples=ns)
-        elif magic == MAGIC_VIDEO and len(blob) >= 20:
-            w, h, nf, fm = struct.unpack(">IIII", bytes(blob[4:20]))
+        elif magic == MAGIC_VIDEO and len(b) >= 20:
+            w, h, nf, fm = struct.unpack(">IIII", b[4:20])
             out.update(
                 media_type="video", width=w, height=h, n_frames=nf, fps_milli=fm
             )
-    except struct.error:
+        elif b[:8] == _PNG_SIG and len(b) >= 26 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            ctype = b[25]
+            out.update(
+                media_type="image", width=w, height=h,
+                channels=_PNG_CHANNELS.get(ctype),
+            )
+        elif b[:2] == b"\xff\xd8":
+            # walk the segment chain to the first SOFn frame header
+            pos = 2
+            while pos + 9 < len(b) and b[pos] == 0xFF:
+                marker = b[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                    out.update(
+                        media_type="image", width=w, height=h,
+                        channels=b[pos + 9],
+                    )
+                    break
+                pos += 2 + seg_len
+        elif magic == b"RIFF" and len(b) >= 30 and b[8:12] == b"WEBP":
+            tag = b[12:16]
+            if tag == b"VP8L" and b[20] == 0x2F:
+                bits = struct.unpack("<I", b[21:25])[0]
+                out.update(
+                    media_type="image",
+                    width=(bits & 0x3FFF) + 1,
+                    height=((bits >> 14) & 0x3FFF) + 1,
+                    channels=4 if (bits >> 28) & 1 else 3,
+                )
+            elif tag == b"VP8 " and b[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", b[26:30])
+                out.update(
+                    media_type="image", width=w & 0x3FFF, height=h & 0x3FFF,
+                    channels=3,
+                )
+            elif tag == b"VP8X":
+                flags = b[20]
+                w = int.from_bytes(b[24:27], "little") + 1
+                h = int.from_bytes(b[27:30], "little") + 1
+                out.update(
+                    media_type="image", width=w, height=h,
+                    channels=4 if flags & 0x10 else 3,
+                )
+        elif b[:4] in (b"GIF8",) and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            out.update(media_type="image", width=w, height=h, channels=3)
+    except (struct.error, IndexError):
         pass
     return out
 

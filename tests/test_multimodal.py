@@ -391,3 +391,55 @@ def test_image_dhash_real_codec_bytes_match_container(spark):
         rows[0].dhash_hi, rows[0].dhash_lo,
     )
     assert rows[2].dhash_hi is None and rows[2].dhash_lo is None
+
+
+def test_media_meta_real_codec_headers():
+    """with_media_meta reads real codec headers a crawl carries — PNG
+    IHDR, JPEG SOFn (past APPn/DQT segments), WebP VP8L/VP8/VP8X, GIF —
+    header-only, no entropy decode."""
+    import struct as _s
+
+    import numpy as np
+
+    from edspdf_spark.functions.multimodal import _parse_one, encode_png
+    from edspdf_spark.kernel.jpeg import encode_jpeg
+    from edspdf_spark.kernel.webp import encode_webp_lossless
+
+    arr = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+
+    m = _parse_one(encode_png(arr))
+    assert (m["media_type"], m["width"], m["height"], m["channels"]) == (
+        "image", 5, 4, 3,
+    )
+    m = _parse_one(encode_jpeg(arr, quality=80))
+    assert (m["media_type"], m["width"], m["height"], m["channels"]) == (
+        "image", 5, 4, 3,
+    )
+    m = _parse_one(encode_webp_lossless(arr))
+    assert (m["width"], m["height"], m["channels"]) == (5, 4, 3)
+    rgba = np.dstack([arr, np.full((4, 5), 7, np.uint8)])
+    assert _parse_one(encode_webp_lossless(rgba))["channels"] == 4
+
+    vp8 = (
+        b"RIFF" + _s.pack("<I", 30) + b"WEBP" + b"VP8 " + _s.pack("<I", 12)
+        + b"\x00" * 3 + b"\x9d\x01\x2a" + _s.pack("<HH", 640, 480) + b"\x00\x00"
+    )
+    m = _parse_one(vp8)
+    assert (m["width"], m["height"], m["channels"]) == (640, 480, 3)
+
+    vp8x = (
+        b"RIFF" + _s.pack("<I", 22) + b"WEBP" + b"VP8X" + _s.pack("<I", 10)
+        + bytes([0x10]) + b"\x00" * 3
+        + (799).to_bytes(3, "little") + (599).to_bytes(3, "little")
+    )
+    m = _parse_one(vp8x)
+    assert (m["width"], m["height"], m["channels"]) == (800, 600, 4)
+
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00" * 4
+    m = _parse_one(gif)
+    assert (m["width"], m["height"], m["channels"]) == (320, 200, 3)
+
+    # truncated headers degrade to type-only/None, never raise
+    for blob in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RIFF1234WEBP",
+                 b"GIF89a", None, b""):
+        _parse_one(blob)
